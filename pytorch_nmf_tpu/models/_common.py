@@ -1,0 +1,55 @@
+"""Shared helpers for the model layer (shape utils, init, validation)."""
+
+from collections.abc import Iterable as Iterabc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..module import next_rng_key
+
+__all__ = [
+    "is_tensor_like",
+    "to_f32",
+    "rand_abs_normal",
+    "assert_nonneg",
+    "single",
+    "pair",
+    "triple",
+]
+
+
+def is_tensor_like(x) -> bool:
+    """True for array-valued inputs (jax/numpy/Parameter/anything with
+    ``shape``+``ndim``), False for shape tuples/lists."""
+    return hasattr(x, "shape") and hasattr(x, "ndim")
+
+
+def to_f32(x):
+    return jnp.asarray(np.asarray(x), jnp.float32)
+
+
+def rand_abs_normal(shape):
+    """|N(0,1)| init, the reference's ``torch.randn(*size).abs()``
+    (nmf.py:221,234; plca.py:90,105)."""
+    return jnp.abs(jax.random.normal(next_rng_key(), tuple(shape), jnp.float32))
+
+
+def assert_nonneg(x, name: str):
+    assert bool(jnp.all(jnp.asarray(x) >= 0.0)), f"Tensor {name} should be non-negative."
+
+
+def _ntuple(n):
+    def parse(x):
+        if isinstance(x, Iterabc):
+            t = tuple(x)
+            assert len(t) == n
+            return t
+        return (x,) * n
+
+    return parse
+
+
+single = _ntuple(1)
+pair = _ntuple(2)
+triple = _ntuple(3)

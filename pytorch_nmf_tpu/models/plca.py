@@ -1,0 +1,309 @@
+r"""PLCA model family: ``BaseComponent``, ``PLCA``, ``SIPLCA``, ``SIPLCA2``,
+``SIPLCA3``.
+
+TPU-native re-design of the reference PLCA layer (torchnmf/plca.py).
+Probabilistic Latent Component Analysis factorizes a (normalized) non-
+negative tensor as a mixture of per-component marginal distributions with a
+latent prior ``Z``; fitting is EM where the E-step is a single VJP with
+cotangent ``V/(WZH+eps)`` and the M-step renormalizes the resulting
+unnormalized posterior marginals (reference plca.py:250-289), with optional
+Dirichlet MAP priors.
+
+Construction normalizes every given factor to a probability distribution
+over its non-rank axes (reference plca.py:94-127); ``Z`` defaults to the
+uniform prior when only ``rank`` is given (plca.py:121).
+"""
+
+from collections.abc import Iterable as Iterabc
+from typing import Iterable, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ..module import Module, Parameter, as_array
+from ..ops import recon as _recon
+from ..ops import solver as _solver
+from ._common import (
+    assert_nonneg,
+    is_tensor_like,
+    pair,
+    rand_abs_normal,
+    single,
+    to_f32,
+    triple,
+)
+from .nmf import _progress_scope
+
+__all__ = ["BaseComponent", "PLCA", "SIPLCA", "SIPLCA2", "SIPLCA3"]
+
+
+def _prob_norm(x):
+    """Sum over all-but-rank axes, keepdims (reference plca.py:23-31)."""
+    if x.ndim > 1:
+        axes = tuple(d for d in range(x.ndim) if d != 1)
+        return jnp.sum(x, axis=axes, keepdims=True)
+    return jnp.sum(x)
+
+
+class BaseComponent(Module):
+    r"""Base class for all PLCA modules (reference plca.py:34-304).
+
+    Like the NMF base but with a latent prior vector ``Z``; all stored
+    factors are probability-normalized at construction.
+    """
+
+    rank: int
+    out_channels: Optional[int]
+    kernel_size: Optional[Tuple[int, ...]]
+
+    def __init__(
+        self,
+        rank: int = None,
+        W=None,
+        H=None,
+        Z=None,
+        trainable_W: bool = True,
+        trainable_H: bool = True,
+        trainable_Z: bool = True,
+    ):
+        super().__init__()
+
+        infer_rank = None
+        if is_tensor_like(W):
+            assert_nonneg(as_array(W), "W")
+            self.register_parameter("W", Parameter(to_f32(W), trainable_W))
+        elif isinstance(W, Iterabc):
+            self.register_parameter("W", Parameter(rand_abs_normal(tuple(W))))
+        else:
+            self.register_parameter("W", None)
+
+        if self._parameters.get("W") is not None:
+            p = self._parameters["W"]
+            p.data = p.data / _prob_norm(p.data)
+            infer_rank = p.shape[1]
+
+        if is_tensor_like(H):
+            assert_nonneg(as_array(H), "H")
+            self.register_parameter("H", Parameter(to_f32(H), trainable_H))
+        elif isinstance(H, Iterabc):
+            self.register_parameter("H", Parameter(rand_abs_normal(tuple(H))))
+        else:
+            self.register_parameter("H", None)
+
+        if self._parameters.get("H") is not None:
+            p = self._parameters["H"]
+            p.data = p.data / _prob_norm(p.data)
+            infer_rank = p.shape[1]
+
+        if is_tensor_like(Z):
+            Zarr = to_f32(Z)
+            assert Zarr.ndim == 1, "Z should be one dimensional."
+            assert_nonneg(Zarr, "Z")
+            rank = int(Zarr.shape[0])
+            self.register_parameter("Z", Parameter(Zarr, trainable_Z))
+        elif isinstance(rank, int):
+            self.register_parameter(
+                "Z", Parameter(jnp.ones(rank, jnp.float32) / rank)
+            )
+        else:
+            self.register_parameter("Z", None)
+
+        if self._parameters.get("Z") is not None:
+            p = self._parameters["Z"]
+            p.data = p.data / _prob_norm(p.data)
+            infer_rank = p.shape[0]
+
+        if infer_rank is None:
+            assert rank, "A rank should be given when W, H and Z are not available!"
+        else:
+            if self._parameters.get("Z") is not None:
+                assert (
+                    self._parameters["Z"].shape[0] == infer_rank
+                ), "Latent size of Z does not match with others!"
+            if self._parameters.get("H") is not None:
+                assert (
+                    self._parameters["H"].shape[1] == infer_rank
+                ), "Latent size of H does not match with others!"
+            if self._parameters.get("W") is not None:
+                assert (
+                    self._parameters["W"].shape[1] == infer_rank
+                ), "Latent size of W does not match with others!"
+                self.out_channels = self._parameters["W"].shape[0]
+                if self._parameters["W"].ndim > 2:
+                    self.kernel_size = tuple(self._parameters["W"].shape[2:])
+            rank = infer_rank
+
+        self.rank = int(rank)
+
+    def extra_repr(self) -> str:
+        s = f"{self.rank}"
+        if self._parameters.get("W") is not None:
+            s += f", out_channels={self.out_channels}"
+            if hasattr(self, "kernel_size"):
+                s += f", kernel_size={self.kernel_size}"
+        return s
+
+    def forward(self, H=None, W=None, Z=None, norm: float = None):
+        """Reconstruct, optionally rescaled by ``norm``
+        (reference plca.py:153-183)."""
+        if H is None:
+            H = self.H
+        if W is None:
+            W = self.W
+        if Z is None:
+            Z = self.Z
+        result = self.reconstruct(H, W, Z)
+        if norm is None:
+            return result
+        return result * norm
+
+    @staticmethod
+    def reconstruct(H, W, Z):
+        raise NotImplementedError
+
+    def fit(
+        self,
+        V,
+        tol: float = 1e-4,
+        max_iter: int = 200,
+        verbose: bool = False,
+        W_alpha: Union[float, jnp.ndarray] = 1.0,
+        H_alpha: Union[float, jnp.ndarray] = 1.0,
+        Z_alpha: Union[float, jnp.ndarray] = 1.0,
+    ):
+        r"""EM fitting maximizing the posterior log-probability with optional
+        Dirichlet priors (reference plca.py:193-304).
+
+        Returns ``(n_iter, norm)`` where ``norm`` is ``V.sum()`` — the scale
+        factor to pass back into :meth:`forward` to reconstruct in the
+        original units.
+        """
+        V = to_f32(V)
+        assert bool(jnp.all(V >= 0)), "Target should be non-negative."
+
+        W, H, Z = (
+            self._parameters["W"],
+            self._parameters["H"],
+            self._parameters["Z"],
+        )
+
+        def alpha_active(a):
+            return not (isinstance(a, (int, float)) and a == 1)
+
+        fit_fn = _solver.get_plca_fit(
+            type(self).reconstruct,
+            float(tol),
+            int(max_iter),
+            W.requires_grad,
+            H.requires_grad,
+            Z.requires_grad,
+            alpha_active(W_alpha),
+            alpha_active(H_alpha),
+            alpha_active(Z_alpha),
+            bool(verbose),
+        )
+        with _progress_scope(verbose, max_iter):
+            W_new, H_new, Z_new, n_iter, norm = fit_fn(
+                V,
+                W.data,
+                H.data,
+                Z.data,
+                jnp.asarray(W_alpha, jnp.float32),
+                jnp.asarray(H_alpha, jnp.float32),
+                jnp.asarray(Z_alpha, jnp.float32),
+            )
+        W.data, H.data, Z.data = W_new, H_new, Z_new
+        return int(n_iter), norm
+
+
+class PLCA(BaseComponent):
+    r"""Probabilistic Latent Component Analysis:
+    :math:`P(n, c) \approx \sum_z P(c|z) P(z) P(n|z)`, i.e.
+    ``V ≈ H diag(Z) Wᵀ`` (reference plca.py:307-373)."""
+
+    def __init__(self, Vshape: Iterable[int] = None, rank: int = None, **kwargs):
+        if isinstance(Vshape, Iterabc):
+            M, K = Vshape
+            rank = rank if rank else K
+            kwargs["W"] = (K, rank)
+            kwargs["H"] = (M, rank)
+        super().__init__(rank, **kwargs)
+
+    @staticmethod
+    def reconstruct(H, W, Z):
+        W = as_array(W)
+        Z = as_array(Z)
+        return _recon.linear(H, W * Z)
+
+
+class SIPLCA(BaseComponent):
+    r"""Shift-Invariant PLCA, 1-D (Smaragdis & Raj 2007;
+    reference plca.py:376-449)."""
+
+    def __init__(
+        self,
+        Vshape: Iterable[int] = None,
+        rank: int = None,
+        T: Union[int, Tuple[int]] = 1,
+        **kwargs,
+    ):
+        if isinstance(Vshape, Iterabc):
+            (T,) = single(T)
+            batch, K, M = Vshape
+            rank = rank if rank else K
+            kwargs["W"] = (K, rank, T)
+            kwargs["H"] = (batch, rank, M - T + 1)
+        super().__init__(rank, **kwargs)
+
+    @staticmethod
+    def reconstruct(H, W, Z):
+        return _recon.deconv1d(H, _recon.scaled_kernel(W, Z, 1))
+
+
+class SIPLCA2(BaseComponent):
+    r"""Shift-Invariant PLCA across 2 dimensions
+    (reference plca.py:452-525)."""
+
+    def __init__(
+        self,
+        Vshape: Iterable[int] = None,
+        rank: int = None,
+        kernel_size: Union[int, Tuple[int, int]] = 1,
+        **kwargs,
+    ):
+        if isinstance(Vshape, Iterabc):
+            kernel_size = pair(kernel_size)
+            kh, kw = kernel_size
+            batch, channel, K, M = Vshape
+            rank = rank if rank else K
+            kwargs["W"] = (channel, rank) + kernel_size
+            kwargs["H"] = (batch, rank, K - kh + 1, M - kw + 1)
+        super().__init__(rank, **kwargs)
+
+    @staticmethod
+    def reconstruct(H, W, Z):
+        return _recon.deconv2d(H, _recon.scaled_kernel(W, Z, 2))
+
+
+class SIPLCA3(BaseComponent):
+    r"""Shift-Invariant PLCA across 3 dimensions
+    (reference plca.py:528-606)."""
+
+    def __init__(
+        self,
+        Vshape: Iterable[int] = None,
+        rank: int = None,
+        kernel_size: Union[int, Tuple[int, int, int]] = 1,
+        **kwargs,
+    ):
+        if isinstance(Vshape, Iterabc):
+            kernel_size = triple(kernel_size)
+            k1, k2, k3 = kernel_size
+            batch, channel, N, K, M = Vshape
+            rank = rank if rank else K
+            kwargs["W"] = (channel, rank) + kernel_size
+            kwargs["H"] = (batch, rank, N - k1 + 1, K - k2 + 1, M - k3 + 1)
+        super().__init__(rank, **kwargs)
+
+    @staticmethod
+    def reconstruct(H, W, Z):
+        return _recon.deconv3d(H, _recon.scaled_kernel(W, Z, 3))

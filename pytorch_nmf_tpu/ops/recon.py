@@ -1,0 +1,88 @@
+r"""Reconstruction primitives for all model families.
+
+These are the forward maps :math:`(H, W[, Z]) \mapsto \hat V` expressed
+directly in XLA ops that tile onto the TPU MXU:
+
+* ``linear``      — :math:`H W^\top` via ``lax.dot_general``
+  (the reference uses ``F.linear``; nmf.py:693).
+* ``deconv1d/2d/3d`` — "full"-padded correlation with a flipped kernel,
+  i.e. true convolution, via ``lax.conv_general_dilated``
+  (the reference uses ``F.convNd(H, W.flip(...), padding=k-1)``;
+  nmf.py:779,864,941 / plca.py:449,524,604).
+
+Each function is pure and jittable; the MU engine differentiates them with
+``jax.vjp`` so the numerator/denominator contractions come out as transposed
+GEMMs / transposed convolutions — also MXU ops.
+
+Shapes follow the reference convention:
+  1-D: ``H (N, R, L)``, ``W (C, R, T)``      → ``(N, C, L + T - 1)``
+  2-D: ``H (N, R, L, M)``, ``W (C, R, kh, kw)`` → ``(N, C, L+kh-1, M+kw-1)``
+  3-D: analogous with three spatial dims.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..module import as_array
+
+__all__ = ["linear", "deconv1d", "deconv2d", "deconv3d", "scaled_kernel"]
+
+
+def linear(H, W, *, precision=None):
+    """``H @ W.T`` on the MXU with float32 accumulation."""
+    H = as_array(H)
+    W = as_array(W)
+    return lax.dot_general(
+        H,
+        W,
+        dimension_numbers=(((H.ndim - 1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def scaled_kernel(W, Z, spatial_ndim: int):
+    """``W * Z`` broadcast over spatial dims — used by the SIPLCA family.
+
+    ``W`` has layout ``(C, R, *spatial)`` and Z is ``(R,)``; the reference
+    computes ``W.flip(...) * Z.view(-1, 1, ...)`` (plca.py:449,524,604).
+    Flipping happens inside the deconv helpers, so here we only rescale.
+    """
+    W = as_array(W)
+    Z = as_array(Z)
+    return W * Z.reshape((1, -1) + (1,) * spatial_ndim)
+
+
+def _deconv(H, W, spatial_ndim: int):
+    """Full-padded true convolution shared by the 1/2/3-D variants.
+
+    ``lax.conv_general_dilated`` computes cross-correlation (like torch's
+    ``F.convNd``); flipping the kernel over its spatial dims turns it into
+    convolution, and SAME-most "full" padding ``k - 1`` grows the output to
+    ``L_in + k - 1`` — matching the reference reconstruction exactly.
+    """
+    H = as_array(H)
+    W = as_array(W)
+    spatial = tuple(range(2, 2 + spatial_ndim))
+    Wf = jnp.flip(W, axis=spatial)
+    pads = [(W.shape[d] - 1, W.shape[d] - 1) for d in spatial]
+    # Layouts: H is (N, R, *spatial) = NC...; W is (C, R, *spatial) = OI...
+    letters = "DHW"[-spatial_ndim:]
+    dn = lax.conv_dimension_numbers(
+        H.shape, Wf.shape, ("NC" + letters, "OI" + letters, "NC" + letters)
+    )
+    return lax.conv_general_dilated(
+        H,
+        Wf,
+        window_strides=(1,) * spatial_ndim,
+        padding=pads,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
+deconv1d = partial(_deconv, spatial_ndim=1)
+deconv2d = partial(_deconv, spatial_ndim=2)
+deconv3d = partial(_deconv, spatial_ndim=3)

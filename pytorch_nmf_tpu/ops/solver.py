@@ -1,0 +1,505 @@
+r"""Jitted training loops (the solver layer).
+
+Each public factory returns a fully-jitted fit function closed over the
+static configuration (β, tol, max_iter, trainability, regularization),
+caching compiled programs per configuration via ``lru_cache``.  The host
+model layer (:mod:`pytorch_nmf_tpu.models`) only moves data in and out.
+
+Design notes (vs. reference ``BaseComponent.fit``, torchnmf/nmf.py:297-409):
+
+* The reference's Python ``for`` loop with an every-10-iteration loss check
+  becomes a ``lax.while_loop`` over 10-iteration ``fori_loop`` chunks — the
+  same loss cadence and stopping rule ``(prev - loss)/loss_init < tol``
+  (nmf.py:393-407), but compiled once and kept on-device; the only
+  host↔device traffic is the final result (plus an optional progress
+  callback).
+* Update ordering matches the reference exactly: W updates against the old
+  H, then H updates against the *new* W within one iteration
+  (nmf.py:367-391) — sequential, not simultaneous.
+* Early-exit iteration counts reproduce the reference's returned values:
+  break at the check of iteration ``10c-1`` returns ``10c``
+  (PLCA returns ``10c-1``; plca.py:304 returns the raw loop variable).
+* ``sparse_fit`` (Hoyer'04 sparseness-constrained fitting,
+  nmf.py:411-599) runs its data-dependent backtracking line search and
+  projection loops as bounded ``lax.while_loop``s, entirely under jit.
+"""
+
+from functools import lru_cache
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import eps
+from ..metrics import beta_div, kl_div
+from .mu import (
+    gamma_from_beta,
+    kl_pos_H,
+    kl_pos_W,
+    mu_multiplier,
+    mu_update,
+    renorm,
+)
+from .projection import hoyer_l1_target, proj_columns, proj_columns_explicit
+from .sparse import SparseCOO, get_V_norm
+
+__all__ = [
+    "get_dense_fit",
+    "get_sparse_fit",
+    "get_hoyer_fit",
+    "get_plca_fit",
+    "push_progress_handler",
+    "pop_progress_handler",
+]
+
+
+# --------------------------------------------------------------------------
+# Progress reporting: solvers emit (chunk_index, loss) through
+# ``jax.debug.callback``; the host fit() installs a handler (e.g. tqdm).
+# --------------------------------------------------------------------------
+_PROGRESS_HANDLERS = []
+
+
+def push_progress_handler(fn) -> None:
+    _PROGRESS_HANDLERS.append(fn)
+
+
+def pop_progress_handler() -> None:
+    if _PROGRESS_HANDLERS:
+        _PROGRESS_HANDLERS.pop()
+
+
+def _emit_progress(chunk_idx, loss, extra=None):
+    if _PROGRESS_HANDLERS:
+        _PROGRESS_HANDLERS[-1](int(chunk_idx), float(loss), extra)
+
+
+def _progress(verbose: bool, chunk_idx, loss, extra=None):
+    if verbose:
+        if extra is None:
+            jax.debug.callback(
+                lambda c, l: _emit_progress(c, l), chunk_idx, loss
+            )
+        else:
+            jax.debug.callback(
+                lambda c, l, e: _emit_progress(c, l, e), chunk_idx, loss, extra
+            )
+
+
+# --------------------------------------------------------------------------
+# Default (generic) per-factor updaters via the VJP MU engine.
+# --------------------------------------------------------------------------
+def _default_updaters(recon2, beta, gamma, l1_reg, l2_reg):
+    def upd_W(V, W, H):
+        pos_pre = kl_pos_W(H) if beta == 1 else None
+        return mu_update(
+            lambda w: recon2(H, w), V, W, beta, gamma, l1_reg, l2_reg, pos_pre
+        )
+
+    def upd_H(V, W, H):
+        pos_pre = kl_pos_H(W) if beta == 1 else None
+        return mu_update(
+            lambda h: recon2(h, W), V, H, beta, gamma, l1_reg, l2_reg, pos_pre
+        )
+
+    return upd_W, upd_H
+
+
+def _converging_loop(
+    one_iter: Callable,
+    loss_of: Callable,
+    state0,
+    tol: float,
+    max_iter: int,
+    verbose: bool,
+):
+    """Shared chunked-while convergence loop.
+
+    ``state0`` is the factor pytree; ``one_iter(state) -> state``;
+    ``loss_of(state) -> scalar`` (already in the reference's
+    ``sqrt(2·divergence)`` scale).  Returns ``(state, n_chunks, converged)``.
+    """
+    loss_init = loss_of(state0)
+    n_chunks = max_iter // 10
+    rem = max_iter % 10
+
+    def chunk_body(carry):
+        state, prev, k, _ = carry
+        state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
+        loss = loss_of(state)
+        conv = (prev - loss) / loss_init < tol
+        _progress(verbose, k + 1, loss)
+        return state, loss, k + 1, conv
+
+    def cond(carry):
+        _, _, k, conv = carry
+        return (~conv) & (k < n_chunks)
+
+    state, _, k, conv = lax.while_loop(
+        cond, chunk_body, (state0, loss_init, jnp.int32(0), False)
+    )
+    if rem:
+        state = lax.cond(
+            conv,
+            lambda s: s,
+            lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
+            state,
+        )
+    return state, k, conv
+
+
+# --------------------------------------------------------------------------
+# Dense β-divergence MU fit (reference fit, dense path; nmf.py:355-409)
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def get_dense_fit(
+    recon2: Callable,
+    beta: float,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    l1_reg: float,
+    l2_reg: float,
+    verbose: bool = False,
+    updater_factory: Optional[Callable] = None,
+):
+    """Returns jitted ``fit(V, W, H) -> (W, H, n_iter)``."""
+    gamma = gamma_from_beta(beta)
+    updaters = (
+        updater_factory(beta, gamma, l1_reg, l2_reg) if updater_factory else None
+    )
+    if updaters is None:
+        updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
+    upd_W, upd_H = updaters
+
+    def fit(V, W, H):
+        def loss_of(state):
+            w, h = state
+            return jnp.sqrt(2.0 * beta_div(recon2(h, w), V, beta))
+
+        def one_iter(state):
+            w, h = state
+            if update_W:
+                w = upd_W(V, w, h)
+            if update_H:
+                h = upd_H(V, w, h)
+            return w, h
+
+        (W, H), k, conv = _converging_loop(
+            one_iter, loss_of, (W, H), tol, max_iter, verbose
+        )
+        n_iter = jnp.where(conv, k * 10, max_iter)
+        return W, H, n_iter
+
+    return jax.jit(fit)
+
+
+# --------------------------------------------------------------------------
+# Sparse-target β-divergence MU fit (reference fit, sparse path;
+# nmf.py:351-353, 371-374, 383-387, 396-398 + _sp_double_backward_update)
+# --------------------------------------------------------------------------
+def _sp_factor_update(pos_neg_p, p, gamma, l1_reg, l2_reg, pos_pre=None):
+    """MU step from scalar pos/neg functions of a single factor.
+
+    ``pos_neg_p(p) -> (pos, neg)``; numerator/denominator are the gradients
+    of the two scalars (reference ``_sp_double_backward_update``,
+    nmf.py:95-119).
+    """
+    neg = jax.nn.relu(jax.grad(lambda x: pos_neg_p(x)[1])(p)) + eps
+    if pos_pre is not None:
+        pos = pos_pre
+    else:
+        pos = jax.nn.relu(jax.grad(lambda x: pos_neg_p(x)[0])(p)) + eps
+    return p * mu_multiplier(neg, pos, p, gamma, l1_reg, l2_reg)
+
+
+@lru_cache(maxsize=None)
+def get_sparse_fit(
+    pos_neg: Callable,
+    beta: float,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    l1_reg: float,
+    l2_reg: float,
+    verbose: bool = False,
+):
+    """Returns jitted ``fit(V_sparse, W, H) -> (W, H, n_iter)``.
+
+    ``pos_neg(V, H, W, beta) -> (pos, neg)`` is the model's closed-form scalar
+    pair (for NMF, :func:`pytorch_nmf_tpu.ops.sparse.nmf_sp_pos_neg`).
+    """
+    gamma = gamma_from_beta(beta)
+
+    def fit(V: SparseCOO, W, H):
+        V_norm = get_V_norm(V, beta)
+
+        def loss_of(state):
+            w, h = state
+            pos, neg = pos_neg(V, h, w, beta)
+            return jnp.sqrt(2.0 * (V_norm + pos - neg))
+
+        def one_iter(state):
+            w, h = state
+            if update_W:
+                pos_pre = kl_pos_W(h) if beta == 1 else None
+                w = _sp_factor_update(
+                    lambda x: pos_neg(V, h, x, beta), w, gamma, l1_reg, l2_reg, pos_pre
+                )
+            if update_H:
+                pos_pre = kl_pos_H(w) if beta == 1 else None
+                h = _sp_factor_update(
+                    lambda x: pos_neg(V, x, w, beta), h, gamma, l1_reg, l2_reg, pos_pre
+                )
+            return w, h
+
+        (W, H), k, conv = _converging_loop(
+            one_iter, loss_of, (W, H), tol, max_iter, verbose
+        )
+        n_iter = jnp.where(conv, k * 10, max_iter)
+        return W, H, n_iter
+
+    return jax.jit(fit)
+
+
+# --------------------------------------------------------------------------
+# Hoyer sparseness-constrained fit (reference sparse_fit; nmf.py:411-599)
+# --------------------------------------------------------------------------
+def _backtrack_project(
+    loss_baseline, loss_of_new, p, grad, stepsize, L1_scale
+):
+    """Backtracking line search with per-column Hoyer projection.
+
+    Mirrors reference nmf.py:515-535: try ``p - ss*grad`` projected column-
+    wise onto (L1_scale·norm_j, norm_j²); halve the step until the new loss
+    is no worse, at most 10 attempts; the *last* candidate is kept even if
+    it failed, and the step size is then grown by 1.2.
+    """
+
+    def attempt(ss):
+        pnew = p - ss * grad
+        pnew = proj_columns(pnew, L1_scale)
+        return pnew, loss_of_new(pnew)
+
+    pnew, new_loss = attempt(stepsize)
+
+    def cond(st):
+        i, ss, pn, nl = st
+        return (i < 10) & (nl > loss_baseline)
+
+    def body(st):
+        i, ss, pn, nl = st
+        ss = ss * 0.5
+        pn, nl = attempt(ss)
+        return i + 1, ss, pn, nl
+
+    i, stepsize, pnew, new_loss = lax.while_loop(
+        cond, body, (jnp.int32(1), stepsize, pnew, new_loss)
+    )
+    # the reference halves once more when the final (10th) attempt fails
+    stepsize = jnp.where(new_loss > loss_baseline, stepsize * 0.5, stepsize)
+    return pnew, stepsize * 1.2
+
+
+@lru_cache(maxsize=None)
+def get_hoyer_fit(
+    recon2: Optional[Callable],
+    pos_neg: Optional[Callable],
+    beta: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    sW: Optional[float],
+    sH: Optional[float],
+    W_col_dim: int,
+    H_col_dim: int,
+    verbose: bool = False,
+):
+    """Returns jitted ``fit(V, W, H) -> (W, H, n_iter)``.
+
+    Exactly one of ``recon2`` (dense target) / ``pos_neg`` (sparse target)
+    is not None.  ``W_col_dim``/``H_col_dim`` are the flattened sizes of one
+    rank column, needed for the Hoyer L1 targets (nmf.py:460-461, 469-470).
+    """
+    gamma = gamma_from_beta(beta)
+    sparse = pos_neg is not None
+    L1a = hoyer_l1_target(W_col_dim, sW) if sW is not None else None
+    L1s = hoyer_l1_target(H_col_dim, sH) if sH is not None else None
+
+    def fit(V, W, H):
+        if sparse:
+            V_norm = get_V_norm(V, beta)
+
+            def loss_W(w, h):  # differentiable full loss as fn of factors
+                pos, neg = pos_neg(V, h, w, beta)
+                return V_norm + pos - neg
+
+            loss_H = loss_W
+        else:
+
+            def loss_W(w, h):
+                return beta_div(recon2(h, w), V, beta)
+
+            loss_H = loss_W
+
+        # initial projection of constrained factors to unit L2 (nmf.py:459-475)
+        if sW is not None and update_W:
+            W = proj_columns_explicit(W, L1a, 1.0)
+        if sH is not None and update_H:
+            H = proj_columns_explicit(H, L1s, 1.0)
+
+        if not sparse:
+            upd_W, upd_H = _default_updaters(recon2, beta, gamma, 0.0, 0.0)
+
+        def one_iter(state):
+            w, h, ssW, ssH = state
+            if update_W:
+                if sW is None:
+                    if sparse:
+                        pos_pre = kl_pos_W(h) if beta == 1 else None
+                        w = _sp_factor_update(
+                            lambda x: pos_neg(V, h, x, beta), w, gamma, 0.0, 0.0, pos_pre
+                        )
+                    else:
+                        w = upd_W(V, w, h)
+                else:
+                    base, grad = jax.value_and_grad(loss_W)(w, h)
+                    w, ssW = _backtrack_project(
+                        base, lambda x: loss_W(x, h), w, grad, ssW, L1a
+                    )
+            if update_H:
+                if sH is None:
+                    if sparse:
+                        pos_pre = kl_pos_H(w) if beta == 1 else None
+                        h = _sp_factor_update(
+                            lambda x: pos_neg(V, x, w, beta), h, gamma, 0.0, 0.0, pos_pre
+                        )
+                    else:
+                        h = upd_H(V, w, h)
+                else:
+                    base, grad = jax.value_and_grad(loss_H, argnums=1)(w, h)
+                    h, ssH = _backtrack_project(
+                        base, lambda x: loss_H(w, x), h, grad, ssH, L1s
+                    )
+                # reference renorms W,H onto unit-H whenever H is trainable
+                # (nmf.py:585, runs in both the MU and projection branches)
+                w, h = renorm(w, h, "H")
+            return w, h, ssW, ssH
+
+        def body(k, state):
+            state = one_iter(state)
+            if verbose:
+                w, h = state[0], state[1]
+                loss = jnp.sqrt(2.0 * loss_W(w, h)) if sparse else jnp.sqrt(
+                    2.0 * beta_div(recon2(h, w), V, beta)
+                )
+                _progress(True, k + 1, loss)
+            return state
+
+        state = (W, H, jnp.float32(1.0), jnp.float32(1.0))
+        W, H, _, _ = lax.fori_loop(0, max_iter, body, state)
+        return W, H, jnp.int32(max_iter)
+
+    return jax.jit(fit)
+
+
+# --------------------------------------------------------------------------
+# PLCA EM fit (reference plca.py:193-304)
+# --------------------------------------------------------------------------
+def _plca_marginal_sum(x):
+    """Sum over all axes but the rank axis, keepdims — the probability
+    normalizer (reference plca.py:23-31 ``get_norm``)."""
+    x = jnp.asarray(x)
+    if x.ndim > 1:
+        axes = tuple(d for d in range(x.ndim) if d != 1)
+        return jnp.sum(x, axis=axes, keepdims=True)
+    return jnp.sum(x)
+
+
+def _threshold_eps(x):
+    """``F.threshold(x, eps, eps)``: replace values <= eps with eps."""
+    return jnp.where(x > eps, x, eps)
+
+
+@lru_cache(maxsize=None)
+def get_plca_fit(
+    recon3: Callable,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    update_Z: bool,
+    W_alpha_active: bool,
+    H_alpha_active: bool,
+    Z_alpha_active: bool,
+    verbose: bool = False,
+):
+    """Returns jitted ``fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha)
+    -> (W, H, Z, n_iter, norm)``.
+
+    One EM iteration is a single VJP with cotangent ``V/(WZH+eps)`` (the
+    E-step; reference plca.py:252-253) followed by closed-form M-step
+    marginal renormalizations with optional Dirichlet-MAP adjustment
+    (plca.py:255-289).  ``V`` arrives unnormalized; normalization by its sum
+    happens inside (plca.py:241-242).
+    """
+
+    def fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
+        norm = jnp.sum(V)
+        Vn = V / norm
+
+        def loss_of(state):
+            w, h, z = state
+            WZH = recon3(h, w, z)
+            return jnp.sqrt(2.0 * kl_div(WZH * norm, Vn * norm))
+
+        def one_iter(state):
+            w, h, z = state
+            WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
+            gH, gW, gZ = vjp(Vn / (WZH + eps))
+
+            Z_prior = None
+            if update_Z:
+                z = z * jax.nn.relu(gZ)
+                Z_prior = z
+                if Z_alpha_active:
+                    z = _threshold_eps(z + (Z_alpha - 1.0))
+                z = z / jnp.sum(z)
+
+            if update_W:
+                w = w * jax.nn.relu(gW)
+                if Z_prior is None:
+                    W_divider = _plca_marginal_sum(w)
+                    Z_prior = W_divider.reshape(-1)
+                else:
+                    W_divider = Z_prior.reshape((-1,) + (1,) * (w.ndim - 2))
+                w = w / W_divider
+                if W_alpha_active:
+                    w = _threshold_eps(w + (W_alpha - 1.0))
+                    w = w / _plca_marginal_sum(w)
+
+            if update_H:
+                h = h * jax.nn.relu(gH)
+                if Z_prior is None:
+                    H_divider = _plca_marginal_sum(h)
+                else:
+                    H_divider = Z_prior.reshape((-1,) + (1,) * (h.ndim - 2))
+                h = h / H_divider
+                if H_alpha_active:
+                    h = _threshold_eps(h + (H_alpha - 1.0))
+                    h = h / _plca_marginal_sum(h)
+
+            return w, h, z
+
+        (W, H, Z), k, conv = _converging_loop(
+            one_iter, loss_of, (W, H, Z), tol, max_iter, verbose
+        )
+        # reference returns the raw loop index: 10c-1 on early break,
+        # max_iter-1 otherwise (plca.py:304)
+        n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
+        return W, H, Z, n_iter, norm
+
+    return jax.jit(fit)

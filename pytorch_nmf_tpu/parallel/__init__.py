@@ -1,0 +1,11 @@
+"""Multi-device execution: meshes, sharded solvers, and halo-exchange convs.
+
+The reference library is single-process, single-device (SURVEY.md §2); this
+subpackage is the genuinely new TPU-native layer: ``jax.sharding.Mesh`` +
+``NamedSharding`` annotated solvers (XLA GSPMD inserts the collectives) and
+an explicit ``shard_map`` MU step with ``psum``-reduced numerators and
+denominators for full control over ICI traffic.
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import shard_target, sharded_nmf_fit  # noqa: F401
