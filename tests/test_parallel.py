@@ -1,0 +1,100 @@
+"""Multi-device semantics on a simulated 8-device CPU mesh (SURVEY.md §4):
+sharded solvers must match the single-device trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import pytorch_nmf_tpu as pnt
+from pytorch_nmf_tpu.nmf import NMF, NMFD
+from pytorch_nmf_tpu.parallel import make_mesh, shard_target, sharded_nmf_fit
+
+RNG = np.random.RandomState(5)
+pnt.manual_seed(5)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _problem(M=128, K=64, R=8):
+    V = RNG.rand(M, K).astype("f")
+    W0 = RNG.rand(K, R).astype("f") + 0.1
+    H0 = RNG.rand(M, R).astype("f") + 0.1
+    return V, W0, H0
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+@pytest.mark.parametrize("model_axis", [None, "model"])
+def test_sharded_nmf_fit_matches_single_device(beta, model_axis):
+    V, W0, H0 = _problem()
+    mesh = make_mesh({"data": 4, "model": 2})
+
+    Wd, Hd, n_iter = sharded_nmf_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=10, model_axis=model_axis
+    )
+
+    ref = NMF(W=W0, H=H0)
+    ref.fit(V, beta, 0, 10)
+
+    assert int(n_iter) == 10
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_sharded_fit_early_stopping_matches():
+    V, W0, H0 = _problem()
+    mesh = make_mesh({"data": 8})
+    Wd, Hd, n_iter = sharded_nmf_fit(
+        V, W0, H0, mesh, beta=1, tol=1e-3, max_iter=200
+    )
+    ref = NMF(W=W0, H=H0)
+    n_ref = ref.fit(V, 1, 1e-3, 200)
+    assert int(n_iter) == n_ref
+
+
+@needs_8
+def test_annotation_path_gspmd():
+    """The ordinary jitted solver follows NamedSharding'd inputs (GSPMD)."""
+    V, W0, H0 = _problem()
+    mesh = make_mesh({"data": 8})
+
+    Vs = shard_target(V, mesh, P("data"))
+    m = NMF(W=W0, H=H0)
+    m.H.data = shard_target(H0, mesh, P("data", None))
+    m.W.data = shard_target(W0, mesh, P())
+    m.fit(Vs, 1, 0, 10)
+
+    ref = NMF(W=W0, H=H0)
+    ref.fit(V, 1, 0, 10)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_annotation_path_conv_model():
+    """Length-axis sharding for the deconvolutional model via GSPMD."""
+    V = RNG.rand(8, 12, 40).astype("f")
+    mesh = make_mesh({"data": 8})
+    m = NMFD(V.shape, 4, T=5)
+    W0, H0 = m.W.data, m.H.data
+
+    Vs = shard_target(V, mesh, P("data"))
+    m.H.data = shard_target(H0, mesh, P("data", None, None))
+    m.fit(Vs, 1, 0, 10)
+
+    ref = NMFD(V.shape, 4, T=5)
+    ref.load_state_dict({"W": W0, "H": H0})
+    ref.fit(V, 1, 0, 10)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_make_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh({"data": 100})

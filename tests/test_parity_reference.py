@@ -1,0 +1,190 @@
+"""Trajectory parity against the upstream torch implementation.
+
+The strongest oracle available: run the actual reference library (mounted at
+/root/reference, torch CPU) and this framework from identical inits and
+compare factor trajectories elementwise.  Skipped when the reference or
+torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+torch = pytest.importorskip("torch")
+torchnmf = pytest.importorskip("torchnmf")
+
+import pytorch_nmf_tpu as pnt  # noqa: E402
+from pytorch_nmf_tpu.metrics import beta_div  # noqa: E402
+from pytorch_nmf_tpu.nmf import NMF, NMF2D, NMFD  # noqa: E402
+from pytorch_nmf_tpu.plca import PLCA, SIPLCA  # noqa: E402
+from pytorch_nmf_tpu.trainer import BetaMu  # noqa: E402
+
+RNG = np.random.RandomState(123)
+
+
+def _maxdiff(t, j):
+    return float(np.abs(t.detach().numpy() - np.asarray(j)).max())
+
+
+@pytest.mark.parametrize("beta", [-1, 0, 0.5, 1, 1.5, 2, 3])
+@pytest.mark.parametrize("alpha, l1_ratio", [(0, 0), (0.1, 0.5)])
+def test_nmf_fit_parity(beta, alpha, l1_ratio):
+    V = RNG.rand(60, 40).astype("f") + (0.01 if beta <= 0 else 0.0)
+    W0 = RNG.rand(40, 7).astype("f") + 0.1
+    H0 = RNG.rand(60, 7).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), beta, 0, 5, False, alpha, l1_ratio)
+
+    jm = NMF(W=W0, H=H0)
+    jm.fit(V, beta, 0, 5, False, alpha, l1_ratio)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_nmfd_fit_parity(beta):
+    V = RNG.rand(2, 12, 30).astype("f")
+    W0 = RNG.rand(12, 4, 5).astype("f") + 0.1
+    H0 = RNG.rand(2, 4, 26).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), beta, 0, 5)
+
+    jm = NMFD(W=W0, H=H0)
+    jm.fit(V, beta, 0, 5)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_nmf2d_fit_parity(beta):
+    V = RNG.rand(1, 2, 12, 14).astype("f")
+    W0 = RNG.rand(2, 3, 3, 3).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 10, 12).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF2D(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), beta, 0, 5)
+
+    jm = NMF2D(W=W0, H=H0)
+    jm.fit(V, beta, 0, 5)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+
+
+def test_nmf_fit_n_iter_parity():
+    """Early-stopping iteration counts must match the reference."""
+    V = RNG.rand(60, 40).astype("f")
+    W0 = RNG.rand(40, 7).astype("f") + 0.1
+    H0 = RNG.rand(60, 7).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    n_t = tm.fit(torch.tensor(V), 2, 1e-3, 200)
+
+    jm = NMF(W=W0, H=H0)
+    n_j = jm.fit(V, 2, 1e-3, 200)
+    assert n_t == n_j
+
+
+@pytest.mark.parametrize("alphas", [(1.0, 1.0, 1.0), (0.999, 1.001, 1.0)])
+def test_plca_fit_parity(alphas):
+    W_alpha, H_alpha, Z_alpha = alphas
+    V = RNG.rand(30, 20).astype("f")
+    W0 = RNG.rand(20, 5).astype("f") + 0.1
+    H0 = RNG.rand(30, 5).astype("f") + 0.1
+    Z0 = RNG.rand(5).astype("f") + 0.1
+
+    tm = torchnmf.plca.PLCA(
+        W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0)
+    )
+    tm.fit(torch.tensor(V), 0, 5, False, W_alpha, H_alpha, Z_alpha)
+
+    jm = PLCA(W=W0, H=H0, Z=Z0)
+    jm.fit(V, 0, 5, False, W_alpha, H_alpha, Z_alpha)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+    assert _maxdiff(tm.Z, jm.Z.data) < 1e-5
+
+
+def test_siplca_fit_parity():
+    V = RNG.rand(1, 10, 20).astype("f")
+    W0 = RNG.rand(10, 3, 4).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 17).astype("f") + 0.1
+    Z0 = RNG.rand(3).astype("f") + 0.1
+
+    tm = torchnmf.plca.SIPLCA(
+        W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0)
+    )
+    tm.fit(torch.tensor(V), 0, 5)
+
+    jm = SIPLCA(W=W0, H=H0, Z=Z0)
+    jm.fit(V, 0, 5)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+    assert _maxdiff(tm.Z, jm.Z.data) < 1e-5
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_sparse_fit_parity_dense_target(beta):
+    """Hoyer sparse_fit trajectories vs the reference (dense target)."""
+    V = RNG.rand(40, 30).astype("f")
+    W0 = RNG.rand(30, 5).astype("f") + 0.1
+    H0 = RNG.rand(40, 5).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.sparse_fit(torch.tensor(V), beta, 5, False, 0.4, None)
+
+    jm = NMF(W=W0, H=H0)
+    jm.sparse_fit(V, beta, 5, False, 0.4, None)
+
+    assert _maxdiff(tm.W, jm.W.data) < 5e-4
+    assert _maxdiff(tm.H, jm.H.data) < 5e-4
+
+
+@pytest.mark.parametrize("beta", [0.5, 1, 2, 3])
+def test_betamu_trainer_parity(beta):
+    """Composed-model trainer: 3 steps over a 2-stage chain."""
+    W1 = RNG.rand(20, 4).astype("f") + 0.1
+    H1 = RNG.rand(50, 4).astype("f") + 0.1
+    W2 = RNG.rand(30, 20).astype("f") + 0.1
+    target_np = RNG.rand(50, 30).astype("f")
+
+    tm = torch.nn.Sequential(
+        torchnmf.nmf.NMF(W=torch.tensor(W1), H=torch.tensor(H1)),
+        torchnmf.nmf.NMF(W=torch.tensor(W2)),
+    )
+    ttr = torchnmf.trainer.BetaMu(tm.parameters(), beta)
+    ttarget = torch.tensor(target_np)
+
+    def tclosure():
+        ttr.zero_grad()
+        return ttarget, tm(None)
+
+    for _ in range(3):
+        ttr.step(tclosure)
+
+    jm = pnt.Sequential(NMF(W=W1, H=H1), NMF(W=W2))
+    jtr = BetaMu(jm.parameters(), beta)
+
+    def jclosure():
+        jtr.zero_grad()
+        return target_np, jm(None)
+
+    for _ in range(3):
+        jtr.step(jclosure)
+
+    tparams = list(tm.parameters())
+    jparams = list(jm.parameters())
+    assert len(tparams) == len(jparams)
+    for tp, jp in zip(tparams, jparams):
+        assert _maxdiff(tp, jp.data) < 1e-4
