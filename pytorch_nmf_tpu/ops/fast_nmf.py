@@ -52,9 +52,37 @@ def _beta2_updaters(gamma, l1_reg, l2_reg):
     return upd_W, upd_H
 
 
+def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
+    from .pallas_mu import h_side_contractions, w_side_contractions
+
+    need_pos = beta != 1
+
+    def upd_W(V, W, H):
+        neg, pos = w_side_contractions(V, H, W, beta, need_pos)
+        neg = jax.nn.relu(neg) + eps
+        pos = kl_pos_W(H) if beta == 1 else jax.nn.relu(pos) + eps
+        return W * mu_multiplier(neg, pos, W, gamma, l1_reg, l2_reg)
+
+    def upd_H(V, W, H):
+        neg, pos = h_side_contractions(V, H, W, beta, need_pos)
+        neg = jax.nn.relu(neg) + eps
+        pos = kl_pos_H(W) if beta == 1 else jax.nn.relu(pos) + eps
+        return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
+
+    return upd_W, upd_H
+
+
 def nmf_updater_factory(beta, gamma, l1_reg, l2_reg):
     """Return specialized ``(upd_W, upd_H)`` for this β, or ``None`` to use
-    the generic VJP engine."""
+    the generic VJP engine.
+
+    β = 2 → Gram-trick updaters (pure XLA, shard-friendly); other β on a
+    TPU backend → fused Pallas ratio-GEMM kernels (single-device).
+    """
     if beta == 2:
         return _beta2_updaters(gamma, l1_reg, l2_reg)
+    from .pallas_mu import pallas_supported
+
+    if pallas_supported():
+        return _pallas_updaters(beta, gamma, l1_reg, l2_reg)
     return None

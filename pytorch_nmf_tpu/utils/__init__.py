@@ -9,7 +9,9 @@ are working equivalents with the documented semantics:
 
 import jax.numpy as jnp
 
-__all__ = ["normalize", "renorm"]
+from . import checkpoint, profiling  # noqa: F401
+
+__all__ = ["normalize", "renorm", "checkpoint", "profiling"]
 
 
 def normalize(x, axis=None):

@@ -86,3 +86,16 @@ def test_manual_seed_reproducible():
 def test_repr_smoke():
     m = NMF((10, 6), 2)
     assert "NMF" in repr(m)
+
+
+def test_checkpoint_npz_roundtrip(tmp_path):
+    from pytorch_nmf_tpu.utils import checkpoint
+
+    m = NMF((20, 10), 4)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, m)
+    m2 = NMF((20, 10), 4)
+    checkpoint.load(path, m2)
+    assert bool(jnp.all(m2.W.data == m.W.data))
+    state = checkpoint.load(path)
+    assert set(state.keys()) == {"W", "H"}

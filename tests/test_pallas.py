@@ -1,0 +1,97 @@
+"""Fused Pallas MU kernel correctness via the interpreter (CPU).
+
+The real kernels run on TPU; here they execute through the Pallas
+interpreter and must match the straightforward XLA formulation — the
+"Pallas path vs naive jnp path" parity pattern (SURVEY.md §4.3).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pytorch_nmf_tpu.constants import eps
+from pytorch_nmf_tpu.ops.pallas_mu import (
+    h_side_contractions,
+    w_side_contractions,
+)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _interpret_env():
+    """Scope the interpreter escape hatch to this module only — other test
+    modules must keep exercising the unfused CPU paths."""
+    os.environ["PNT_PALLAS_INTERPRET"] = "1"
+    yield
+    os.environ.pop("PNT_PALLAS_INTERPRET", None)
+
+
+RNG = np.random.RandomState(0)
+
+# ragged on purpose: exercises the masked edge tiles
+M, K, R = 300, 260, 24
+
+
+@pytest.fixture(scope="module")
+def data():
+    V = jnp.asarray(RNG.rand(M, K).astype("f"))
+    W = jnp.asarray(RNG.rand(K, R).astype("f") + 0.1)
+    H = jnp.asarray(RNG.rand(M, R).astype("f") + 0.1)
+    return V, W, H
+
+
+def _reference(V, H, W, beta):
+    WH = H @ W.T
+    if beta == 1:
+        return V / (WH + eps), None
+    elif beta == 0:
+        r = 1.0 / (WH + eps)
+        return r * r * V, r
+    else:
+        WHe = WH + eps
+        return WHe ** (beta - 2) * V, WHe ** (beta - 1)
+
+
+@pytest.mark.parametrize("beta", [1.0, 0.0, 0.5, 1.5, 3.0])
+def test_w_side_matches_xla(data, beta):
+    V, W, H = data
+    need_pos = beta != 1
+    neg, pos = w_side_contractions(V, H, W, beta, need_pos)
+    cn, cp = _reference(V, H, W, beta)
+    ref_neg = cn.T @ H
+    assert neg.shape == (K, R)
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(ref_neg), rtol=2e-5)
+    if need_pos:
+        np.testing.assert_allclose(
+            np.asarray(pos), np.asarray(cp.T @ H), rtol=2e-5
+        )
+    else:
+        assert pos is None
+
+
+@pytest.mark.parametrize("beta", [1.0, 0.0, 1.5])
+def test_h_side_matches_xla(data, beta):
+    V, W, H = data
+    need_pos = beta != 1
+    neg, pos = h_side_contractions(V, H, W, beta, need_pos)
+    cn, cp = _reference(V, H, W, beta)
+    ref_neg = cn @ W
+    assert neg.shape == (M, R)
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(ref_neg), rtol=2e-5)
+    if need_pos:
+        np.testing.assert_allclose(
+            np.asarray(pos), np.asarray(cp @ W), rtol=2e-5
+        )
+
+
+def test_exact_tile_shapes():
+    """No ragged edges: M, K multiples of the blocks."""
+    M2, K2 = 512, 1024
+    V = jnp.asarray(RNG.rand(M2, K2).astype("f"))
+    W = jnp.asarray(RNG.rand(K2, 16).astype("f") + 0.1)
+    H = jnp.asarray(RNG.rand(M2, 16).astype("f") + 0.1)
+    neg, _ = w_side_contractions(V, H, W, 1.0, False)
+    ref = (V / (H @ W.T + eps)).T @ H
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(ref), rtol=2e-5)

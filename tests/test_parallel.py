@@ -98,3 +98,49 @@ def test_annotation_path_conv_model():
 def test_make_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh({"data": 100})
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+def test_halo_sharded_nmfd_matches_single_device(beta):
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    N, C, L_out, R, T = 2, 12, 64, 4, 5
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+
+    mesh = make_mesh({"seq": 8})
+    Wd, Hd, n_iter = sharded_nmfd_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+    )
+    ref = NMFD(W=W0, H=H0)
+    ref.fit(V, beta, 0, 10)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_sharded_nmfd_early_stop_matches():
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    N, C, L_out, R, T = 2, 12, 64, 4, 5
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    mesh = make_mesh({"seq": 8})
+    _, _, n_iter = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=1e-3, max_iter=200)
+    ref = NMFD(W=W0, H=H0)
+    assert int(n_iter) == ref.fit(V, 1, 1e-3, 200)
+
+
+@needs_8
+def test_halo_validation_errors():
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    mesh = make_mesh({"seq": 8})
+    V = RNG.rand(1, 4, 60).astype("f")  # 60 not divisible by 8
+    W0 = RNG.rand(4, 2, 5).astype("f")
+    H0 = RNG.rand(1, 2, 56).astype("f")
+    with pytest.raises(ValueError):
+        sharded_nmfd_fit(V, W0, H0, mesh)
