@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..module import Module, Parameter, as_array
 from ..ops import recon as _recon
 from ..ops import solver as _solver
-from ..ops.fast_nmf import nmf_updater_factory
+from ..ops.fast_nmf import nmf_updater_factory, nmf_updater_factory_spmd
 from ..ops.sparse import SparseCOO, nmf_sp_pos_neg
 from ._common import (
     assert_nonneg,
@@ -145,6 +145,7 @@ class BaseComponent(Module):
     # hooks supplied by subclasses that support sparse targets / fast paths
     _sp_pos_neg = None  # staticmethod (V, H, W, beta) -> (pos, neg)
     _updater_factory = None  # staticmethod factory for specialized updaters
+    _updater_factory_spmd = None  # shard-safe subset, used for sharded V
 
     # -- solvers ---------------------------------------------------------------
     def fit(
@@ -205,6 +206,15 @@ class BaseComponent(Module):
                 bool(verbose),
             )
         else:
+            updater_factory = self._updater_factory
+            try:
+                multi_device = len(V.devices()) > 1
+            except (AttributeError, TypeError):
+                multi_device = False
+            if multi_device:
+                # Pallas fast paths are single-device; under GSPMD-sharded
+                # inputs restrict to the shard-friendly updaters.
+                updater_factory = self._updater_factory_spmd
             fit_fn = _solver.get_dense_fit(
                 type(self).reconstruct,
                 float(beta),
@@ -215,7 +225,7 @@ class BaseComponent(Module):
                 l1_reg,
                 l2_reg,
                 bool(verbose),
-                self._updater_factory,
+                updater_factory,
             )
 
         with _progress_scope(verbose, max_iter):
@@ -347,6 +357,7 @@ class NMF(BaseComponent):
 
     _sp_pos_neg = staticmethod(nmf_sp_pos_neg)
     _updater_factory = staticmethod(nmf_updater_factory)
+    _updater_factory_spmd = staticmethod(nmf_updater_factory_spmd)
 
 
 class NMFD(BaseComponent):

@@ -86,3 +86,11 @@ def nmf_updater_factory(beta, gamma, l1_reg, l2_reg):
     if pallas_supported():
         return _pallas_updaters(beta, gamma, l1_reg, l2_reg)
     return None
+
+
+def nmf_updater_factory_spmd(beta, gamma, l1_reg, l2_reg):
+    """Variant for multi-device (GSPMD-annotated) inputs: only the
+    shard-friendly Gram path; the Pallas kernels are single-device."""
+    if beta == 2:
+        return _beta2_updaters(gamma, l1_reg, l2_reg)
+    return None
