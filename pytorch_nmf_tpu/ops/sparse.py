@@ -82,26 +82,49 @@ class SparseCOO:
 
 def sparse_coo_tensor(indices, values, shape) -> SparseCOO:
     """Build a coalesced :class:`SparseCOO` (sorts indices row-major and
-    sums duplicates, mirroring ``torch.sparse_coo_tensor(...).coalesce()``)."""
+    sums duplicates, mirroring ``torch.sparse_coo_tensor(...).coalesce()``).
+
+    The sort/deduplicate runs in the native C++ ingestion kernel
+    (:mod:`pytorch_nmf_tpu.native`) when available, else numpy.
+    """
     import numpy as np
 
+    from .. import native
+
+    shape_t = tuple(int(s) for s in shape)
     idx = np.asarray(indices)
-    vals = np.asarray(values)
-    flat = np.ravel_multi_index(tuple(idx), tuple(int(s) for s in shape))
-    order = np.argsort(flat, kind="stable")
-    flat, vals = flat[order], vals[order]
-    uniq, inv = np.unique(flat, return_inverse=True)
-    summed = np.zeros(uniq.shape[0], dtype=vals.dtype)
-    np.add.at(summed, inv, vals)
-    coal_idx = np.stack(np.unravel_index(uniq, tuple(int(s) for s in shape)))
-    return SparseCOO(coal_idx, summed, shape)
+    vals = np.asarray(values, dtype=np.float32)
+    flat = np.ravel_multi_index(tuple(idx), shape_t).astype(np.int64)
+
+    res = native.coalesce_flat(flat, vals)
+    if res is not None:
+        uniq, summed = res
+    else:
+        order = np.argsort(flat, kind="stable")
+        flat, vals = flat[order], vals[order]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        summed = np.zeros(uniq.shape[0], dtype=vals.dtype)
+        np.add.at(summed, inv, vals)
+    coal_idx = np.stack(np.unravel_index(uniq, shape_t))
+    return SparseCOO(coal_idx, summed, shape_t)
 
 
 def sparse_from_dense(V, threshold: float = 0.0) -> SparseCOO:
-    """Extract entries strictly greater than ``threshold`` into COO form."""
+    """Extract entries strictly greater than ``threshold`` into COO form.
+
+    Uses the native parallel two-pass scan when available; indices come out
+    sorted (row-major) either way, so the result is coalesced.
+    """
     import numpy as np
 
-    V = np.asarray(V)
+    from .. import native
+
+    V = np.asarray(V, dtype=np.float32)
+    res = native.extract_nonzeros(V, float(threshold))
+    if res is not None:
+        flat, vals = res
+        idx = np.stack(np.unravel_index(flat, V.shape))
+        return SparseCOO(idx, vals, V.shape)
     idx = np.nonzero(V > threshold)
     return SparseCOO(np.stack(idx), V[idx], V.shape)
 

@@ -14,6 +14,7 @@ setup(
     long_description=long_description,
     long_description_content_type="text/markdown",
     packages=find_packages(exclude=("tests", "docs", "examples")),
+    package_data={"pytorch_nmf_tpu.native": ["*.cpp"]},
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",
