@@ -12,8 +12,8 @@ paths use fused Pallas kernels; training loops live on-device as
 ``lax.while_loop`` programs with host-side progress callbacks.
 """
 
-from . import metrics, nmf, plca, trainer  # noqa: F401
-from . import models, ops, parallel, utils  # noqa: F401
+from . import functional, metrics, nmf, plca, trainer  # noqa: F401
+from . import models, native, ops, parallel, utils  # noqa: F401
 from .module import Module, Parameter, Sequential, manual_seed  # noqa: F401
 from .ops.sparse import SparseCOO, sparse_coo_tensor, sparse_from_dense  # noqa: F401
 

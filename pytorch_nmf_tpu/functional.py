@@ -1,0 +1,112 @@
+"""Functional API: pure, jittable entry points.
+
+The stateful model classes mirror the reference's interface; this module is
+the TPU-native face of the same machinery — explicit arrays in, new arrays
+out, everything composable with ``jax.jit`` / ``vmap`` / sharding:
+
+* :func:`nmf_fit` / :func:`nmfd_fit` / ... — dense β-divergence MU fits.
+* :func:`plca_fit` — EM for the PLCA family.
+* :func:`mu_update` — one generic MU step for any reconstruction closure.
+* :func:`betamu_step` / :func:`sparsity_proj_step` — composed-model
+  trainer cores over parameter pytrees.
+* :func:`proj_func` — the Hoyer sparseness projection.
+"""
+
+from .models import nmf as _nmf_models
+from .models import plca as _plca_models
+from .ops.mu import gamma_from_beta, mu_update, renorm  # noqa: F401
+from .ops.projection import proj_func  # noqa: F401
+from .ops.solver import get_dense_fit, get_plca_fit, get_sparse_fit
+from .ops.sparse import SparseCOO
+from .ops.trainer_core import betamu_step, sparsity_proj_step  # noqa: F401
+
+__all__ = [
+    "nmf_fit",
+    "nmfd_fit",
+    "nmf2d_fit",
+    "nmf3d_fit",
+    "plca_fit",
+    "mu_update",
+    "betamu_step",
+    "sparsity_proj_step",
+    "proj_func",
+    "gamma_from_beta",
+    "renorm",
+]
+
+
+def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
+         l1_reg, l2_reg):
+    if isinstance(V, SparseCOO):
+        if model_cls._sp_pos_neg is None:
+            raise NotImplementedError(
+                f"{model_cls.__name__} does not support sparse targets"
+            )
+        fit = get_sparse_fit(
+            model_cls._sp_pos_neg, float(beta), float(tol), int(max_iter),
+            update_W, update_H, float(l1_reg), float(l2_reg),
+        )
+    else:
+        fit = get_dense_fit(
+            model_cls.reconstruct, float(beta), float(tol), int(max_iter),
+            update_W, update_H, float(l1_reg), float(l2_reg), False,
+            model_cls._updater_factory,
+        )
+    return fit(V, W, H)
+
+
+def nmf_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
+            update_H=True, l1_reg=0.0, l2_reg=0.0):
+    """Fit ``V ≈ H Wᵀ``; returns ``(W, H, n_iter)``.  ``V`` may be dense or
+    a :class:`SparseCOO`."""
+    return _fit(_nmf_models.NMF, V, W, H, beta, tol, max_iter, update_W,
+                update_H, l1_reg, l2_reg)
+
+
+def nmfd_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
+             update_H=True, l1_reg=0.0, l2_reg=0.0):
+    """Fit the 1-D deconvolutional model; returns ``(W, H, n_iter)``."""
+    return _fit(_nmf_models.NMFD, V, W, H, beta, tol, max_iter, update_W,
+                update_H, l1_reg, l2_reg)
+
+
+def nmf2d_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
+              update_H=True, l1_reg=0.0, l2_reg=0.0):
+    """Fit the 2-D deconvolutional model; returns ``(W, H, n_iter)``."""
+    return _fit(_nmf_models.NMF2D, V, W, H, beta, tol, max_iter, update_W,
+                update_H, l1_reg, l2_reg)
+
+
+def nmf3d_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
+              update_H=True, l1_reg=0.0, l2_reg=0.0):
+    """Fit the 3-D deconvolutional model; returns ``(W, H, n_iter)``."""
+    return _fit(_nmf_models.NMF3D, V, W, H, beta, tol, max_iter, update_W,
+                update_H, l1_reg, l2_reg)
+
+
+def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
+             update_W=True, update_H=True, update_Z=True,
+             W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0):
+    """EM-fit a PLCA-family model; returns ``(W, H, Z, n_iter, norm)``.
+
+    ``model_cls`` selects the reconstruction (default plain ``PLCA``; pass
+    ``SIPLCA``/``SIPLCA2``/``SIPLCA3`` for the shift-invariant variants).
+    """
+    import jax.numpy as jnp
+
+    model_cls = model_cls or _plca_models.PLCA
+
+    def active(a):
+        return not (isinstance(a, (int, float)) and a == 1)
+
+    fit = get_plca_fit(
+        model_cls.reconstruct, float(tol), int(max_iter),
+        update_W, update_H, update_Z,
+        active(W_alpha), active(H_alpha), active(Z_alpha),
+    )
+    return fit(
+        V, W, H, Z,
+        jnp.asarray(W_alpha, jnp.float32),
+        jnp.asarray(H_alpha, jnp.float32),
+        jnp.asarray(Z_alpha, jnp.float32),
+    )
