@@ -113,12 +113,15 @@ def _converging_loop(
     tol: float,
     max_iter: int,
     verbose: bool,
+    extra_of: Optional[Callable] = None,
 ):
     """Shared chunked-while convergence loop.
 
     ``state0`` is the factor pytree; ``one_iter(state) -> state``;
     ``loss_of(state) -> scalar`` (already in the reference's
-    ``sqrt(2·divergence)`` scale).  Returns ``(state, n_chunks, converged)``.
+    ``sqrt(2·divergence)`` scale); ``extra_of`` optionally computes an
+    additional verbose-only scalar (PLCA's log-likelihood).
+    Returns ``(state, n_chunks, converged)``.
     """
     loss_init = loss_of(state0)
     n_chunks = max_iter // 10
@@ -129,7 +132,10 @@ def _converging_loop(
         state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
         loss = loss_of(state)
         conv = (prev - loss) / loss_init < tol
-        _progress(verbose, k + 1, loss)
+        if verbose and extra_of is not None:
+            _progress(verbose, k + 1, loss, extra_of(state))
+        else:
+            _progress(verbose, k + 1, loss)
         return state, loss, k + 1, conv
 
     def cond(carry):
@@ -451,6 +457,17 @@ def get_plca_fit(
         norm = jnp.sum(V)
         Vn = V / norm
 
+        def log_probability(state):
+            # posterior log-probability shown alongside the loss when
+            # verbose (reference ``_log_probability``, plca.py:18-20)
+            w, h, z = state
+            WZH = recon3(h, w, z)
+            lp = Vn.reshape(-1) @ jnp.log(WZH + eps).reshape(-1)
+            lp = lp + jnp.sum(jnp.log(w + eps) * (W_alpha - 1.0))
+            lp = lp + jnp.sum(jnp.log(h + eps) * (H_alpha - 1.0))
+            lp = lp + jnp.sum(jnp.log(z + eps) * (Z_alpha - 1.0))
+            return lp
+
         def loss_of(state):
             w, h, z = state
             WZH = recon3(h, w, z)
@@ -495,7 +512,8 @@ def get_plca_fit(
             return w, h, z
 
         (W, H, Z), k, conv = _converging_loop(
-            one_iter, loss_of, (W, H, Z), tol, max_iter, verbose
+            one_iter, loss_of, (W, H, Z), tol, max_iter, verbose,
+            extra_of=log_probability,
         )
         # reference returns the raw loop index: 10c-1 on early break,
         # max_iter-1 otherwise (plca.py:304)
