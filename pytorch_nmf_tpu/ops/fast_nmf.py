@@ -49,11 +49,23 @@ def _beta2_updaters(gamma, l1_reg, l2_reg):
         pos = jax.nn.relu(H @ G) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
-    return upd_W, upd_H
+    def loss_terms(V, W, H):
+        # 0.5||V - HWᵀ||² by the Gram identity — no (M, K) array:
+        # ⟨HWᵀ, HWᵀ⟩ = ⟨H (WᵀW), H⟩ and ⟨V, HWᵀ⟩ = ⟨VᵀH, W⟩.
+        vv = jnp.vdot(V, V)
+        cross = jnp.vdot(_dot_tn(V, H), W)
+        gram = jnp.vdot(H @ _dot_tn(W, W), H)
+        return 0.5 * (vv - 2.0 * cross + gram)
+
+    return upd_W, upd_H, loss_terms
 
 
 def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
-    from .pallas_mu import h_side_contractions, w_side_contractions
+    from .pallas_mu import (
+        fused_beta_loss,
+        h_side_contractions,
+        w_side_contractions,
+    )
 
     need_pos = beta != 1
 
@@ -69,7 +81,10 @@ def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
         pos = kl_pos_H(W) if beta == 1 else jax.nn.relu(pos) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
-    return upd_W, upd_H
+    def loss_terms(V, W, H):
+        return fused_beta_loss(V, H, W, beta)
+
+    return upd_W, upd_H, loss_terms
 
 
 def nmf_updater_factory(beta, gamma, l1_reg, l2_reg):

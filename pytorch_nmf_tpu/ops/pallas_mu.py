@@ -49,6 +49,7 @@ from ..constants import eps
 __all__ = [
     "w_side_contractions",
     "h_side_contractions",
+    "fused_beta_loss",
     "pallas_supported",
 ]
 
@@ -248,6 +249,84 @@ def _fused_contractions(V, H, W, *, beta, need_pos, w_side, bm=None, bk=None):
 
     outs = tuple(o[:crop] for o in outs)
     return outs if need_pos else (outs[0], None)
+
+
+def _loss_kernel(beta, M, K, bm, bk):
+    def kernel(v_ref, a_ref, b_ref, out_ref):
+        m_i, k_i = pl.program_id(0), pl.program_id(1)
+        a = a_ref[:]
+        b = b_ref[:]
+        m_valid = lax.broadcasted_iota(jnp.int32, (bm, 1), 0) + m_i * bm < M
+        k_valid = lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + k_i * bk < K
+        a = jnp.where(m_valid, a, 0.0)
+        b = jnp.where(k_valid, b, 0.0)
+        wh = _dot_nt(a, b)
+        v = v_ref[:]
+        valid = (
+            lax.broadcasted_iota(jnp.int32, (bm, bk), 0) + m_i * bm < M
+        ) & (lax.broadcasted_iota(jnp.int32, (bm, bk), 1) + k_i * bk < K)
+
+        # per-element β-divergence terms (reference metrics.py semantics)
+        if beta == 2:
+            d = wh - v
+            terms = 0.5 * d * d
+        elif beta == 1:
+            terms = v * (jnp.log(v + eps) - jnp.log(wh + eps)) - v + wh
+        elif beta == 0:
+            te, ie = v + eps, wh + eps
+            terms = te / ie - jnp.log(te) + jnp.log(ie) - 1.0
+        else:
+            t = v + eps if beta < 0 else v
+            ie = wh + eps
+            terms = (
+                t**beta + (beta - 1) * ie**beta - beta * t * ie ** (beta - 1)
+            ) / (beta * (beta - 1))
+
+        partial = jnp.sum(jnp.where(valid, terms, 0.0))
+
+        @pl.when((m_i == 0) & (k_i == 0))
+        def _():
+            out_ref[0, 0] = partial
+
+        @pl.when(~((m_i == 0) & (k_i == 0)))
+        def _():
+            out_ref[0, 0] = out_ref[0, 0] + partial
+
+    return kernel
+
+
+def fused_beta_loss(V, H, W, beta: float):
+    """Fused ``beta_div(H Wᵀ, V, β)`` — the reconstruction never leaves
+    VMEM.  Used for the solvers' every-10-iterations loss cadence."""
+    M, K = V.shape
+    R = H.shape[1]
+    bm, bk = _auto_blocks(M, K, R)
+    nm, nk = pl.cdiv(M, bm), pl.cdiv(K, bk)
+    kernel = _loss_kernel(beta, M, K, bm, bk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nm, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, R), lambda m, k: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, R), lambda m, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda m, k: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * R,
+            bytes_accessed=4 * (M * K + M * R + K * R),
+            transcendentals=(M * K if beta not in (2,) else 0),
+        ),
+        interpret=_interpret_mode(),
+    )(V, H, W)
+    return out[0, 0]
 
 
 def w_side_contractions(V, H, W, beta: float, need_pos: bool = True):

@@ -178,11 +178,15 @@ def get_dense_fit(
     )
     if updaters is None:
         updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
-    upd_W, upd_H = updaters
+    # factories may supply a fused loss as an optional third element
+    loss_terms = updaters[2] if len(updaters) > 2 else None
+    upd_W, upd_H = updaters[0], updaters[1]
 
     def fit(V, W, H):
         def loss_of(state):
             w, h = state
+            if loss_terms is not None:
+                return jnp.sqrt(2.0 * loss_terms(V, w, h))
             return jnp.sqrt(2.0 * beta_div(recon2(h, w), V, beta))
 
         def one_iter(state):

@@ -95,3 +95,14 @@ def test_exact_tile_shapes():
     neg, _ = w_side_contractions(V, H, W, 1.0, False)
     ref = (V / (H @ W.T + eps)).T @ H
     np.testing.assert_allclose(np.asarray(neg), np.asarray(ref), rtol=2e-5)
+
+
+@pytest.mark.parametrize("beta", [2.0, 1.0, 0.0, 0.5, -1.0])
+def test_fused_loss_matches_metric(data, beta):
+    from pytorch_nmf_tpu.metrics import beta_div
+    from pytorch_nmf_tpu.ops.pallas_mu import fused_beta_loss
+
+    V, W, H = data
+    got = float(fused_beta_loss(V, H, W, beta))
+    ref = float(beta_div(H @ W.T, V, beta))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
