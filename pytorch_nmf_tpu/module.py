@@ -284,6 +284,38 @@ class Module:
     def __call__(self, *args, **kwargs):
         return self.forward(*args, **kwargs)
 
+    # -- functionalization -------------------------------------------------------
+    def pure_call(self):
+        """Export this module as ``(fn, params)`` for the functional APIs.
+
+        ``params`` is a dict of the current parameter values keyed by
+        dotted names; ``fn(params, *args, **kwargs)`` runs ``forward`` with
+        those values substituted — pure in ``params``, so it composes with
+        ``jax.jit`` / ``jax.grad`` and the trainer cores in
+        :mod:`pytorch_nmf_tpu.ops.trainer_core`::
+
+            fn, params = model.pure_call()
+            step = jax.jit(lambda p, v: betamu_step(
+                lambda q: fn(q, None), p, v, beta=1))
+        """
+        import contextlib
+
+        named = dict(self.named_parameters())
+
+        def fn(params, *args, **kwargs):
+            with contextlib.ExitStack() as stack:
+                for name, value in params.items():
+                    stack.enter_context(named[name].substituted(value))
+                return self.forward(*args, **kwargs)
+
+        return fn, {n: p.data for n, p in named.items()}
+
+    def load_params(self, params) -> None:
+        """Write a ``pure_call``-style params dict back into the module."""
+        named = dict(self.named_parameters())
+        for name, value in params.items():
+            named[name].data = jnp.asarray(value)
+
     def __deepcopy__(self, memo):
         new = object.__new__(type(self))
         object.__setattr__(new, "_parameters", OrderedDict())

@@ -241,6 +241,9 @@ def get_sparse_fit(
 
     ``pos_neg(V, H, W, beta) -> (pos, neg)`` is the model's closed-form scalar
     pair (for NMF, :func:`pytorch_nmf_tpu.ops.sparse.nmf_sp_pos_neg`).
+    The MU numerators/denominators are the two scalar gradients — XLA turns
+    the gather transposes into the segment-sum scatters directly (a
+    hand-written closed form measured no faster on TPU).
     """
     gamma = gamma_from_beta(beta)
 

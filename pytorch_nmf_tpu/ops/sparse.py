@@ -204,3 +204,4 @@ def nmf_sp_pos_neg(V: SparseCOO, H, W, beta: float, row_block: int = 512):
     pos = pos / beta
     neg = vals @ (WH_vals + eps) ** bminus / bminus
     return pos, neg
+

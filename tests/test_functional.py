@@ -142,3 +142,33 @@ def test_mu_update_exported():
     W1 = F.mu_update(lambda w: NMF.reconstruct(H0, w), V, W0, 2.0, 1.0)
     assert W1.shape == W0.shape
     assert bool(jnp.all(W1 >= 0))
+
+
+def test_pure_call_jittable_betamu():
+    """Stateful model -> pure fn -> jitted coordinate-wise MU -> write back."""
+    pnt.manual_seed(3)
+    m = pnt.Sequential(NMF((40, 8), rank=4), NMF(W=(20, 8)))
+    target = jnp.asarray(RNG.rand(40, 20).astype("f"))
+
+    fn, params = m.pure_call()
+    step = jax.jit(
+        lambda p, v: F.betamu_step(lambda q: fn(q, None), p, v, beta=1)
+    )
+    for _ in range(5):
+        params, grads = step(params, target)
+    m.load_params(params)
+    for p in m.parameters():
+        assert bool(jnp.all(p.data >= 0))
+    # forward now reflects the trained params
+    out = m(None)
+    assert out.shape == (40, 20)
+
+
+def test_pure_call_matches_forward():
+    m = NMF((10, 6), 3)
+    fn, params = m.pure_call()
+    assert np.allclose(np.asarray(fn(params, None)), np.asarray(m(None)))
+    # substitution is by-value: mutating params dict doesn't touch module
+    params2 = {k: v * 2 for k, v in params.items()}
+    out2 = fn(params2, None)
+    assert not np.allclose(np.asarray(out2), np.asarray(m(None)))
