@@ -188,3 +188,27 @@ def test_betamu_trainer_parity(beta):
     assert len(tparams) == len(jparams)
     for tp, jp in zip(tparams, jparams):
         assert _maxdiff(tp, jp.data) < 1e-4
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_trajectory_parity_200_iters(beta):
+    """BASELINE goal: matched β-divergence trajectories at iteration 200
+    to 1e-5 relative."""
+    from pytorch_nmf_tpu.metrics import beta_div
+    from torchnmf.metrics import beta_div as tbd
+
+    V = RNG.rand(200, 120).astype("f")
+    W0 = RNG.rand(120, 16).astype("f") + 0.1
+    H0 = RNG.rand(200, 16).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), beta, 0, 200)
+    with torch.no_grad():
+        tloss = float(tbd(tm(), torch.tensor(V), beta))
+
+    jm = NMF(W=W0, H=H0)
+    jm.fit(V, beta, 0, 200)
+    jloss = float(beta_div(jm(), V, beta))
+
+    assert abs(tloss - jloss) / tloss < 1e-5
+    assert _maxdiff(tm.W, jm.W.data) < 1e-4
