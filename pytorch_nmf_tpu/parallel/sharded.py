@@ -21,7 +21,7 @@ Both are exercised by the CPU-simulated 8-device mesh tests
 (tests/test_parallel.py) and the driver's ``dryrun_multichip``.
 """
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ sequential (that is the algorithm); each per-parameter VJP is still a traced
 XLA computation, so the heavy math runs on the TPU.
 """
 
-from typing import Callable, Iterable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

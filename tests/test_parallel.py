@@ -144,3 +144,25 @@ def test_halo_validation_errors():
     H0 = RNG.rand(1, 2, 56).astype("f")
     with pytest.raises(ValueError):
         sharded_nmfd_fit(V, W0, H0, mesh)
+
+
+@needs_8
+def test_annotation_path_plca():
+    """PLCA EM under GSPMD sharding matches single-device."""
+    from pytorch_nmf_tpu.plca import PLCA
+
+    V = RNG.rand(80, 24).astype("f")
+    W0 = RNG.rand(24, 4).astype("f") + 0.1
+    H0 = RNG.rand(80, 4).astype("f") + 0.1
+    Z0 = np.ones(4, "f") / 4
+    mesh = make_mesh({"data": 8})
+
+    m = PLCA(W=W0, H=H0, Z=Z0)
+    Wn, Hn, Zn = m.W.data, m.H.data, m.Z.data
+    m.H.data = shard_target(Hn, mesh, P("data", None))
+    n1, norm1 = m.fit(shard_target(V, mesh, P("data")), 0, 20)
+
+    ref = PLCA(W=W0, H=H0, Z=Z0)
+    n2, norm2 = ref.fit(V, 0, 20)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.Z.data - ref.Z.data).max()) < 2e-5
