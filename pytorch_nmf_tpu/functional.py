@@ -35,8 +35,32 @@ __all__ = [
 ]
 
 
+def _validate_target(V, beta):
+    """Host-side input guards matching the model layer / reference
+    (nmf.py:329-336); skipped for traced values."""
+    import jax
+    import jax.numpy as jnp
+
+    vals = V.values if isinstance(V, SparseCOO) else V
+    if isinstance(vals, jax.core.Tracer):
+        return
+    assert bool(jnp.all(jnp.asarray(vals) >= 0)), (
+        "Target should be non-negative."
+    )
+    has_zero = (
+        isinstance(V, SparseCOO) or float(jnp.asarray(vals).min()) == 0
+    )
+    if beta <= 0 and has_zero:
+        raise ValueError(
+            "When beta <= 0 and V contains zeros, the training process may "
+            "diverge. Please add small values to V, or use a positive beta "
+            "value."
+        )
+
+
 def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
          l1_reg, l2_reg):
+    _validate_target(V, beta)
     if isinstance(V, SparseCOO):
         if model_cls._sp_pos_neg is None:
             raise NotImplementedError(

@@ -26,6 +26,11 @@ def is_tensor_like(x) -> bool:
 
 
 def to_f32(x):
+    """Convert to float32 WITHOUT disturbing device placement: a jax.Array
+    keeps its (possibly multi-device) sharding; everything else goes through
+    numpy on the host."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
     return jnp.asarray(np.asarray(x), jnp.float32)
 
 

@@ -261,8 +261,12 @@ class Module:
     def state_dict(self) -> "OrderedDict[str, jax.Array]":
         return OrderedDict((k, p.data) for k, p in self.named_parameters())
 
-    def load_state_dict(self, state) -> None:
+    def load_state_dict(self, state, strict: bool = True) -> None:
         own = dict(self.named_parameters())
+        if strict:
+            missing = sorted(set(own) - set(state))
+            if missing:
+                raise KeyError(f"Missing key(s) in state_dict: {missing}")
         for k, v in state.items():
             if k not in own:
                 raise KeyError(f"Unexpected key in state_dict: {k!r}")

@@ -49,15 +49,13 @@ def _beta2_updaters(gamma, l1_reg, l2_reg):
         pos = jax.nn.relu(H @ G) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
-    def loss_terms(V, W, H):
-        # 0.5||V - HWᵀ||² by the Gram identity — no (M, K) array:
-        # ⟨HWᵀ, HWᵀ⟩ = ⟨H (WᵀW), H⟩ and ⟨V, HWᵀ⟩ = ⟨VᵀH, W⟩.
-        vv = jnp.vdot(V, V)
-        cross = jnp.vdot(_dot_tn(V, H), W)
-        gram = jnp.vdot(H @ _dot_tn(W, W), H)
-        return 0.5 * (vv - 2.0 * cross + gram)
-
-    return upd_W, upd_H, loss_terms
+    # NOTE: no fused loss here.  The tempting Gram identity
+    # 0.5(⟨V,V⟩ - 2⟨VᵀH,W⟩ + ⟨H(WᵀW),H⟩) cancels catastrophically in
+    # float32 near convergence (can go negative -> NaN after sqrt, killing
+    # the tolerance check), so the solver's default direct
+    # euclidean(recon, V) is used for the every-10-iterations cadence —
+    # its cost is amortized to noise.
+    return upd_W, upd_H
 
 
 def _pallas_updaters(beta, gamma, l1_reg, l2_reg):

@@ -402,18 +402,25 @@ def get_hoyer_fit(
                 w, h = renorm(w, h, "H")
             return w, h, ssW, ssH
 
-        def body(k, state):
-            state = one_iter(state)
-            if verbose:
-                w, h = state[0], state[1]
-                loss = jnp.sqrt(2.0 * loss_W(w, h)) if sparse else jnp.sqrt(
-                    2.0 * beta_div(recon2(h, w), V, beta)
-                )
-                _progress(True, k + 1, loss)
-            return state
-
         state = (W, H, jnp.float32(1.0), jnp.float32(1.0))
-        W, H, _, _ = lax.fori_loop(0, max_iter, body, state)
+        if verbose:
+            # reference cadence: loss evaluated and displayed every 10
+            # iterations only (nmf.py:587-598)
+            def chunk(c, s):
+                s = lax.fori_loop(0, 10, lambda i, t: one_iter(t), s)
+                loss = jnp.sqrt(2.0 * loss_W(s[0], s[1]))
+                _progress(True, c + 1, loss)
+                return s
+
+            state = lax.fori_loop(0, max_iter // 10, chunk, state)
+            state = lax.fori_loop(
+                0, max_iter % 10, lambda i, t: one_iter(t), state
+            )
+        else:
+            state = lax.fori_loop(
+                0, max_iter, lambda i, t: one_iter(t), state
+            )
+        W, H, _, _ = state
         return W, H, jnp.int32(max_iter)
 
     return jax.jit(fit)

@@ -168,6 +168,13 @@ def sparsity_proj_step(
         cond, body, (jnp.int32(1), jnp.asarray(lr, jnp.float32), leaves,
                      new_leaves, loss)
     )
+    # reference semantics when every attempt fails (trainer.py:180-187):
+    # undo the last step onto the projected value and halve once more
+    failed = loss > init_loss
+    new_leaves = [
+        jnp.where(failed, p + lr * g, p) for p, g in zip(new_leaves, grads)
+    ]
+    lr = jnp.where(failed, lr * 0.5, lr)
     return (
         jax.tree_util.tree_unflatten(treedef, new_leaves),
         lr * 1.2,

@@ -134,6 +134,15 @@ class BetaMu(_Optimizer):
 
                 neg_raw = vjp(neg_cot)[0]
                 pos_raw = vjp(pos_cot)[0]
+
+                # Skip parameters the closure output does not depend on —
+                # the reference's ``if not WH.requires_grad: continue``
+                # (trainer.py:75-77).  An unconnected input's VJP is exactly
+                # zero everywhere; updating it anyway would crush it to ~eps
+                # under regularization.
+                if not bool(jnp.any(neg_raw != 0) | jnp.any(pos_raw != 0)):
+                    continue
+
                 neg = jax.nn.relu(neg_raw)
                 pos = jax.nn.relu(pos_raw)
 

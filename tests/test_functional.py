@@ -172,3 +172,49 @@ def test_pure_call_matches_forward():
     params2 = {k: v * 2 for k, v in params.items()}
     out2 = fn(params2, None)
     assert not np.allclose(np.asarray(out2), np.asarray(m(None)))
+
+
+def test_functional_fit_validates_inputs():
+    V = RNG.rand(20, 10).astype("f")
+    V[0, 0] = 0.0
+    W0 = RNG.rand(10, 3).astype("f") + 0.1
+    H0 = RNG.rand(20, 3).astype("f") + 0.1
+    with pytest.raises(ValueError):
+        F.nmf_fit(V, W0, H0, beta=0)
+    sp = pnt.sparse_from_dense(np.where(V > 0.8, V, 0))
+    with pytest.raises(ValueError):
+        F.nmf_fit(sp, W0, H0, beta=0)
+    with pytest.raises(AssertionError):
+        F.nmf_fit(V - 1.0, W0, H0, beta=1)
+
+
+def test_sparsity_proj_step_all_fail_matches_class():
+    """When every backtracking attempt fails, the functional core must end
+    in the same state as the class trainer (undo + extra halving)."""
+    from pytorch_nmf_tpu.trainer import SparsityProj
+
+    W0 = RNG.rand(30, 4).astype("f") + 0.1
+    H0 = RNG.rand(40, 4).astype("f") + 0.1
+    target = RNG.rand(40, 30).astype("f")
+
+    m = NMF(W=W0, H=H0)
+    tr = SparsityProj([m.W], 0.3, max_iter=3)
+    tr.param_groups[0]["lr"] = 1e8  # guarantees failure of all attempts
+
+    def closure():
+        tr.zero_grad()
+        return beta_div(m(None), target, 2)
+
+    tr.step(closure)
+
+    loss_fn = lambda p: beta_div(
+        NMF.reconstruct(jnp.asarray(H0), p["W"]), jnp.asarray(target), 2
+    )
+    params, lr, _ = F.sparsity_proj_step(
+        loss_fn, {"W": jnp.asarray(W0)}, jnp.float32(1e8), sparsity=0.3,
+        max_iter=3,
+    )
+    assert np.isclose(float(lr), tr.param_groups[0]["lr"], rtol=1e-6)
+    assert np.allclose(
+        np.asarray(params["W"]), np.asarray(m.W.data), rtol=1e-4, atol=1e-4
+    )

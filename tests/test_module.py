@@ -50,9 +50,9 @@ def test_state_dict_roundtrip():
     assert bool(jnp.all(m2.W.data == m.W.data))
 
     with pytest.raises(KeyError):
-        m2.load_state_dict({"bogus": sd["W"]})
+        m2.load_state_dict({**sd, "bogus": sd["W"]})
     with pytest.raises(ValueError):
-        m2.load_state_dict({"W": np.ones((3, 3), "f")})
+        m2.load_state_dict({**sd, "W": np.ones((3, 3), "f")})
 
 
 def test_deepcopy_independent():
@@ -99,3 +99,10 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     assert bool(jnp.all(m2.W.data == m.W.data))
     state = checkpoint.load(path)
     assert set(state.keys()) == {"W", "H"}
+
+
+def test_load_state_dict_strict_missing_key():
+    m = NMF((20, 10), 4)
+    with pytest.raises(KeyError):
+        m.load_state_dict({"W": m.W.data})
+    m.load_state_dict({"W": m.W.data}, strict=False)  # allowed when opted in

@@ -163,3 +163,15 @@ def test_sparse_fit_achieves_target_sparseness():
     for j in range(8):
         s = float(sparseness(m.W.data[:, j]))
         assert abs(s - 0.5) < 1e-3
+
+
+def test_beta2_early_stop_near_exact_fit():
+    """The beta=2 loss path must not produce NaN from float cancellation
+    when V is (nearly) exactly factorizable; early stopping must fire."""
+    W0 = RNG.rand(40, 4).astype("f") + 0.1
+    H0 = RNG.rand(100, 4).astype("f") + 0.1
+    V = np.asarray(H0 @ W0.T)  # exactly factorizable
+    m = NMF(W=W0 * 1.01, H=H0)
+    n = m.fit(V, 2, 1e-4, 200)
+    assert n < 200  # converged (NaN losses would never trigger the tol)
+    assert not bool(jnp.any(jnp.isnan(m.W.data)))

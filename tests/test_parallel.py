@@ -166,3 +166,24 @@ def test_annotation_path_plca():
     n2, norm2 = ref.fit(V, 0, 20)
     assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
     assert float(jnp.abs(m.Z.data - ref.Z.data).max()) < 2e-5
+
+
+@needs_8
+def test_fit_preserves_target_sharding():
+    """to_f32 must not gather a GSPMD-sharded target onto one device."""
+    V, W0, H0 = _problem()
+    mesh = make_mesh({"data": 8})
+    Vs = shard_target(V, mesh, P("data"))
+    m = NMF(W=W0, H=H0)
+    m.H.data = shard_target(H0, mesh, P("data", None))
+    m.fit(Vs, 2, 0, 5)
+    # the result H should still live on all 8 devices
+    assert len(m.H.data.sharding.device_set) == 8
+
+
+@needs_8
+def test_parallel_namespace_exports():
+    import pytorch_nmf_tpu as pnt
+
+    assert hasattr(pnt.parallel, "sharded_nmfd_fit")
+    assert hasattr(pnt.parallel, "left_halo")

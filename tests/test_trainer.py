@@ -130,3 +130,23 @@ def test_invalid_hyperparams_raise():
         BetaMu(m.parameters(), 1, l1_reg=-1)
     with pytest.raises(ValueError):
         SparsityProj([m.W], 1.5)
+
+
+def test_beta_trainer_skips_unconnected_param():
+    """A parameter the closure output does not depend on must be left
+    untouched (reference trainer.py:75-77), even with regularization."""
+    m1 = NMF((30, 20), 4)
+    m2 = NMF((25, 15), 3)  # not part of the closure's graph
+    target = RNG.rand(30, 20).astype("f")
+    b0 = m2.W.data
+
+    trainer = BetaMu(list(m1.parameters()) + list(m2.parameters()),
+                     beta=2, l1_reg=0.1)
+
+    def closure():
+        trainer.zero_grad()
+        return target, m1()
+
+    trainer.step(closure)
+    assert bool(jnp.all(m2.W.data == b0))
+    assert m2.W.grad is None
