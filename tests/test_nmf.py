@@ -175,3 +175,22 @@ def test_beta2_early_stop_near_exact_fit():
     n = m.fit(V, 2, 1e-4, 200)
     assert n < 200  # converged (NaN losses would never trigger the tol)
     assert not bool(jnp.any(jnp.isnan(m.W.data)))
+
+
+def test_deconv1d_patch_gemm_matches_conv():
+    """The low-rank/long-kernel patch-GEMM rewrite must match the conv path."""
+    from pytorch_nmf_tpu.ops.recon import _deconv1d_patch_gemm, deconv1d
+
+    H = jnp.asarray(RNG.rand(2, 3, 300).astype("f"))
+    W = jnp.asarray(RNG.rand(7, 3, 100).astype("f"))
+    # force both paths explicitly
+    got = _deconv1d_patch_gemm(H, W)
+    from jax import lax
+
+    Wf = jnp.flip(W, axis=(2,))
+    dn = lax.conv_dimension_numbers(H.shape, Wf.shape, ("NCH", "OIH", "NCH"))
+    ref = lax.conv_general_dilated(
+        H, Wf, (1,), [(99, 99)], dimension_numbers=dn
+    )
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-5

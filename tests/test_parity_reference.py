@@ -212,3 +212,20 @@ def test_trajectory_parity_200_iters(beta):
 
     assert abs(tloss - jloss) / tloss < 1e-5
     assert _maxdiff(tm.W, jm.W.data) < 1e-4
+
+
+def test_nmfd_long_kernel_patch_gemm_parity():
+    """NMFD in the patch-GEMM regime (low rank, long kernel) must still
+    match the reference trajectories."""
+    V = RNG.rand(1, 30, 200).astype("f")
+    W0 = RNG.rand(30, 3, 64).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 137).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), 1, 0, 5)
+
+    jm = NMFD(W=W0, H=H0)
+    jm.fit(V, 1, 0, 5)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
