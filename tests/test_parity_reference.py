@@ -229,3 +229,88 @@ def test_nmfd_long_kernel_patch_gemm_parity():
 
     assert _maxdiff(tm.W, jm.W.data) < 1e-5
     assert _maxdiff(tm.H, jm.H.data) < 1e-5
+
+
+def test_nmf3d_fit_parity():
+    V = RNG.rand(1, 2, 6, 7, 8).astype("f")
+    W0 = RNG.rand(2, 3, 2, 2, 2).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 5, 6, 7).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF3D(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), 1, 0, 5)
+
+    from pytorch_nmf_tpu.nmf import NMF3D
+
+    jm = NMF3D(W=W0, H=H0)
+    jm.fit(V, 1, 0, 5)
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+
+
+@pytest.mark.parametrize("cls_name, vshape, wshape", [
+    ("SIPLCA2", (1, 2, 8, 9), (2, 3, 3, 3)),
+    ("SIPLCA3", (1, 2, 5, 6, 7), (2, 3, 2, 2, 2)),
+])
+def test_siplca_nd_fit_parity(cls_name, vshape, wshape):
+    V = RNG.rand(*vshape).astype("f")
+    W0 = RNG.rand(*wshape).astype("f") + 0.1
+    hshape = (1, wshape[1]) + tuple(
+        v - k + 1 for v, k in zip(vshape[2:], wshape[2:])
+    )
+    H0 = RNG.rand(*hshape).astype("f") + 0.1
+    Z0 = RNG.rand(wshape[1]).astype("f") + 0.1
+
+    tcls = getattr(torchnmf.plca, cls_name)
+    tm = tcls(W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0))
+    tm.fit(torch.tensor(V), 0, 5)
+
+    import pytorch_nmf_tpu.plca as jplca
+
+    jm = getattr(jplca, cls_name)(W=W0, H=H0, Z=Z0)
+    jm.fit(V, 0, 5)
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+    assert _maxdiff(tm.Z, jm.Z.data) < 1e-5
+
+
+def test_siplca_dirichlet_priors_parity():
+    """Shift-invariant PLCA with non-unit Dirichlet MAP priors."""
+    V = RNG.rand(1, 10, 20).astype("f")
+    W0 = RNG.rand(10, 3, 4).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 17).astype("f") + 0.1
+    Z0 = RNG.rand(3).astype("f") + 0.1
+
+    tm = torchnmf.plca.SIPLCA(
+        W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0)
+    )
+    tm.fit(torch.tensor(V), 0, 5, False, 1.05, 0.98, 1.02)
+
+    from pytorch_nmf_tpu.plca import SIPLCA as JSIPLCA
+
+    jm = JSIPLCA(W=W0, H=H0, Z=Z0)
+    jm.fit(V, 0, 5, False, 1.05, 0.98, 1.02)
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
+    assert _maxdiff(tm.Z, jm.Z.data) < 1e-5
+
+
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+def test_sparse_target_fit_parity(beta):
+    """Sparse-COO-target MU trajectories vs the reference's sparse path."""
+    V = RNG.rand(120, 90).astype("f")
+    V[V < 0.9] = 0.0
+    W0 = RNG.rand(90, 6).astype("f") + 0.1
+    H0 = RNG.rand(120, 6).astype("f") + 0.1
+
+    idx = np.nonzero(V)
+    tV = torch.sparse_coo_tensor(
+        torch.tensor(np.stack(idx)), torch.tensor(V[idx]), V.shape
+    )
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(tV, beta, 0, 5)
+
+    jV = pnt.sparse_from_dense(V)
+    jm = NMF(W=W0, H=H0)
+    jm.fit(jV, beta, 0, 5)
+    assert _maxdiff(tm.W, jm.W.data) < 2e-5
+    assert _maxdiff(tm.H, jm.H.data) < 2e-5
