@@ -16,7 +16,12 @@ from .models import nmf as _nmf_models
 from .models import plca as _plca_models
 from .ops.mu import gamma_from_beta, mu_update, renorm  # noqa: F401
 from .ops.projection import proj_func  # noqa: F401
-from .ops.solver import get_dense_fit, get_plca_fit, get_sparse_fit
+from .ops.solver import (
+    get_dense_fit,
+    get_hoyer_fit,
+    get_plca_fit,
+    get_sparse_fit,
+)
 from .ops.sparse import SparseCOO
 from .ops.trainer_core import betamu_step, sparsity_proj_step  # noqa: F401
 
@@ -25,6 +30,7 @@ __all__ = [
     "nmfd_fit",
     "nmf2d_fit",
     "nmf3d_fit",
+    "nmf_hoyer_fit",
     "plca_fit",
     "mu_update",
     "betamu_step",
@@ -106,6 +112,35 @@ def nmf3d_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
     """Fit the 3-D deconvolutional model; returns ``(W, H, n_iter)``."""
     return _fit(_nmf_models.NMF3D, V, W, H, beta, tol, max_iter, update_W,
                 update_H, l1_reg, l2_reg)
+
+
+def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
+                  update_W=True, update_H=True, model_cls=None):
+    """Hoyer'04 sparseness-constrained fit; returns ``(W, H, n_iter)``.
+
+    ``model_cls`` defaults to plain ``NMF``; any NMF-family class works for
+    dense targets.  Sparse COO targets are supported for ``NMF`` only.
+    """
+    import jax.numpy as jnp
+
+    _validate_target(V, beta)
+    model_cls = model_cls or _nmf_models.NMF
+    is_sp = isinstance(V, SparseCOO)
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    fit = get_hoyer_fit(
+        None if is_sp else model_cls.reconstruct,
+        model_cls._sp_pos_neg if is_sp else None,
+        float(beta),
+        int(max_iter),
+        update_W,
+        update_H,
+        None if sW is None or not update_W else float(sW),
+        None if sH is None or not update_H else float(sH),
+        int(W.size // W.shape[1]),
+        int(H.size // H.shape[1]),
+    )
+    return fit(V, W, H)
 
 
 def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,

@@ -7,6 +7,7 @@ an explicit ``shard_map`` MU step with ``psum``-reduced numerators and
 denominators for full control over ICI traffic.
 """
 
+from . import distributed  # noqa: F401
 from .halo import left_halo, sharded_nmfd_fit  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from .sharded import shard_target, sharded_nmf_fit  # noqa: F401

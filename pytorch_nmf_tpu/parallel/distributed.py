@@ -1,0 +1,64 @@
+"""Multi-host (pod / multi-slice) initialization helpers.
+
+Single-slice multi-chip needs nothing beyond a :class:`jax.sharding.Mesh`;
+across hosts, ``jax.distributed`` must be initialized before any device use
+so every process sees the global device set.  These helpers keep that
+boilerplate in one place:
+
+* :func:`initialize` — wraps ``jax.distributed.initialize`` (no-ops when
+  already initialized or when running single-process, e.g. under the
+  test suite's virtual CPU devices).
+* :func:`global_mesh` — builds a mesh over ALL processes' devices in the
+  standard data-then-model ordering.
+
+Typical pod usage::
+
+    from pytorch_nmf_tpu.parallel import distributed, sharded_nmf_fit
+    distributed.initialize()                   # TPU pods: auto-discovery
+    mesh = distributed.global_mesh({"data": jax.device_count()})
+    W, H, _ = sharded_nmf_fit(V_local, W0, H0, mesh, beta=1)
+"""
+
+from typing import Dict, Optional
+
+import jax
+
+from .mesh import make_mesh
+
+__all__ = ["initialize", "global_mesh"]
+
+_INITIALIZED = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-process JAX.
+
+    On TPU pods all arguments are auto-discovered from the environment;
+    pass them explicitly for CPU/GPU clusters.  Safe to call more than
+    once, and a no-op for single-process runs with no coordinator given.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    if coordinator_address is None and jax.process_count() <= 1:
+        # single process and nothing to discover — plain local run
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    _INITIALIZED = True
+
+
+def global_mesh(axes: Dict[str, int]) -> "jax.sharding.Mesh":
+    """Mesh over the global device set (all processes)."""
+    return make_mesh(axes, jax.devices())

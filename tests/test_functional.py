@@ -218,3 +218,17 @@ def test_sparsity_proj_step_all_fail_matches_class():
     assert np.allclose(
         np.asarray(params["W"]), np.asarray(m.W.data), rtol=1e-4, atol=1e-4
     )
+
+
+def test_nmf_hoyer_fit_matches_class():
+    V = RNG.rand(60, 40).astype("f")
+    W0 = RNG.rand(40, 5).astype("f") + 0.1
+    H0 = RNG.rand(60, 5).astype("f") + 0.1
+
+    W1, H1, n1 = F.nmf_hoyer_fit(V, W0, H0, beta=2, max_iter=8, sW=0.4)
+
+    m = NMF(W=W0, H=H0)
+    n2 = m.sparse_fit(V, 2, 8, False, 0.4, None)
+    assert int(n1) == n2
+    assert np.allclose(np.asarray(W1), np.asarray(m.W.data), atol=1e-6)
+    assert np.allclose(np.asarray(H1), np.asarray(m.H.data), atol=1e-6)

@@ -106,3 +106,15 @@ def test_load_state_dict_strict_missing_key():
     with pytest.raises(KeyError):
         m.load_state_dict({"W": m.W.data})
     m.load_state_dict({"W": m.W.data}, strict=False)  # allowed when opted in
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from pytorch_nmf_tpu.utils import checkpoint
+
+    m = NMF((20, 10), 4)
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, m)
+    m2 = NMF((20, 10), 4)
+    checkpoint.load_orbax(path, m2)
+    assert bool(jnp.all(m2.W.data == m.W.data))
