@@ -194,3 +194,10 @@ def test_deconv1d_patch_gemm_matches_conv():
     )
     assert got.shape == ref.shape
     assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_rank_one_fit():
+    V = RNG.rand(40, 30).astype("f")
+    m = NMF(V.shape, 1)
+    n = m.fit(V, 1, 0, 20)
+    assert n == 20 and not bool(jnp.any(jnp.isnan(m.W.data)))

@@ -106,3 +106,24 @@ def test_fused_loss_matches_metric(data, beta):
     got = float(fused_beta_loss(V, H, W, beta))
     ref = float(beta_div(H @ W.T, V, beta))
     np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_rank_one_kernels():
+    """R=1 exercises the minimal lane count in every dot."""
+    V = jnp.asarray(RNG.rand(70, 50).astype("f"))
+    W = jnp.asarray(RNG.rand(50, 1).astype("f") + 0.1)
+    H = jnp.asarray(RNG.rand(70, 1).astype("f") + 0.1)
+    neg, _ = w_side_contractions(V, H, W, 1.0, False)
+    ref = (V / (H @ W.T + eps)).T @ H
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(ref), rtol=2e-5)
+
+
+def test_wide_rank_kernels():
+    """R=160 (not a lane multiple, larger than one lane group)."""
+    V = jnp.asarray(RNG.rand(64, 96).astype("f"))
+    W = jnp.asarray(RNG.rand(96, 160).astype("f") + 0.1)
+    H = jnp.asarray(RNG.rand(64, 160).astype("f") + 0.1)
+    neg, pos = h_side_contractions(V, H, W, 0.5, True)
+    WH = H @ W.T
+    cn = (WH + eps) ** (0.5 - 2) * V
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(cn @ W), rtol=2e-5)
