@@ -17,4 +17,5 @@ from . import models, native, ops, parallel, utils  # noqa: F401
 from .module import Module, Parameter, Sequential, manual_seed  # noqa: F401
 from .ops.sparse import SparseCOO, sparse_coo_tensor, sparse_from_dense  # noqa: F401
 
+name = "pytorch_nmf_tpu"
 __version__ = "0.1.0"

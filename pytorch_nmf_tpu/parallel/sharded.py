@@ -87,9 +87,20 @@ def _get_sharded_nmf_fit(
     l2_reg: float,
     data_axis: str,
     model_axis,  # str or None
+    use_pallas: bool,
 ):
     gamma = gamma_from_beta(beta)
     axes_all = (data_axis,) + ((model_axis,) if model_axis else ())
+    # the fused kernels help where WH must be formed elementwise; β=2's
+    # local contractions are plain GEMMs already
+    fuse = use_pallas and beta != 2
+    if fuse:
+        from ..ops.pallas_mu import (
+            fused_beta_loss,
+            h_side_contractions,
+            w_side_contractions,
+        )
+    need_pos = beta not in (1, 2)
 
     def local_fit(V, W, H):
         # V: (m_loc, k_loc), W: (k_loc, R), H: (m_loc, R)
@@ -101,41 +112,44 @@ def _get_sharded_nmf_fit(
 
         def loss_of(state):
             w, h = state
-            part = _local_beta_div_terms(V, wh(w, h), beta)
+            if fuse:
+                part = fused_beta_loss(V, h, w, beta)
+            else:
+                part = _local_beta_div_terms(V, wh(w, h), beta)
             return jnp.sqrt(2.0 * lax.psum(part, axes_all))
 
         def one_iter(state):
             w, h = state
             # ---- W update (contract the data axis -> psum over 'data') ----
-            WH = wh(w, h)
-            neg_cot, pos_cot = _local_cotangents(V, WH, beta)
-            neg = lax.psum(
-                lax.dot_general(
+            if fuse:
+                neg_l, pos_l = w_side_contractions(V, h, w, beta, need_pos)
+            else:
+                WH = wh(w, h)
+                neg_cot, pos_cot = _local_cotangents(V, WH, beta)
+                neg_l = lax.dot_general(
                     neg_cot, h, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ),
-                data_axis,
-            )
-            neg = jax.nn.relu(neg) + eps
+                )
+                pos_l = None if beta == 1 else lax.dot_general(
+                    pos_cot, h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            neg = jax.nn.relu(lax.psum(neg_l, data_axis)) + eps
             if beta == 1:
                 pos = lax.psum(jnp.sum(h, axis=0, keepdims=True), data_axis)
             else:
-                pos = lax.psum(
-                    lax.dot_general(
-                        pos_cot, h, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ),
-                    data_axis,
-                )
-                pos = jax.nn.relu(pos) + eps
+                pos = jax.nn.relu(lax.psum(pos_l, data_axis)) + eps
             w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
             # ---- H update (contract the feature axis -> psum over 'model') --
-            WH = wh(w, h)
-            neg_cot, pos_cot = _local_cotangents(V, WH, beta)
-            neg = neg_cot @ w
-            if model_axis:
-                neg = lax.psum(neg, model_axis)
+            if fuse:
+                neg_l, pos_l = h_side_contractions(V, h, w, beta, need_pos)
+            else:
+                WH = wh(w, h)
+                neg_cot, pos_cot = _local_cotangents(V, WH, beta)
+                neg_l = neg_cot @ w
+                pos_l = None if beta == 1 else pos_cot @ w
+            neg = lax.psum(neg_l, model_axis) if model_axis else neg_l
             neg = jax.nn.relu(neg) + eps
             if beta == 1:
                 pos = jnp.sum(w, axis=0, keepdims=True)
@@ -143,9 +157,7 @@ def _get_sharded_nmf_fit(
                     pos = lax.psum(pos, model_axis)
                 pos = jnp.squeeze(pos, axis=0)
             else:
-                pos = pos_cot @ w
-                if model_axis:
-                    pos = lax.psum(pos, model_axis)
+                pos = lax.psum(pos_l, model_axis) if model_axis else pos_l
                 pos = jax.nn.relu(pos) + eps
             h = h * mu_multiplier(neg, pos, h, gamma, l1_reg, l2_reg)
             return w, h
@@ -186,6 +198,10 @@ def _get_sharded_nmf_fit(
         mesh=mesh,
         in_specs=(v_spec, w_spec, h_spec),
         out_specs=(w_spec, h_spec, P()),
+        # all reductions here are explicit psums; the VMA checker would
+        # additionally require varying-axis declarations on the Pallas
+        # kernels' out_shapes, which pallas_call cannot express generically
+        check_vma=False,
     )
     return jax.jit(mapped)
 
@@ -202,13 +218,22 @@ def sharded_nmf_fit(
     l2_reg: float = 0.0,
     data_axis: str = "data",
     model_axis=None,
+    use_pallas=None,
 ):
     """Run the explicit-collectives MU fit for ``V ≈ H Wᵀ`` on ``mesh``.
 
     ``V (M, K)`` is sharded ``P(data_axis[, model_axis])``, ``H (M, R)``
     over ``data_axis``, ``W (K, R)`` over ``model_axis`` (replicated if no
     model axis).  Returns ``(W, H, n_iter)`` with the same shardings.
+
+    On TPU the per-shard contractions run through the fused Pallas kernels
+    (β ≠ 2) — the multi-chip fast path; ``use_pallas`` overrides the
+    autodetection.
     """
+    if use_pallas is None:
+        from ..ops.pallas_mu import pallas_supported
+
+        use_pallas = pallas_supported()
     fit = _get_sharded_nmf_fit(
         mesh,
         float(beta),
@@ -218,6 +243,7 @@ def sharded_nmf_fit(
         float(l2_reg),
         data_axis,
         model_axis,
+        bool(use_pallas),
     )
     v_spec = P(data_axis, model_axis) if model_axis else P(data_axis)
     w_spec = P(model_axis, None) if model_axis else P()

@@ -127,3 +127,37 @@ def test_wide_rank_kernels():
     WH = H @ W.T
     cn = (WH + eps) ** (0.5 - 2) * V
     np.testing.assert_allclose(np.asarray(neg), np.asarray(cn @ W), rtol=2e-5)
+
+
+@pytest.mark.parametrize("beta", [0.5, 1.0])
+@pytest.mark.parametrize("model_axis", [None, "model"])
+def test_sharded_fused_fit_matches_single_device(beta, model_axis):
+    """Pallas kernels inside the shard_map solver (interpreter mode on the
+    CPU mesh) must match the single-device trajectories."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.parallel import make_mesh, sharded_nmf_fit
+
+    M2, K2, R2 = 64, 32, 4
+    V = RNG.rand(M2, K2).astype("f")
+    W0 = RNG.rand(K2, R2).astype("f") + 0.1
+    H0 = RNG.rand(M2, R2).astype("f") + 0.1
+    mesh = make_mesh({"data": 4, "model": 2})
+
+    Wd, Hd, n_iter = sharded_nmf_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=5,
+        model_axis=model_axis, use_pallas=True,
+    )
+    import os
+
+    os.environ["PNT_NO_PALLAS"] = "1"
+    try:
+        ref = NMF(W=W0, H=H0)
+        ref.fit(V, beta, 0, 5)
+    finally:
+        os.environ.pop("PNT_NO_PALLAS", None)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
