@@ -10,4 +10,4 @@ denominators for full control over ICI traffic.
 from . import distributed  # noqa: F401
 from .halo import left_halo, sharded_nmfd_fit  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
-from .sharded import shard_target, sharded_nmf_fit  # noqa: F401
+from .sharded import shard_target, sharded_nmf_fit, sharded_plca_fit  # noqa: F401

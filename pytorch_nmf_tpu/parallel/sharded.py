@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import eps
 from ..ops.mu import gamma_from_beta, mu_multiplier
 
-__all__ = ["shard_target", "sharded_nmf_fit"]
+__all__ = ["shard_target", "sharded_nmf_fit", "sharded_plca_fit"]
 
 
 def shard_target(x, mesh: Mesh, spec: P):
@@ -251,3 +251,168 @@ def sharded_nmf_fit(
     W = shard_target(W, mesh, w_spec)
     H = shard_target(H, mesh, P(data_axis, None))
     return fit(V, W, H)
+
+
+# --------------------------------------------------------------------------
+# Explicit shard_map EM fit for PLCA (samples sharded over the data axis)
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _get_sharded_plca_fit(
+    mesh: Mesh,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    update_Z: bool,
+    W_alpha_active: bool,
+    H_alpha_active: bool,
+    Z_alpha_active: bool,
+    data_axis: str,
+):
+    def _marginal_local(x):
+        axes = tuple(d for d in range(x.ndim) if d != 1)
+        return jnp.sum(x, axis=axes, keepdims=True)
+
+    def _thr(x):
+        return jnp.where(x > eps, x, eps)
+
+    def local_fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
+        # V: (m_loc, K), H: (m_loc, R); W (K, R) and Z (R,) replicated.
+        norm = lax.psum(jnp.sum(V), data_axis)
+        Vn = V / norm
+
+        def recon(h, w, z):
+            return lax.dot_general(
+                h, w * z, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def loss_of(state):
+            w, h, z = state
+            WZH = recon(h, w, z)
+            part = jnp.sum(
+                Vn * norm * (
+                    jnp.log(Vn * norm + eps) - jnp.log(WZH * norm + eps)
+                ) - Vn * norm + WZH * norm
+            )
+            return jnp.sqrt(2.0 * lax.psum(part, data_axis))
+
+        def one_iter(state):
+            w, h, z = state
+            # E-step: one VJP; cotangents of the REPLICATED w and z come
+            # back auto-psum'd over the data axis by shard_map's
+            # replication tracking (no explicit psum — see halo.py).
+            WZH, vjp = jax.vjp(recon, h, w, z)
+            gH, gW, gZ = vjp(Vn / (WZH + eps))
+
+            Z_prior = None
+            if update_Z:
+                z = z * jax.nn.relu(gZ)
+                Z_prior = z
+                if Z_alpha_active:
+                    z = _thr(z + (Z_alpha - 1.0))
+                z = z / jnp.sum(z)
+
+            if update_W:
+                w = w * jax.nn.relu(gW)
+                if Z_prior is None:
+                    W_divider = _marginal_local(w)  # W replicated: local ok
+                    Z_prior = W_divider.reshape(-1)
+                else:
+                    W_divider = Z_prior.reshape((-1,))
+                w = w / W_divider
+                if W_alpha_active:
+                    w = _thr(w + (W_alpha - 1.0))
+                    w = w / _marginal_local(w)
+
+            if update_H:
+                h = h * jax.nn.relu(gH)
+                if Z_prior is None:
+                    H_divider = lax.psum(_marginal_local(h), data_axis)
+                else:
+                    H_divider = Z_prior.reshape((-1,))
+                h = h / H_divider
+                if H_alpha_active:
+                    h = _thr(h + (H_alpha - 1.0))
+                    h = h / lax.psum(_marginal_local(h), data_axis)
+
+            return w, h, z
+
+        loss_init = loss_of((W, H, Z))
+        n_chunks = max_iter // 10
+        rem = max_iter % 10
+
+        def chunk_body(carry):
+            state, prev, k, _ = carry
+            state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
+            loss = loss_of(state)
+            conv = (prev - loss) / loss_init < tol
+            return state, loss, k + 1, conv
+
+        (W, H, Z), _, k, conv = lax.while_loop(
+            lambda c: (~c[3]) & (c[2] < n_chunks),
+            chunk_body,
+            ((W, H, Z), loss_init, jnp.int32(0), False),
+        )
+        if rem:
+            (W, H, Z) = lax.cond(
+                conv,
+                lambda s: s,
+                lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
+                (W, H, Z),
+            )
+        n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
+        return W, H, Z, n_iter, norm
+
+    mapped = jax.shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis), P(), P(data_axis, None), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(data_axis, None), P(), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_plca_fit(
+    V,
+    W,
+    H,
+    Z,
+    mesh: Mesh,
+    tol: float = 1e-4,
+    max_iter: int = 200,
+    W_alpha=1.0,
+    H_alpha=1.0,
+    Z_alpha=1.0,
+    update_W: bool = True,
+    update_H: bool = True,
+    update_Z: bool = True,
+    data_axis: str = "data",
+):
+    """EM-fit plain PLCA with the sample axis sharded over ``mesh``.
+
+    Inputs must already be probability-normalized (as the PLCA constructor
+    does).  Returns ``(W, H, Z, n_iter, norm)`` matching the single-device
+    trajectories; ``H`` stays sharded over ``data_axis``.
+    """
+    def active(a):
+        return not (isinstance(a, (int, float)) and a == 1)
+
+    fit = _get_sharded_plca_fit(
+        mesh, float(tol), int(max_iter),
+        update_W, update_H, update_Z,
+        active(W_alpha), active(H_alpha), active(Z_alpha),
+        data_axis,
+    )
+    V = shard_target(V, mesh, P(data_axis))
+    H = shard_target(H, mesh, P(data_axis, None))
+    W = shard_target(W, mesh, P())
+    Z = shard_target(Z, mesh, P())
+    return fit(
+        V, W, H, Z,
+        jnp.asarray(W_alpha, jnp.float32),
+        jnp.asarray(H_alpha, jnp.float32),
+        jnp.asarray(Z_alpha, jnp.float32),
+    )

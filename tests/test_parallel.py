@@ -187,3 +187,48 @@ def test_parallel_namespace_exports():
 
     assert hasattr(pnt.parallel, "sharded_nmfd_fit")
     assert hasattr(pnt.parallel, "left_halo")
+
+
+@needs_8
+@pytest.mark.parametrize("alphas", [(1.0, 1.0, 1.0), (1.02, 0.99, 1.0)])
+def test_sharded_plca_fit_matches_single_device(alphas):
+    from pytorch_nmf_tpu.parallel import sharded_plca_fit
+    from pytorch_nmf_tpu.plca import PLCA
+
+    W_alpha, H_alpha, Z_alpha = alphas
+    V = RNG.rand(80, 24).astype("f")
+    W0 = RNG.rand(24, 4).astype("f") + 0.1
+    H0 = RNG.rand(80, 4).astype("f") + 0.1
+    Z0 = RNG.rand(4).astype("f") + 0.1
+
+    ref = PLCA(W=W0, H=H0, Z=Z0)  # normalizes at init
+    Wn, Hn, Zn = ref.W.data, ref.H.data, ref.Z.data
+
+    mesh = make_mesh({"data": 8})
+    Wd, Hd, Zd, n_iter, norm = sharded_plca_fit(
+        V, Wn, Hn, Zn, mesh, tol=0, max_iter=20,
+        W_alpha=W_alpha, H_alpha=H_alpha, Z_alpha=Z_alpha,
+    )
+
+    n_ref, norm_ref = ref.fit(V, 0, 20, False, W_alpha, H_alpha, Z_alpha)
+    assert int(n_iter) == n_ref
+    assert np.isclose(float(norm), float(norm_ref))
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+    assert float(jnp.abs(Zd - ref.Z.data).max()) < 2e-5
+
+
+@needs_8
+def test_sharded_plca_early_stop_matches():
+    from pytorch_nmf_tpu.parallel import sharded_plca_fit
+    from pytorch_nmf_tpu.plca import PLCA
+
+    V = RNG.rand(80, 24).astype("f")
+    m = PLCA(V.shape, 4)
+    Wn, Hn, Zn = m.W.data, m.H.data, m.Z.data
+    mesh = make_mesh({"data": 8})
+    _, _, _, n_iter, _ = sharded_plca_fit(
+        V, Wn, Hn, Zn, mesh, tol=1e-3, max_iter=200
+    )
+    n_ref, _ = m.fit(V, 1e-3, 200)
+    assert int(n_iter) == n_ref
