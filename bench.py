@@ -51,7 +51,7 @@ def main():
 
     # Timed: dispatch + fetch forces completion of the full on-device loop.
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = fit(V, W, H)
         np.asarray(out[0])
