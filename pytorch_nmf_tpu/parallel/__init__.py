@@ -8,6 +8,11 @@ denominators for full control over ICI traffic.
 """
 
 from . import distributed  # noqa: F401
-from .halo import left_halo, sharded_nmfd_fit  # noqa: F401
+from .halo import (  # noqa: F401
+    left_halo,
+    sharded_nmf2d_fit,
+    sharded_nmf3d_fit,
+    sharded_nmfd_fit,
+)
 from .mesh import make_mesh  # noqa: F401
 from .sharded import shard_target, sharded_nmf_fit, sharded_plca_fit  # noqa: F401

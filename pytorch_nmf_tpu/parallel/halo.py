@@ -1,27 +1,28 @@
-r"""Sequence-parallel deconvolutional NMF via halo exchange.
+r"""Sequence-parallel deconvolutional NMF via halo exchange (1-D/2-D/3-D).
 
 The reference's long-sequence workload is NMFD over audio spectrograms
 (T≈400-frame kernels over thousands of frames, one cuDNN conv1d call;
 reference nmf.py:779, examples/librosa_example.py).  On a TPU mesh the
-convolution *time axis* is the natural shard axis; correctness then needs a
-halo of ``T - 1`` frames exchanged between ring neighbors each iteration —
-the ring-attention-style blockwise structure, without attention
+convolution *time axis* (the trailing spatial axis, for the 2-D/3-D
+variants too) is the natural shard axis; correctness then needs a halo of
+``T - 1`` frames exchanged between ring neighbors each iteration — the
+ring-attention-style blockwise structure, without attention
 (SURVEY.md §5 "long-context / sequence parallelism").
 
 Construction:
 
-* ``H`` is zero-padded along time from ``L_in`` to ``L_out`` so both the
-  target ``V`` and the activations shard evenly; padded entries start at
-  zero and *stay* zero under multiplicative updates (0 · anything = 0), so
-  the padded problem is exactly equivalent to the unpadded one.
-* The forward map per device is: ``ppermute`` the last ``T-1`` local frames
-  from the left neighbor, concatenate, VALID-convolve with the flipped
-  kernel → the device's ``L_out/D`` output frames.
+* ``H`` is zero-padded along the trailing axis from ``L_in`` to ``L_out``
+  so both the target ``V`` and the activations shard evenly; padded entries
+  start at zero and *stay* zero under multiplicative updates
+  (0 · anything = 0), so the padded problem is exactly equivalent.
+* The forward map per device: ``ppermute`` the last ``T-1`` local frames
+  from the left neighbor, concatenate, then convolve — VALID along the
+  halo'd trailing axis, full padding along the local leading spatial axes.
 * The MU numerator/denominator come from ``jax.vjp`` **through the halo
   exchange**: the cotangent of ``ppermute`` is the reverse ``ppermute``, so
   the adjoint right-halo falls out of autodiff instead of hand-written
-  index bookkeeping.  Kernel gradients are partial over local frames and
-  ``psum`` over the sequence axis.
+  index bookkeeping.  Kernel cotangents of the replicated ``W`` are
+  auto-``psum``'d by shard_map's replication tracking.
 
 Per MU iteration per factor: one halo ``ppermute`` (forward), one reverse
 ``ppermute`` (adjoint), one ``psum`` for the kernel contraction — all ICI.
@@ -37,7 +38,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import eps
 from ..ops.mu import gamma_from_beta, mu_multiplier
 
-__all__ = ["left_halo", "sharded_nmfd_fit"]
+__all__ = [
+    "left_halo",
+    "sharded_nmfd_fit",
+    "sharded_nmf2d_fit",
+    "sharded_nmf3d_fit",
+]
 
 
 def left_halo(x, halo: int, axis_name: str):
@@ -54,12 +60,23 @@ def left_halo(x, halo: int, axis_name: str):
     return jnp.concatenate([recv, x], axis=-1)
 
 
-def _conv_valid_flipped(H, W):
-    """True convolution, VALID padding: out length = L - T + 1."""
-    Wf = jnp.flip(W, axis=2)
-    dn = lax.conv_dimension_numbers(H.shape, Wf.shape, ("NCH", "OIH", "NCH"))
+_CONV_LETTERS = {1: "H", 2: "HW", 3: "DHW"}
+
+
+def _conv_halo_nd(H, W, spatial_ndim: int):
+    """True convolution: full padding on the leading (local) spatial axes,
+    VALID on the halo'd trailing axis.  Trailing out length =
+    ``L_halo - T + 1`` = the device's chunk."""
+    spatial = tuple(range(2, 2 + spatial_ndim))
+    Wf = jnp.flip(W, axis=spatial)
+    pads = [(W.shape[d] - 1, W.shape[d] - 1) for d in spatial[:-1]]
+    pads.append((0, 0))
+    letters = _CONV_LETTERS[spatial_ndim]
+    dn = lax.conv_dimension_numbers(
+        H.shape, Wf.shape, ("NC" + letters, "OI" + letters, "NC" + letters)
+    )
     return lax.conv_general_dilated(
-        H, Wf, (1,), [(0, 0)], dimension_numbers=dn,
+        H, Wf, (1,) * spatial_ndim, pads, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
 
@@ -95,9 +112,10 @@ def _beta_terms(V, WH, beta):
 
 
 @lru_cache(maxsize=None)
-def _get_sharded_nmfd_fit(
+def _get_sharded_deconv_fit(
     mesh: Mesh,
-    T: int,
+    spatial_ndim: int,
+    T: int,  # trailing-axis kernel size
     beta: float,
     tol: float,
     max_iter: int,
@@ -107,55 +125,52 @@ def _get_sharded_nmfd_fit(
 ):
     gamma = gamma_from_beta(beta)
     halo = T - 1
+    nd = spatial_ndim
+
+    def _kl_shape(ref_ndim):
+        return (1, -1) + (1,) * (ref_ndim - 2)
 
     def local_fit(V, W, Hp):
-        # V: (N, C, L_loc), W: (C, R, T) replicated, Hp: (N, R, L_loc)
-        def recon_W(w):
-            return _conv_valid_flipped(left_halo(Hp, halo, seq_axis), w)
+        # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
+        def recon(hp, w):
+            return _conv_halo_nd(left_halo(hp, halo, seq_axis), w, nd)
 
         def loss_of(state):
             w, hp = state
-            WH = _conv_valid_flipped(left_halo(hp, halo, seq_axis), w)
-            part = _beta_terms(V, WH, beta)
+            part = _beta_terms(V, recon(hp, w), beta)
             return jnp.sqrt(2.0 * lax.psum(part, seq_axis))
+
+        sum_axes = (0,) + tuple(range(2, 2 + nd))
 
         def one_iter(state):
             w, hp = state
 
             # ---- W update: adjoint wrt the replicated kernel.  NOTE: no
-            # explicit psum here — ``w`` enters shard_map replicated (P()),
-            # so shard_map's replication tracking transposes its cotangent
-            # with an automatic psum over the sequence axis; adding another
-            # would multiply the gradient by the axis size.
-            WH, vjp = jax.vjp(
-                lambda ww: _conv_valid_flipped(
-                    left_halo(hp, halo, seq_axis), ww
-                ),
-                w,
-            )
+            # explicit psum — shard_map's replication tracking transposes
+            # the cotangent of the replicated ``w`` with an automatic psum
+            # over the sequence axis; adding one would multiply by the
+            # axis size.
+            WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
             neg_cot, pos_cot = _cotangents(V, WH, beta)
             neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
             if beta == 1:
                 # analytic KL denominator: sum of H over all non-rank dims
                 # (device-varying partial -> explicit psum)
                 pos = lax.psum(
-                    jnp.sum(hp, axis=(0, 2), keepdims=True), seq_axis
-                ).reshape(1, -1, 1)
+                    jnp.sum(hp, axis=sum_axes, keepdims=True), seq_axis
+                ).reshape(_kl_shape(w.ndim))
             else:
                 pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
             w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
             # ---- H update: adjoint THROUGH the halo exchange -------------
-            WH, vjp = jax.vjp(
-                lambda hh: _conv_valid_flipped(
-                    left_halo(hh, halo, seq_axis), w
-                ),
-                hp,
-            )
+            WH, vjp = jax.vjp(lambda hh: recon(hh, w), hp)
             neg_cot, pos_cot = _cotangents(V, WH, beta)
             neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
             if beta == 1:
-                pos = jnp.sum(w, axis=(0, 2), keepdims=True).reshape(1, -1, 1)
+                pos = jnp.sum(w, axis=sum_axes, keepdims=True).reshape(
+                    _kl_shape(hp.ndim)
+                )
             else:
                 pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
             hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
@@ -187,25 +202,65 @@ def _get_sharded_nmfd_fit(
         n_iter = jnp.where(conv, k * 10, max_iter)
         return W, Hp, n_iter
 
+    sharded_spec = P(*([None] * (1 + nd)), seq_axis)
     mapped = jax.shard_map(
         local_fit,
         mesh=mesh,
-        in_specs=(P(None, None, seq_axis), P(), P(None, None, seq_axis)),
-        out_specs=(P(), P(None, None, seq_axis), P()),
+        in_specs=(sharded_spec, P(), sharded_spec),
+        out_specs=(P(), sharded_spec, P()),
     )
     return jax.jit(mapped)
 
 
+def _sharded_deconv_fit(
+    V, W, H, mesh, spatial_ndim, beta, tol, max_iter, l1_reg, l2_reg,
+    seq_axis,
+):
+    V = jnp.asarray(V)
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    T = W.shape[-1]
+    L_out = V.shape[-1]
+    L_in = H.shape[-1]
+    assert L_in == L_out - T + 1, (
+        "H trailing length must be L_out - T + 1"
+    )
+    # leading spatial dims are unsharded; their shapes must already agree
+    for d in range(2, 1 + spatial_ndim):
+        assert H.shape[d] == V.shape[d] - W.shape[d] + 1
+
+    n_dev = mesh.shape[seq_axis]
+    if L_out % n_dev:
+        raise ValueError(
+            f"trailing length {L_out} must divide evenly over the "
+            f"{seq_axis} axis ({n_dev} devices)"
+        )
+    if L_out // n_dev < T - 1:
+        raise ValueError(
+            f"local chunk {L_out // n_dev} < halo {T - 1}: use fewer "
+            "devices or a shorter kernel"
+        )
+
+    # zero-pad H's trailing axis: padded entries are MU fixed points
+    pad = [(0, 0)] * (H.ndim - 1) + [(0, L_out - L_in)]
+    Hp = jnp.pad(H, pad)
+
+    fit = _get_sharded_deconv_fit(
+        mesh, int(spatial_ndim), int(T), float(beta), float(tol),
+        int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
+    )
+    spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
+    V = jax.device_put(V, spec)
+    Hp = jax.device_put(Hp, spec)
+    W = jax.device_put(W, NamedSharding(mesh, P()))
+
+    W_out, Hp_out, n_iter = fit(V, W, Hp)
+    return W_out, Hp_out[..., :L_in], n_iter
+
+
 def sharded_nmfd_fit(
-    V,
-    W,
-    H,
-    mesh: Mesh,
-    beta: float = 1,
-    tol: float = 1e-4,
-    max_iter: int = 200,
-    l1_reg: float = 0.0,
-    l2_reg: float = 0.0,
+    V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
+    max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
 ):
     """Fit NMFD with the convolution time axis sharded over ``mesh``.
@@ -216,36 +271,30 @@ def sharded_nmfd_fit(
     halos).  Returns ``(W, H, n_iter)`` matching the single-device
     trajectories.
     """
-    V = jnp.asarray(V)
-    W = jnp.asarray(W)
-    H = jnp.asarray(H)
-    T = W.shape[2]
-    N, C, L_out = V.shape
-    L_in = H.shape[2]
-    assert L_in == L_out - T + 1, "H length must be L_out - T + 1"
-    n_dev = mesh.shape[seq_axis]
-    if L_out % n_dev:
-        raise ValueError(
-            f"L_out={L_out} must divide evenly over the {seq_axis} axis "
-            f"({n_dev} devices)"
-        )
-    if L_out // n_dev < T - 1:
-        raise ValueError(
-            f"local chunk {L_out // n_dev} < halo {T - 1}: use fewer devices "
-            "or a shorter kernel"
-        )
-
-    # zero-pad H to L_out: padded entries are fixed points of the MU update
-    Hp = jnp.pad(H, ((0, 0), (0, 0), (0, L_out - L_in)))
-
-    fit = _get_sharded_nmfd_fit(
-        mesh, int(T), float(beta), float(tol), int(max_iter),
-        float(l1_reg), float(l2_reg), seq_axis,
+    return _sharded_deconv_fit(
+        V, W, H, mesh, 1, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
     )
-    spec = NamedSharding(mesh, P(None, None, seq_axis))
-    V = jax.device_put(V, spec)
-    Hp = jax.device_put(Hp, spec)
-    W = jax.device_put(W, NamedSharding(mesh, P()))
 
-    W_out, Hp_out, n_iter = fit(V, W, Hp)
-    return W_out, Hp_out[:, :, :L_in], n_iter
+
+def sharded_nmf2d_fit(
+    V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
+    max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
+    seq_axis: str = "seq",
+):
+    """Fit NMF2D with the trailing spatial axis sharded over ``mesh``
+    (the leading spatial axis stays local; same halo/divisibility rules
+    on the trailing axis)."""
+    return _sharded_deconv_fit(
+        V, W, H, mesh, 2, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+    )
+
+
+def sharded_nmf3d_fit(
+    V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
+    max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
+    seq_axis: str = "seq",
+):
+    """Fit NMF3D with the trailing spatial axis sharded over ``mesh``."""
+    return _sharded_deconv_fit(
+        V, W, H, mesh, 3, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+    )

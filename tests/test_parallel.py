@@ -235,3 +235,45 @@ def test_sharded_plca_early_stop_matches():
     n_ref, _ = m.fit(V, 1e-3, 200)
     # reduction-order float noise may flip a borderline chunk decision
     assert abs(int(n_iter) - n_ref) <= 10
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1, 2])
+def test_halo_sharded_nmf2d_matches_single_device(beta):
+    from pytorch_nmf_tpu.nmf import NMF2D
+    from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit
+
+    N, C, Y, X, R, ky, kx = 1, 5, 10, 32, 3, 3, 4
+    V = RNG.rand(N, C, Y, X).astype("f")
+    W0 = RNG.rand(C, R, ky, kx).astype("f") + 0.1
+    H0 = RNG.rand(N, R, Y - ky + 1, X - kx + 1).astype("f") + 0.1
+
+    mesh = make_mesh({"seq": 8})
+    Wd, Hd, n_iter = sharded_nmf2d_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+    )
+    ref = NMF2D(W=W0, H=H0)
+    ref.fit(V, beta, 0, 10)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_sharded_nmf3d_matches_single_device():
+    from pytorch_nmf_tpu.nmf import NMF3D
+    from pytorch_nmf_tpu.parallel import sharded_nmf3d_fit
+
+    N, C, Z, Y, X, R = 1, 3, 5, 6, 16, 2
+    kz, ky, kx = 2, 2, 2
+    V = RNG.rand(N, C, Z, Y, X).astype("f")
+    W0 = RNG.rand(C, R, kz, ky, kx).astype("f") + 0.1
+    H0 = RNG.rand(N, R, Z - kz + 1, Y - ky + 1, X - kx + 1).astype("f") + 0.1
+
+    mesh = make_mesh({"seq": 8})
+    Wd, Hd, n_iter = sharded_nmf3d_fit(
+        V, W0, H0, mesh, beta=1, tol=0, max_iter=8
+    )
+    ref = NMF3D(W=W0, H=H0)
+    ref.fit(V, 1, 0, 8)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5

@@ -314,3 +314,19 @@ def test_sparse_target_fit_parity(beta):
     jm.fit(jV, beta, 0, 5)
     assert _maxdiff(tm.W, jm.W.data) < 2e-5
     assert _maxdiff(tm.H, jm.H.data) < 2e-5
+
+
+def test_nmfd_hoyer_sparse_fit_parity():
+    """sparse_fit on the deconvolutional model (dense target) vs torch."""
+    V = RNG.rand(1, 12, 30).astype("f")
+    W0 = RNG.rand(12, 3, 5).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 26).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.sparse_fit(torch.tensor(V), 2, 5, False, None, 0.4)
+
+    jm = NMFD(W=W0, H=H0)
+    jm.sparse_fit(V, 2, 5, False, None, 0.4)
+
+    assert _maxdiff(tm.W, jm.W.data) < 5e-4
+    assert _maxdiff(tm.H, jm.H.data) < 5e-4
