@@ -7,6 +7,7 @@ initialization.
 """
 
 import os
+import tempfile
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -15,3 +16,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is dominated by per-config solver
+# compiles; caching makes re-runs ~4x faster
+_cache_dir = os.environ.get(
+    "PNT_TEST_CACHE", os.path.join(tempfile.gettempdir(), "pnt_jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -118,3 +118,14 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     m2 = NMF((20, 10), 4)
     checkpoint.load_orbax(path, m2)
     assert bool(jnp.all(m2.W.data == m.W.data))
+
+
+def test_profiling_helpers_smoke(tmp_path):
+    from pytorch_nmf_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path / "trace")):
+        with profiling.annotate("tiny-fit"):
+            m = NMF((16, 8), 2)
+            m.fit(np.random.RandomState(0).rand(16, 8).astype("f"), 2, 0, 5)
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
