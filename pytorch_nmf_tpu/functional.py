@@ -13,6 +13,7 @@ out, everything composable with ``jax.jit`` / ``vmap`` / sharding:
 """
 
 from .models import nmf as _nmf_models
+from .models._common import validate_target as _validate
 from .models import plca as _plca_models
 from .ops.mu import gamma_from_beta, mu_update, renorm  # noqa: F401
 from .ops.projection import proj_func  # noqa: F401
@@ -41,32 +42,9 @@ __all__ = [
 ]
 
 
-def _validate_target(V, beta):
-    """Host-side input guards matching the model layer / reference
-    (nmf.py:329-336); skipped for traced values."""
-    import jax
-    import jax.numpy as jnp
-
-    vals = V.values if isinstance(V, SparseCOO) else V
-    if isinstance(vals, jax.core.Tracer):
-        return
-    assert bool(jnp.all(jnp.asarray(vals) >= 0)), (
-        "Target should be non-negative."
-    )
-    has_zero = (
-        isinstance(V, SparseCOO) or float(jnp.asarray(vals).min()) == 0
-    )
-    if beta <= 0 and has_zero:
-        raise ValueError(
-            "When beta <= 0 and V contains zeros, the training process may "
-            "diverge. Please add small values to V, or use a positive beta "
-            "value."
-        )
-
-
 def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
          l1_reg, l2_reg):
-    _validate_target(V, beta)
+    _validate(V, beta)
     if isinstance(V, SparseCOO):
         if model_cls._sp_pos_neg is None:
             raise NotImplementedError(
@@ -123,9 +101,13 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     """
     import jax.numpy as jnp
 
-    _validate_target(V, beta)
+    _validate(V, beta)
     model_cls = model_cls or _nmf_models.NMF
     is_sp = isinstance(V, SparseCOO)
+    if is_sp and model_cls._sp_pos_neg is None:
+        raise NotImplementedError(
+            f"{model_cls.__name__} does not support sparse targets"
+        )
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     fit = get_hoyer_fit(
@@ -153,15 +135,14 @@ def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     """
     import jax.numpy as jnp
 
+    from .ops.solver import alpha_is_active
+
     model_cls = model_cls or _plca_models.PLCA
-
-    def active(a):
-        return not (isinstance(a, (int, float)) and a == 1)
-
     fit = get_plca_fit(
         model_cls.reconstruct, float(tol), int(max_iter),
         update_W, update_H, update_Z,
-        active(W_alpha), active(H_alpha), active(Z_alpha),
+        alpha_is_active(W_alpha), alpha_is_active(H_alpha),
+        alpha_is_active(Z_alpha),
     )
     return fit(
         V, W, H, Z,

@@ -13,6 +13,7 @@ __all__ = [
     "to_f32",
     "rand_abs_normal",
     "assert_nonneg",
+    "validate_target",
     "single",
     "pair",
     "triple",
@@ -42,6 +43,29 @@ def rand_abs_normal(shape):
 
 def assert_nonneg(x, name: str):
     assert bool(jnp.all(jnp.asarray(x) >= 0.0)), f"Tensor {name} should be non-negative."
+
+
+def validate_target(V, beta) -> None:
+    """Shared input guards for the β-divergence solvers (reference
+    nmf.py:329-336): non-negativity, and the divergence warning for
+    β ≤ 0 with zeros (raised unconditionally for sparse targets, like the
+    reference).  Skipped for traced values."""
+    from ..ops.sparse import SparseCOO
+
+    is_sp = isinstance(V, SparseCOO)
+    vals = V.values if is_sp else V
+    if isinstance(vals, jax.core.Tracer):
+        return
+    vals = jnp.asarray(np.asarray(vals)) if not isinstance(
+        vals, jax.Array
+    ) else vals
+    assert bool(jnp.all(vals >= 0)), "Target should be non-negative."
+    if beta <= 0 and (is_sp or float(vals.min()) == 0):
+        raise ValueError(
+            "When beta <= 0 and V contains zeros, the training process may "
+            "diverge. Please add small values to V, or use a positive beta "
+            "value."
+        )
 
 
 def _ntuple(n):

@@ -43,6 +43,7 @@ from ._common import (
     single,
     to_f32,
     triple,
+    validate_target,
 )
 
 __all__ = ["BaseComponent", "NMF", "NMFD", "NMF2D", "NMF3D"]
@@ -165,25 +166,9 @@ class BaseComponent(Module):
         target.  Returns the total number of iterations run.
         """
         is_sp = isinstance(V, SparseCOO)
-        if is_sp:
-            assert bool(
-                jnp.all(V.values >= 0)
-            ), "Target should be non-negative."
-            if beta <= 0:
-                raise ValueError(
-                    "When beta <= 0 and V contains zeros, the training "
-                    "process may diverge. Please add small values to V, or "
-                    "use a positive beta value."
-                )
-        else:
+        if not is_sp:
             V = to_f32(V)
-            assert bool(jnp.all(V >= 0)), "Target should be non-negative."
-            if beta <= 0 and float(V.min()) == 0:
-                raise ValueError(
-                    "When beta <= 0 and V contains zeros, the training "
-                    "process may diverge. Please add small values to V, or "
-                    "use a positive beta value."
-                )
+        validate_target(V, beta)
 
         W, H = self._parameters["W"], self._parameters["H"]
         l1_reg = float(alpha * l1_ratio)
@@ -249,25 +234,9 @@ class BaseComponent(Module):
         exactly ``max_iter`` iterations (no tolerance-based stop).
         """
         is_sp = isinstance(V, SparseCOO)
-        if is_sp:
-            assert bool(
-                jnp.all(V.values >= 0)
-            ), "Target should be non-negative."
-            if beta <= 0:
-                raise ValueError(
-                    "When beta <= 0 and V contains zeros, the training "
-                    "process may diverge. Please add small values to V, or "
-                    "use a positive beta value."
-                )
-        else:
+        if not is_sp:
             V = to_f32(V)
-            assert bool(jnp.all(V >= 0)), "Target should be non-negative."
-            if beta <= 0 and float(V.min()) == 0:
-                raise ValueError(
-                    "When beta <= 0 and V contains zeros, the training "
-                    "process may diverge. Please add small values to V, or "
-                    "use a positive beta value."
-                )
+        validate_target(V, beta)
 
         W, H = self._parameters["W"], self._parameters["H"]
         W_col_dim = int(W.data.size // W.shape[1])

@@ -186,9 +186,6 @@ class BaseComponent(Module):
             self._parameters["Z"],
         )
 
-        def alpha_active(a):
-            return not (isinstance(a, (int, float)) and a == 1)
-
         fit_fn = _solver.get_plca_fit(
             type(self).reconstruct,
             float(tol),
@@ -196,9 +193,9 @@ class BaseComponent(Module):
             W.requires_grad,
             H.requires_grad,
             Z.requires_grad,
-            alpha_active(W_alpha),
-            alpha_active(H_alpha),
-            alpha_active(Z_alpha),
+            _solver.alpha_is_active(W_alpha),
+            _solver.alpha_is_active(H_alpha),
+            _solver.alpha_is_active(Z_alpha),
             bool(verbose),
         )
         with _progress_scope(verbose, max_iter):

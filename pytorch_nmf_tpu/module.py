@@ -262,6 +262,8 @@ class Module:
         return OrderedDict((k, p.data) for k, p in self.named_parameters())
 
     def load_state_dict(self, state, strict: bool = True) -> None:
+        """Load parameter values by name.  ``strict=True`` (default) raises
+        on missing or unexpected keys; ``strict=False`` ignores both."""
         own = dict(self.named_parameters())
         if strict:
             missing = sorted(set(own) - set(state))
@@ -269,7 +271,9 @@ class Module:
                 raise KeyError(f"Missing key(s) in state_dict: {missing}")
         for k, v in state.items():
             if k not in own:
-                raise KeyError(f"Unexpected key in state_dict: {k!r}")
+                if strict:
+                    raise KeyError(f"Unexpected key in state_dict: {k!r}")
+                continue
             if tuple(own[k].data.shape) != tuple(jnp.shape(v)):
                 raise ValueError(
                     f"Shape mismatch for {k!r}: "

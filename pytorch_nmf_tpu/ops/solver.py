@@ -444,6 +444,12 @@ def _threshold_eps(x):
     return jnp.where(x > eps, x, eps)
 
 
+def alpha_is_active(alpha) -> bool:
+    """Whether a Dirichlet prior hyperparameter differs from the neutral 1
+    (array-valued alphas always count as active)."""
+    return not (isinstance(alpha, (int, float)) and alpha == 1)
+
+
 @lru_cache(maxsize=None)
 def get_plca_fit(
     recon3: Callable,

@@ -37,26 +37,33 @@ def initialize(
 ) -> None:
     """Initialize multi-process JAX.
 
+    MUST run before any other JAX call (anything that touches devices
+    initializes the XLA backend and makes distributed init impossible).
     On TPU pods all arguments are auto-discovered from the environment;
-    pass them explicitly for CPU/GPU clusters.  Safe to call more than
-    once, and a no-op for single-process runs with no coordinator given.
+    pass them explicitly for CPU/GPU clusters.  Explicit requests that
+    fail raise; argument-free auto-discovery falls back to single-process
+    with a warning (e.g. when running locally).
     """
     global _INITIALIZED
     if _INITIALIZED:
         return
-    if coordinator_address is None and jax.process_count() <= 1:
-        # single process and nothing to discover — plain local run
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            return
-    else:
+    explicit = coordinator_address is not None or num_processes is not None
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    _INITIALIZED = True
+        _INITIALIZED = True
+    except Exception as e:
+        if explicit:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"jax.distributed auto-discovery unavailable, continuing "
+            f"single-process: {e}"
+        )
 
 
 def global_mesh(axes: Dict[str, int]) -> "jax.sharding.Mesh":

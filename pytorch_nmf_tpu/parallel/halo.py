@@ -36,7 +36,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import eps
-from ..ops.mu import gamma_from_beta, mu_multiplier
+from ..metrics import beta_div
+from ..ops.mu import gamma_from_beta, mu_cotangents, mu_multiplier
+from ..ops.solver import _converging_loop
 
 __all__ = [
     "left_halo",
@@ -81,36 +83,6 @@ def _conv_halo_nd(H, W, spatial_ndim: int):
     )
 
 
-def _cotangents(V, WH, beta):
-    if beta == 2:
-        return V, WH
-    elif beta == 1:
-        return V / (WH + eps), None
-    elif beta == 0:
-        r = 1.0 / (WH + eps)
-        return r * r * V, r
-    else:
-        WHe = WH + eps
-        return WHe ** (beta - 2) * V, WHe ** (beta - 1)
-
-
-def _beta_terms(V, WH, beta):
-    if beta == 2:
-        d = WH - V
-        return 0.5 * jnp.sum(d * d)
-    elif beta == 1:
-        return jnp.sum(V * (jnp.log(V + eps) - jnp.log(WH + eps)) - V + WH)
-    elif beta == 0:
-        te, ie = V + eps, WH + eps
-        return jnp.sum(te / ie - jnp.log(te) + jnp.log(ie) - 1.0)
-    else:
-        t = V + eps if beta < 0 else V
-        ie = WH + eps
-        return jnp.sum(
-            t**beta + (beta - 1) * ie**beta - beta * t * ie ** (beta - 1)
-        ) / (beta * (beta - 1))
-
-
 @lru_cache(maxsize=None)
 def _get_sharded_deconv_fit(
     mesh: Mesh,
@@ -137,7 +109,7 @@ def _get_sharded_deconv_fit(
 
         def loss_of(state):
             w, hp = state
-            part = _beta_terms(V, recon(hp, w), beta)
+            part = beta_div(recon(hp, w), V, beta)
             return jnp.sqrt(2.0 * lax.psum(part, seq_axis))
 
         sum_axes = (0,) + tuple(range(2, 2 + nd))
@@ -151,7 +123,7 @@ def _get_sharded_deconv_fit(
             # over the sequence axis; adding one would multiply by the
             # axis size.
             WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
-            neg_cot, pos_cot = _cotangents(V, WH, beta)
+            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
             neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
             if beta == 1:
                 # analytic KL denominator: sum of H over all non-rank dims
@@ -165,7 +137,7 @@ def _get_sharded_deconv_fit(
 
             # ---- H update: adjoint THROUGH the halo exchange -------------
             WH, vjp = jax.vjp(lambda hh: recon(hh, w), hp)
-            neg_cot, pos_cot = _cotangents(V, WH, beta)
+            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
             neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
             if beta == 1:
                 pos = jnp.sum(w, axis=sum_axes, keepdims=True).reshape(
@@ -176,29 +148,9 @@ def _get_sharded_deconv_fit(
             hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
             return w, hp
 
-        loss_init = loss_of((W, Hp))
-        n_chunks = max_iter // 10
-        rem = max_iter % 10
-
-        def chunk_body(carry):
-            state, prev, k, _ = carry
-            state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
-            loss = loss_of(state)
-            conv = (prev - loss) / loss_init < tol
-            return state, loss, k + 1, conv
-
-        (W, Hp), _, k, conv = lax.while_loop(
-            lambda c: (~c[3]) & (c[2] < n_chunks),
-            chunk_body,
-            ((W, Hp), loss_init, jnp.int32(0), False),
+        (W, Hp), k, conv = _converging_loop(
+            one_iter, loss_of, (W, Hp), tol, max_iter, False
         )
-        if rem:
-            (W, Hp) = lax.cond(
-                conv,
-                lambda s: s,
-                lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
-                (W, Hp),
-            )
         n_iter = jnp.where(conv, k * 10, max_iter)
         return W, Hp, n_iter
 
@@ -222,12 +174,15 @@ def _sharded_deconv_fit(
     T = W.shape[-1]
     L_out = V.shape[-1]
     L_in = H.shape[-1]
-    assert L_in == L_out - T + 1, (
-        "H trailing length must be L_out - T + 1"
-    )
+    if L_in != L_out - T + 1:
+        raise ValueError("H trailing length must be L_out - T + 1")
     # leading spatial dims are unsharded; their shapes must already agree
     for d in range(2, 1 + spatial_ndim):
-        assert H.shape[d] == V.shape[d] - W.shape[d] + 1
+        if H.shape[d] != V.shape[d] - W.shape[d] + 1:
+            raise ValueError(
+                f"H spatial dim {d} must be V - kernel + 1: got "
+                f"{H.shape[d]} vs {V.shape[d]} - {W.shape[d]} + 1"
+            )
 
     n_dev = mesh.shape[seq_axis]
     if L_out % n_dev:

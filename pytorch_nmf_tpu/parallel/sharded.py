@@ -29,7 +29,14 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import eps
-from ..ops.mu import gamma_from_beta, mu_multiplier
+from ..metrics import beta_div
+from ..ops.mu import gamma_from_beta, mu_cotangents, mu_multiplier
+from ..ops.solver import (
+    _converging_loop,
+    _plca_marginal_sum,
+    _threshold_eps,
+    alpha_is_active,
+)
 
 __all__ = ["shard_target", "sharded_nmf_fit", "sharded_plca_fit"]
 
@@ -42,41 +49,6 @@ def shard_target(x, mesh: Mesh, spec: P):
 # --------------------------------------------------------------------------
 # Explicit shard_map MU fit for NMF
 # --------------------------------------------------------------------------
-def _local_cotangents(V, WH, beta):
-    if beta == 2:
-        return V, WH
-    elif beta == 1:
-        return V / (WH + eps), None
-    elif beta == 0:
-        r = 1.0 / (WH + eps)
-        return r * r * V, r
-    else:
-        WHe = WH + eps
-        return WHe ** (beta - 2) * V, WHe ** (beta - 1)
-
-
-def _local_beta_div_terms(V, WH, beta):
-    """Per-block partial sum of the β-divergence (psum-able)."""
-    if beta == 2:
-        d = WH - V
-        return 0.5 * jnp.sum(d * d)
-    elif beta == 1:
-        return jnp.sum(
-            V * (jnp.log(V + eps) - jnp.log(WH + eps)) - V + WH
-        )
-    elif beta == 0:
-        te, ie = V + eps, WH + eps
-        return jnp.sum(te / ie - jnp.log(te) + jnp.log(ie) - 1.0)
-    else:
-        ie = WH + eps
-        t = V
-        if beta < 0:
-            t = t + eps
-        return jnp.sum(
-            (t**beta + (beta - 1) * ie**beta - beta * t * ie ** (beta - 1))
-        ) / (beta * (beta - 1))
-
-
 @lru_cache(maxsize=None)
 def _get_sharded_nmf_fit(
     mesh: Mesh,
@@ -115,7 +87,7 @@ def _get_sharded_nmf_fit(
             if fuse:
                 part = fused_beta_loss(V, h, w, beta)
             else:
-                part = _local_beta_div_terms(V, wh(w, h), beta)
+                part = beta_div(wh(w, h), V, beta)
             return jnp.sqrt(2.0 * lax.psum(part, axes_all))
 
         def one_iter(state):
@@ -125,7 +97,7 @@ def _get_sharded_nmf_fit(
                 neg_l, pos_l = w_side_contractions(V, h, w, beta, need_pos)
             else:
                 WH = wh(w, h)
-                neg_cot, pos_cot = _local_cotangents(V, WH, beta)
+                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
                 neg_l = lax.dot_general(
                     neg_cot, h, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -146,7 +118,7 @@ def _get_sharded_nmf_fit(
                 neg_l, pos_l = h_side_contractions(V, h, w, beta, need_pos)
             else:
                 WH = wh(w, h)
-                neg_cot, pos_cot = _local_cotangents(V, WH, beta)
+                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
                 neg_l = neg_cot @ w
                 pos_l = None if beta == 1 else pos_cot @ w
             neg = lax.psum(neg_l, model_axis) if model_axis else neg_l
@@ -162,30 +134,9 @@ def _get_sharded_nmf_fit(
             h = h * mu_multiplier(neg, pos, h, gamma, l1_reg, l2_reg)
             return w, h
 
-        loss_init = loss_of((W, H))
-        n_chunks = max_iter // 10
-        rem = max_iter % 10
-
-        def chunk_body(carry):
-            state, prev, k, _ = carry
-            state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
-            loss = loss_of(state)
-            conv = (prev - loss) / loss_init < tol
-            return state, loss, k + 1, conv
-
-        def cond(carry):
-            return (~carry[3]) & (carry[2] < n_chunks)
-
-        (W, H), _, k, conv = lax.while_loop(
-            cond, chunk_body, ((W, H), loss_init, jnp.int32(0), False)
+        (W, H), k, conv = _converging_loop(
+            one_iter, loss_of, (W, H), tol, max_iter, False
         )
-        if rem:
-            (W, H) = lax.cond(
-                conv,
-                lambda s: s,
-                lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
-                (W, H),
-            )
         n_iter = jnp.where(conv, k * 10, max_iter)
         return W, H, n_iter
 
@@ -269,13 +220,6 @@ def _get_sharded_plca_fit(
     Z_alpha_active: bool,
     data_axis: str,
 ):
-    def _marginal_local(x):
-        axes = tuple(d for d in range(x.ndim) if d != 1)
-        return jnp.sum(x, axis=axes, keepdims=True)
-
-    def _thr(x):
-        return jnp.where(x > eps, x, eps)
-
     def local_fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
         # V: (m_loc, K), H: (m_loc, R); W (K, R) and Z (R,) replicated.
         norm = lax.psum(jnp.sum(V), data_axis)
@@ -290,11 +234,7 @@ def _get_sharded_plca_fit(
         def loss_of(state):
             w, h, z = state
             WZH = recon(h, w, z)
-            part = jnp.sum(
-                Vn * norm * (
-                    jnp.log(Vn * norm + eps) - jnp.log(WZH * norm + eps)
-                ) - Vn * norm + WZH * norm
-            )
+            part = beta_div(WZH * norm, Vn * norm, 1)
             return jnp.sqrt(2.0 * lax.psum(part, data_axis))
 
         def one_iter(state):
@@ -310,57 +250,38 @@ def _get_sharded_plca_fit(
                 z = z * jax.nn.relu(gZ)
                 Z_prior = z
                 if Z_alpha_active:
-                    z = _thr(z + (Z_alpha - 1.0))
+                    z = _threshold_eps(z + (Z_alpha - 1.0))
                 z = z / jnp.sum(z)
 
             if update_W:
                 w = w * jax.nn.relu(gW)
                 if Z_prior is None:
-                    W_divider = _marginal_local(w)  # W replicated: local ok
+                    W_divider = _plca_marginal_sum(w)  # W replicated: local ok
                     Z_prior = W_divider.reshape(-1)
                 else:
                     W_divider = Z_prior.reshape((-1,))
                 w = w / W_divider
                 if W_alpha_active:
-                    w = _thr(w + (W_alpha - 1.0))
-                    w = w / _marginal_local(w)
+                    w = _threshold_eps(w + (W_alpha - 1.0))
+                    w = w / _plca_marginal_sum(w)
 
             if update_H:
                 h = h * jax.nn.relu(gH)
                 if Z_prior is None:
-                    H_divider = lax.psum(_marginal_local(h), data_axis)
+                    H_divider = lax.psum(_plca_marginal_sum(h), data_axis)
                 else:
                     H_divider = Z_prior.reshape((-1,))
                 h = h / H_divider
                 if H_alpha_active:
-                    h = _thr(h + (H_alpha - 1.0))
-                    h = h / lax.psum(_marginal_local(h), data_axis)
+                    h = _threshold_eps(h + (H_alpha - 1.0))
+                    h = h / lax.psum(_plca_marginal_sum(h), data_axis)
 
             return w, h, z
 
-        loss_init = loss_of((W, H, Z))
-        n_chunks = max_iter // 10
-        rem = max_iter % 10
-
-        def chunk_body(carry):
-            state, prev, k, _ = carry
-            state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
-            loss = loss_of(state)
-            conv = (prev - loss) / loss_init < tol
-            return state, loss, k + 1, conv
-
-        (W, H, Z), _, k, conv = lax.while_loop(
-            lambda c: (~c[3]) & (c[2] < n_chunks),
-            chunk_body,
-            ((W, H, Z), loss_init, jnp.int32(0), False),
+        (W, H, Z), k, conv = _converging_loop(
+            one_iter, loss_of, (W, H, Z), tol, max_iter, False
         )
-        if rem:
-            (W, H, Z) = lax.cond(
-                conv,
-                lambda s: s,
-                lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
-                (W, H, Z),
-            )
+        # reference quirk: raw loop index (plca.py:304)
         n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
         return W, H, Z, n_iter, norm
 
@@ -397,13 +318,11 @@ def sharded_plca_fit(
     does).  Returns ``(W, H, Z, n_iter, norm)`` matching the single-device
     trajectories; ``H`` stays sharded over ``data_axis``.
     """
-    def active(a):
-        return not (isinstance(a, (int, float)) and a == 1)
-
     fit = _get_sharded_plca_fit(
         mesh, float(tol), int(max_iter),
         update_W, update_H, update_Z,
-        active(W_alpha), active(H_alpha), active(Z_alpha),
+        alpha_is_active(W_alpha), alpha_is_active(H_alpha),
+        alpha_is_active(Z_alpha),
         data_axis,
     )
     V = shard_target(V, mesh, P(data_axis))

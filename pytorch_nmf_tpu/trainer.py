@@ -35,6 +35,33 @@ from .ops.projection import proj_columns
 __all__ = ["BetaMu", "SparsityProj"]
 
 
+def _output_depends_on_input(f, x) -> bool:
+    """True when ``f(x)``'s primary output is data-dependent on ``x``.
+
+    The functional analogue of the reference's ``WH.requires_grad`` check
+    (trainer.py:75-77): abstractly trace ``f`` and walk the jaxpr's
+    reachability from the input variable to the first output.  Conservative
+    on opaque sub-jaxprs (any reachable input marks all outputs reachable),
+    and assumes dependence if the analysis fails.
+    """
+    from jax.extend.core import Literal
+
+    try:
+        closed = jax.make_jaxpr(f)(x)
+    except Exception:
+        return True
+    jaxpr = closed.jaxpr
+    reachable = set(jaxpr.invars)
+    for eqn in jaxpr.eqns:
+        if any(
+            not isinstance(a, Literal) and a in reachable
+            for a in eqn.invars
+        ):
+            reachable.update(eqn.outvars)
+    out = jaxpr.outvars[0]
+    return not isinstance(out, Literal) and out in reachable
+
+
 class _Optimizer:
     """Minimal param-group container mirroring ``torch.optim.Optimizer``."""
 
@@ -115,6 +142,13 @@ class BetaMu(_Optimizer):
                         V, WH = closure()
                     return WH, jnp.asarray(V)
 
+                # Skip parameters the closure output does not depend on —
+                # the reference's ``if not WH.requires_grad: continue``
+                # (trainer.py:75-77); updating a disconnected parameter
+                # would crush it to ~eps under regularization.
+                if not _output_depends_on_input(f, p.data):
+                    continue
+
                 WH, vjp, V = jax.vjp(f, p.data, has_aux=True)
 
                 # β-specific cotangent pair; β=1 uses ones for the positive
@@ -134,15 +168,6 @@ class BetaMu(_Optimizer):
 
                 neg_raw = vjp(neg_cot)[0]
                 pos_raw = vjp(pos_cot)[0]
-
-                # Skip parameters the closure output does not depend on —
-                # the reference's ``if not WH.requires_grad: continue``
-                # (trainer.py:75-77).  An unconnected input's VJP is exactly
-                # zero everywhere; updating it anyway would crush it to ~eps
-                # under regularization.
-                if not bool(jnp.any(neg_raw != 0) | jnp.any(pos_raw != 0)):
-                    continue
-
                 neg = jax.nn.relu(neg_raw)
                 pos = jax.nn.relu(pos_raw)
 
