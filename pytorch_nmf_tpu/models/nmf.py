@@ -28,8 +28,6 @@ model        V                        W / H
 from collections.abc import Iterable as Iterabc
 from typing import Iterable, Optional, Tuple, Union
 
-import jax.numpy as jnp
-
 from ..module import Module, Parameter, as_array
 from ..ops import recon as _recon
 from ..ops import solver as _solver
