@@ -60,12 +60,33 @@ def _beta2_updaters(gamma, l1_reg, l2_reg):
 
 def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
     from .pallas_mu import (
+        _fused_contractions,
         fused_beta_loss,
         h_side_contractions,
         w_side_contractions,
     )
 
     need_pos = beta != 1
+
+    if beta == 1 and l1_reg == 0 and l2_reg == 0:
+        # fully-fused KL update: the kernel applies relu/eps and the
+        # analytic-denominator multiply at the final accumulation step, so
+        # the updated factor is the kernel output (no epilogue HBM pass)
+        def upd_W(V, W, H):
+            out, _ = _fused_contractions(
+                V, H, W, beta=1.0, need_pos=False, w_side=True,
+                mu_pos=kl_pos_W(H),
+            )
+            return out
+
+        def upd_H(V, W, H):
+            out, _ = _fused_contractions(
+                V, H, W, beta=1.0, need_pos=False, w_side=False,
+                mu_pos=kl_pos_H(W).reshape(1, -1),
+            )
+            return out
+
+        return upd_W, upd_H
 
     def upd_W(V, W, H):
         neg, pos = w_side_contractions(V, H, W, beta, need_pos)

@@ -109,8 +109,12 @@ def _dot_nt(x, y):
     )
 
 
-def _make_kernel(beta, need_pos, M, K, bm, bk, w_side):
-    def kernel(v_ref, a_ref, b_ref, *out_refs):
+def _make_kernel(beta, need_pos, M, K, bm, bk, w_side, mu_epilogue=False):
+    def kernel(v_ref, a_ref, b_ref, *rest):
+        if mu_epilogue:
+            pos_ref, out_refs = rest[0], rest[1:]
+        else:
+            out_refs = rest
         if w_side:
             k_i, m_i = pl.program_id(0), pl.program_id(1)
             inner = m_i
@@ -161,6 +165,20 @@ def _make_kernel(beta, need_pos, M, K, bm, bk, w_side):
             for ref, contrib in zip(out_refs, contribs):
                 ref[:] = ref[:] + contrib
 
+        if mu_epilogue:
+            # fold the β=1 MU multiply into the final accumulation step:
+            # the updated factor leaves VMEM directly, skipping the HBM
+            # round-trip of (numerator out -> XLA epilogue -> factor in/out)
+            n_inner = pl.num_programs(1)
+
+            @pl.when(inner == n_inner - 1)
+            def _():
+                acc = out_refs[0][:]
+                factor = b if w_side else a  # the factor being updated
+                out_refs[0][:] = factor * (
+                    (jax.nn.relu(acc) + eps) / pos_ref[:]
+                )
+
     return kernel
 
 
@@ -184,18 +202,25 @@ def _auto_blocks(M: int, K: int, R: int):
     return bm, bk
 
 
-def _fused_contractions(V, H, W, *, beta, need_pos, w_side, bm=None, bk=None):
+def _fused_contractions(
+    V, H, W, *, beta, need_pos, w_side, bm=None, bk=None, mu_pos=None
+):
     # NOTE: intentionally not jitted here — the callers (solver loops) trace
     # it inside their own jit, and the interpret-mode escape hatch must be
     # re-evaluated per call rather than baked into a jit cache.
+    # ``mu_pos``: analytic (beta=1) MU denominator, broadcastable (1, R);
+    # when given, the kernel returns the UPDATED factor instead of the raw
+    # numerator (gamma=1 and no regularizers only — the caller guards this).
     M, K = V.shape
     R = H.shape[1]
     auto_bm, auto_bk = _auto_blocks(M, K, R)
     bm = auto_bm if bm is None else bm
     bk = auto_bk if bk is None else bk
     nm, nk = pl.cdiv(M, bm), pl.cdiv(K, bk)
+    mu_epilogue = mu_pos is not None
+    assert not (mu_epilogue and need_pos)
 
-    kernel = _make_kernel(beta, need_pos, M, K, bm, bk, w_side)
+    kernel = _make_kernel(beta, need_pos, M, K, bm, bk, w_side, mu_epilogue)
 
     v_spec = pl.BlockSpec(
         (bm, bk),
@@ -235,17 +260,29 @@ def _fused_contractions(V, H, W, *, beta, need_pos, w_side, bm=None, bk=None):
         transcendentals=(M * K if beta not in (0, 1) else 0),
     )
 
+    in_specs = [v_spec, a_spec, b_spec]
+    args = [V, H, W]
+    if mu_epilogue:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, R),
+                (lambda k, m: (0, 0)) if w_side else (lambda m, k: (0, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.broadcast_to(mu_pos, (1, R)).astype(jnp.float32))
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[v_spec, a_spec, b_spec],
+        in_specs=in_specs,
         out_specs=tuple([out_spec] * n_out),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((out_rows, R), jnp.float32)] * n_out
         ),
         cost_estimate=cost,
         interpret=_interpret_mode(),
-    )(V, H, W)
+    )(*args)
 
     outs = tuple(o[:crop] for o in outs)
     return outs if need_pos else (outs[0], None)

@@ -161,3 +161,26 @@ def test_sharded_fused_fit_matches_single_device(beta, model_axis):
         os.environ.pop("PNT_NO_PALLAS", None)
     assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
     assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+def test_kl_epilogue_fused_update_matches_manual(data):
+    """β=1 fully-fused update (multiplier applied in-kernel) must equal the
+    unfused numerator + XLA epilogue."""
+    from pytorch_nmf_tpu.ops.mu import kl_pos_H, kl_pos_W
+    from pytorch_nmf_tpu.ops.pallas_mu import _fused_contractions
+
+    V, W, H = data
+    out, _ = _fused_contractions(
+        V, H, W, beta=1.0, need_pos=False, w_side=True, mu_pos=kl_pos_W(H)
+    )
+    neg, _ = w_side_contractions(V, H, W, 1.0, False)
+    ref = W * ((jnp.maximum(neg, 0) + eps) / kl_pos_W(H))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+
+    out_h, _ = _fused_contractions(
+        V, H, W, beta=1.0, need_pos=False, w_side=False,
+        mu_pos=kl_pos_H(W).reshape(1, -1),
+    )
+    neg_h, _ = h_side_contractions(V, H, W, 1.0, False)
+    ref_h = H * ((jnp.maximum(neg_h, 0) + eps) / kl_pos_H(W))
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=2e-5)
