@@ -20,26 +20,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
-def time_ours(V, W0, H0, beta, iters, sparse=None):
-    import jax
-
-    from pytorch_nmf_tpu.models.nmf import NMF
-    from pytorch_nmf_tpu.ops.fast_nmf import nmf_updater_factory
-    from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
-    from pytorch_nmf_tpu.ops.sparse import nmf_sp_pos_neg
-
-    if sparse is not None:
-        fit = get_sparse_fit(
-            nmf_sp_pos_neg, float(beta), 0.0, iters, True, True, 0.0, 0.0
-        )
-        args = (sparse, W0, H0)
-    else:
-        fit = get_dense_fit(
-            NMF.reconstruct, float(beta), 0.0, iters, True, True, 0.0, 0.0,
-            False, nmf_updater_factory,
-        )
-        args = (V, W0, H0)
-
+def _time_fit_total(make_fit, args, iters):
+    fit = make_fit(iters)
     out = fit(*args)
     np.asarray(out[0])
     out = fit(*args)
@@ -50,7 +32,41 @@ def time_ours(V, W0, H0, beta, iters, sparse=None):
         out = fit(*args)
         np.asarray(out[0])
         times.append(time.perf_counter() - t0)
-    return min(times) / iters
+    return min(times)
+
+
+def time_ours(V, W0, H0, beta, iters, sparse=None):
+    """Marginal per-iteration rate: the same two-loop-length difference
+    quotient as bench.py, so the fixed per-dispatch relay latency (~35-40 ms
+    on the axon TPU) is measured out instead of being smeared into the
+    figure."""
+    from pytorch_nmf_tpu.models.nmf import NMF
+    from pytorch_nmf_tpu.ops.fast_nmf import resolve_nmf_updater_factory
+    from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
+    from pytorch_nmf_tpu.ops.sparse import nmf_sp_pos_neg
+
+    if sparse is not None:
+        def make_fit(n):
+            return get_sparse_fit(
+                nmf_sp_pos_neg, float(beta), 0.0, n, True, True, 0.0, 0.0
+            )
+
+        args = (sparse, W0, H0)
+    else:
+        factory = resolve_nmf_updater_factory()
+
+        def make_fit(n):
+            return get_dense_fit(
+                NMF.reconstruct, float(beta), 0.0, n, True, True, 0.0, 0.0,
+                False, factory,
+            )
+
+        args = (V, W0, H0)
+
+    short = max(iters // 10, 1)
+    t_short = _time_fit_total(make_fit, args, short)
+    t_long = _time_fit_total(make_fit, args, iters)
+    return (t_long - t_short) / (iters - short)
 
 
 def time_torch_reference(V, W0, H0, beta, iters):

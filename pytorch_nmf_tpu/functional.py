@@ -55,10 +55,15 @@ def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
             update_W, update_H, float(l1_reg), float(l2_reg),
         )
     else:
+        updater_factory = (
+            model_cls._updater_resolver()
+            if model_cls._updater_resolver is not None
+            else None
+        )
         fit = get_dense_fit(
             model_cls.reconstruct, float(beta), float(tol), int(max_iter),
             update_W, update_H, float(l1_reg), float(l2_reg), False,
-            model_cls._updater_factory,
+            updater_factory,
         )
     return fit(V, W, H)
 

@@ -31,7 +31,7 @@ from typing import Iterable, Optional, Tuple, Union
 from ..module import Module, Parameter, as_array
 from ..ops import recon as _recon
 from ..ops import solver as _solver
-from ..ops.fast_nmf import nmf_updater_factory, nmf_updater_factory_spmd
+from ..ops.fast_nmf import resolve_nmf_updater_factory
 from ..ops.sparse import SparseCOO, nmf_sp_pos_neg
 from ._common import (
     assert_nonneg,
@@ -143,8 +143,10 @@ class BaseComponent(Module):
 
     # hooks supplied by subclasses that support sparse targets / fast paths
     _sp_pos_neg = None  # staticmethod (V, H, W, beta) -> (pos, neg)
-    _updater_factory = None  # staticmethod factory for specialized updaters
-    _updater_factory_spmd = None  # shard-safe subset, used for sharded V
+    # staticmethod (multi_device: bool) -> updater factory | None, resolved
+    # per fit() call so env toggles (Pallas on/off/interpret) take effect
+    # immediately and land in the solver's compile cache key
+    _updater_resolver = None
 
     # -- solvers ---------------------------------------------------------------
     def fit(
@@ -189,15 +191,15 @@ class BaseComponent(Module):
                 bool(verbose),
             )
         else:
-            updater_factory = self._updater_factory
             try:
                 multi_device = len(V.devices()) > 1
             except (AttributeError, TypeError):
                 multi_device = False
-            if multi_device:
-                # Pallas fast paths are single-device; under GSPMD-sharded
-                # inputs restrict to the shard-friendly updaters.
-                updater_factory = self._updater_factory_spmd
+            updater_factory = (
+                self._updater_resolver(multi_device)
+                if self._updater_resolver is not None
+                else None
+            )
             fit_fn = _solver.get_dense_fit(
                 type(self).reconstruct,
                 float(beta),
@@ -323,8 +325,7 @@ class NMF(BaseComponent):
         return _recon.linear(H, W)
 
     _sp_pos_neg = staticmethod(nmf_sp_pos_neg)
-    _updater_factory = staticmethod(nmf_updater_factory)
-    _updater_factory_spmd = staticmethod(nmf_updater_factory_spmd)
+    _updater_resolver = staticmethod(resolve_nmf_updater_factory)
 
 
 class NMFD(BaseComponent):

@@ -26,7 +26,13 @@ from jax import lax
 from ..constants import eps
 from .mu import kl_pos_H, kl_pos_W, mu_multiplier
 
-__all__ = ["nmf_updater_factory"]
+__all__ = [
+    "nmf_updater_factory",
+    "nmf_updater_factory_pallas",
+    "nmf_updater_factory_interpret",
+    "nmf_updater_factory_xla",
+    "resolve_nmf_updater_factory",
+]
 
 
 def _dot_tn(a, b):
@@ -58,7 +64,7 @@ def _beta2_updaters(gamma, l1_reg, l2_reg):
     return upd_W, upd_H
 
 
-def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
+def _pallas_updaters(beta, gamma, l1_reg, l2_reg, interpret=False):
     from .pallas_mu import (
         _fused_contractions,
         fused_beta_loss,
@@ -75,27 +81,27 @@ def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
         def upd_W(V, W, H):
             out, _ = _fused_contractions(
                 V, H, W, beta=1.0, need_pos=False, w_side=True,
-                mu_pos=kl_pos_W(H),
+                mu_pos=kl_pos_W(H), interpret=interpret,
             )
             return out
 
         def upd_H(V, W, H):
             out, _ = _fused_contractions(
                 V, H, W, beta=1.0, need_pos=False, w_side=False,
-                mu_pos=kl_pos_H(W).reshape(1, -1),
+                mu_pos=kl_pos_H(W).reshape(1, -1), interpret=interpret,
             )
             return out
 
         return upd_W, upd_H
 
     def upd_W(V, W, H):
-        neg, pos = w_side_contractions(V, H, W, beta, need_pos)
+        neg, pos = w_side_contractions(V, H, W, beta, need_pos, interpret)
         neg = jax.nn.relu(neg) + eps
         pos = kl_pos_W(H) if beta == 1 else jax.nn.relu(pos) + eps
         return W * mu_multiplier(neg, pos, W, gamma, l1_reg, l2_reg)
 
     def upd_H(V, W, H):
-        neg, pos = h_side_contractions(V, H, W, beta, need_pos)
+        neg, pos = h_side_contractions(V, H, W, beta, need_pos, interpret)
         neg = jax.nn.relu(neg) + eps
         pos = kl_pos_H(W) if beta == 1 else jax.nn.relu(pos) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
@@ -107,30 +113,66 @@ def _pallas_updaters(beta, gamma, l1_reg, l2_reg):
         return upd_W, upd_H
 
     def loss_terms(V, W, H):
-        return fused_beta_loss(V, H, W, beta)
+        return fused_beta_loss(V, H, W, beta, interpret)
 
     return upd_W, upd_H, loss_terms
 
 
-def nmf_updater_factory(beta, gamma, l1_reg, l2_reg):
-    """Return specialized ``(upd_W, upd_H)`` for this β, or ``None`` to use
-    the generic VJP engine.
+def nmf_updater_factory_pallas(beta, gamma, l1_reg, l2_reg):
+    """β = 2 → Gram-trick updaters (pure XLA); other β → compiled fused
+    Pallas ratio-GEMM kernels (single TPU device)."""
+    if beta == 2:
+        return _beta2_updaters(gamma, l1_reg, l2_reg)
+    return _pallas_updaters(beta, gamma, l1_reg, l2_reg, interpret=False)
 
-    β = 2 → Gram-trick updaters (pure XLA, shard-friendly); other β on a
-    TPU backend → fused Pallas ratio-GEMM kernels (single-device).
+
+def nmf_updater_factory_interpret(beta, gamma, l1_reg, l2_reg):
+    """Like :func:`nmf_updater_factory_pallas` but running the kernels
+    through the Pallas interpreter (CPU testing)."""
+    if beta == 2:
+        return _beta2_updaters(gamma, l1_reg, l2_reg)
+    return _pallas_updaters(beta, gamma, l1_reg, l2_reg, interpret=True)
+
+
+def nmf_updater_factory_xla(beta, gamma, l1_reg, l2_reg):
+    """Pallas-free subset: the Gram trick at β = 2, the generic VJP engine
+    otherwise.  Also the shard-safe choice under GSPMD-annotated inputs."""
+    if beta == 2:
+        return _beta2_updaters(gamma, l1_reg, l2_reg)
+    return None
+
+
+# backwards-compatible alias (pre-round-2 name for the GSPMD-safe subset)
+nmf_updater_factory_spmd = nmf_updater_factory_xla
+
+
+def resolve_nmf_updater_factory(multi_device: bool = False):
+    """Pick the NMF updater factory for *this* call.
+
+    Returns one of the module-level factory functions so that solver caches
+    keyed on the factory object distinguish Pallas / interpreter / plain-XLA
+    paths — the env toggles (``PNT_NO_PALLAS``, ``PNT_PALLAS_INTERPRET``)
+    are re-read on every call instead of being baked into a cached trace.
     """
-    if beta == 2:
-        return _beta2_updaters(gamma, l1_reg, l2_reg)
-    from .pallas_mu import pallas_supported
+    from .pallas_mu import _interpret_mode, pallas_supported
 
-    if pallas_supported():
-        return _pallas_updaters(beta, gamma, l1_reg, l2_reg)
-    return None
+    if multi_device:
+        # Pallas kernels are single-device; GSPMD-sharded inputs take the
+        # shard-friendly XLA subset (the explicit shard_map solver in
+        # :mod:`pytorch_nmf_tpu.parallel.sharded` runs Pallas per shard).
+        return nmf_updater_factory_xla
+    if not pallas_supported():
+        return nmf_updater_factory_xla
+    if _interpret_mode():
+        return nmf_updater_factory_interpret
+    return nmf_updater_factory_pallas
 
 
-def nmf_updater_factory_spmd(beta, gamma, l1_reg, l2_reg):
-    """Variant for multi-device (GSPMD-annotated) inputs: only the
-    shard-friendly Gram path; the Pallas kernels are single-device."""
-    if beta == 2:
-        return _beta2_updaters(gamma, l1_reg, l2_reg)
-    return None
+def nmf_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Env-resolving convenience wrapper (benchmarks, scripts).
+
+    Callers that cache compiled fits per factory object should call
+    :func:`resolve_nmf_updater_factory` themselves and pass its result, so
+    the Pallas/interpret decision lands in their cache key.
+    """
+    return resolve_nmf_updater_factory()(beta, gamma, l1_reg, l2_reg)

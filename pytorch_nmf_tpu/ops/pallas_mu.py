@@ -76,7 +76,10 @@ def pallas_supported() -> bool:
 def _cotangent_tiles(v, wh, beta: float, need_pos: bool):
     """Elementwise β-cotangents on a tile (VPU math; mirrors
     reference nmf.py:61-74)."""
-    if beta == 1:
+    if beta == 2:
+        # reference nmf.py:62-63: neg <- V, pos <- WH (no eps on either)
+        return v, (wh if need_pos else None)
+    elif beta == 1:
         return v / (wh + eps), None
     elif beta == 0:
         r = 1.0 / (wh + eps)
@@ -203,14 +206,18 @@ def _auto_blocks(M: int, K: int, R: int):
 
 
 def _fused_contractions(
-    V, H, W, *, beta, need_pos, w_side, bm=None, bk=None, mu_pos=None
+    V, H, W, *, beta, need_pos, w_side, bm=None, bk=None, mu_pos=None,
+    interpret=None,
 ):
     # NOTE: intentionally not jitted here — the callers (solver loops) trace
-    # it inside their own jit, and the interpret-mode escape hatch must be
-    # re-evaluated per call rather than baked into a jit cache.
+    # it inside their own jit.  ``interpret`` is resolved from the env when
+    # not given explicitly; callers whose traces are cached (lru/jit) must
+    # pass it explicitly so the decision is part of their cache key.
     # ``mu_pos``: analytic (beta=1) MU denominator, broadcastable (1, R);
     # when given, the kernel returns the UPDATED factor instead of the raw
     # numerator (gamma=1 and no regularizers only — the caller guards this).
+    if interpret is None:
+        interpret = _interpret_mode()
     M, K = V.shape
     R = H.shape[1]
     auto_bm, auto_bk = _auto_blocks(M, K, R)
@@ -281,7 +288,7 @@ def _fused_contractions(
             [jax.ShapeDtypeStruct((out_rows, R), jnp.float32)] * n_out
         ),
         cost_estimate=cost,
-        interpret=_interpret_mode(),
+        interpret=interpret,
     )(*args)
 
     outs = tuple(o[:crop] for o in outs)
@@ -332,9 +339,11 @@ def _loss_kernel(beta, M, K, bm, bk):
     return kernel
 
 
-def fused_beta_loss(V, H, W, beta: float):
+def fused_beta_loss(V, H, W, beta: float, interpret=None):
     """Fused ``beta_div(H Wᵀ, V, β)`` — the reconstruction never leaves
     VMEM.  Used for the solvers' every-10-iterations loss cadence."""
+    if interpret is None:
+        interpret = _interpret_mode()
     M, K = V.shape
     R = H.shape[1]
     bm, bk = _auto_blocks(M, K, R)
@@ -361,27 +370,31 @@ def fused_beta_loss(V, H, W, beta: float):
             bytes_accessed=4 * (M * K + M * R + K * R),
             transcendentals=(M * K if beta not in (2,) else 0),
         ),
-        interpret=_interpret_mode(),
+        interpret=interpret,
     )(V, H, W)
     return out[0, 0]
 
 
-def w_side_contractions(V, H, W, beta: float, need_pos: bool = True):
+def w_side_contractions(V, H, W, beta: float, need_pos: bool = True,
+                        interpret=None):
     """Fused ``(neg_W, pos_W)`` = ``(f_β(V, HWᵀ)ᵀ H, g_β(HWᵀ)ᵀ H)``.
 
     ``V (M, K)``, ``H (M, R)``, ``W (K, R)`` → outputs ``(K, R)``.
     ``pos_W`` is ``None`` when ``need_pos=False`` (β=1 analytic shortcut).
     """
     return _fused_contractions(
-        V, H, W, beta=beta, need_pos=need_pos, w_side=True
+        V, H, W, beta=beta, need_pos=need_pos, w_side=True,
+        interpret=interpret,
     )
 
 
-def h_side_contractions(V, H, W, beta: float, need_pos: bool = True):
+def h_side_contractions(V, H, W, beta: float, need_pos: bool = True,
+                        interpret=None):
     """Fused ``(neg_H, pos_H)`` = ``(f_β(V, HWᵀ) W, g_β(HWᵀ) W)``.
 
     ``V (M, K)``, ``H (M, R)``, ``W (K, R)`` → outputs ``(M, R)``.
     """
     return _fused_contractions(
-        V, H, W, beta=beta, need_pos=need_pos, w_side=False
+        V, H, W, beta=beta, need_pos=need_pos, w_side=False,
+        interpret=interpret,
     )

@@ -3,11 +3,11 @@ r"""Sharded NMF solvers: GSPMD annotation helpers and an explicit
 
 Two complementary paths (SURVEY.md §5 "distributed communication backend"):
 
-1. **Annotation path** (works for every model): place ``V`` and ``H`` with a
-   ``NamedSharding`` over the sample axis (and optionally the feature axis)
-   and run the ordinary jitted solver — XLA GSPMD partitions the GEMMs /
-   convolutions and inserts the collectives.  Use :func:`shard_target` +
-   ``BaseComponent.fit(..., mesh=...)``.
+1. **Annotation path** (works for every model): place ``V`` (and optionally
+   the factors) with a ``NamedSharding`` over the sample axis via
+   :func:`shard_target`, then call the ordinary ``BaseComponent.fit(V)`` —
+   multi-device targets are auto-detected (models/nmf.py) and XLA GSPMD
+   partitions the GEMMs / convolutions and inserts the collectives.
 
 2. **Explicit path** (this module, ``NMF`` only): the MU algebra is
    embarrassingly reducible — for ``V ≈ H Wᵀ`` with rows (samples) sharded

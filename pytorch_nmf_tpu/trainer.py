@@ -223,6 +223,22 @@ class SparsityProj(_Optimizer):
 
             params = [p for p in group["params"] if p.requires_grad]
 
+            # Skip parameters the closure's loss does not depend on — the
+            # reference leaves those untouched (``p.grad is None`` check,
+            # trainer.py:165-166); projecting them would silently mutate a
+            # disconnected parameter.
+            def _connected(p):
+                def f1(x):
+                    with p.substituted(x):
+                        return jnp.asarray(closure())
+
+                return _output_depends_on_input(f1, p.data)
+
+            params = [p for p in params if _connected(p)]
+            if not params:
+                loss = closure()
+                continue
+
             def f(datas):
                 ctxs = [p.substituted(x) for p, x in zip(params, datas)]
                 for c in ctxs:
