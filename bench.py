@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""Headline benchmark: dense NMF multiplicative-update iteration time.
+"""Headline benchmark + graded grid: NMF multiplicative-update iteration time.
 
-Reproduces the reference's benchmark configuration
-(examples/benchmarks/benchmark.ipynb: V = 5168x1025 spectrogram-sized
-matrix, rank 88, beta=1 KL) and reports milliseconds per MU iteration on
-the available accelerator.
+Covers the reference's benchmark configuration (BASELINE.md: V = 5168x1025
+spectrogram-sized matrix, rank 88, dense beta in {0, 0.5, 1, 1.5, 2} and
+sparse top-2%-COO beta in {0.5, 1, 1.5, 2}) plus the north-star scale
+4096x4096 rank-256 at beta in {1, 2} (BASELINE.md "Targets").
 
-Baseline: the reference (torchnmf v0.3.4) on an RTX 3070 measures
-0.00131 s/iter at beta=1 (BASELINE.md).  ``vs_baseline`` is the speedup
-factor over that number (>1 means faster).
+Methodology: every dispatch through the (relay-attached) TPU runtime carries
+a large fixed latency (~35-40 ms) that is not device compute.  The honest
+per-iteration cost is the MARGINAL rate: time the same compiled on-device
+fit at two loop lengths and divide the difference — fixed overhead cancels.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "ms/iter", "vs_baseline": ...}
+Prints exactly one JSON line.  Headline keys ("metric", "value", "unit",
+"vs_baseline") describe the reference benchmark's beta=1 dense row (vs. the
+torchnmf CUDA RTX 3070 baseline); the "grid" key carries every measured row
+with its own baseline comparison.
 """
 
 import json
@@ -19,60 +22,152 @@ import time
 
 import numpy as np
 
+# torchnmf CUDA (RTX 3070) ms/iter from BASELINE.md; sklearn-CPU ms/iter for
+# the sparse 10x-sklearn north-star target.
+BASELINE_CUDA_MS = {
+    ("dense", 0.0): 1.96,
+    ("dense", 0.5): 2.17,
+    ("dense", 1.0): 1.31,
+    ("dense", 1.5): 2.19,
+    ("dense", 2.0): 1.33,
+    ("sparse", 0.5): 634.0,
+    ("sparse", 1.0): 84.8,
+    ("sparse", 1.5): 625.0,
+    ("sparse", 2.0): 4.37,
+}
+BASELINE_SKLEARN_MS = {
+    ("sparse", 0.5): 512.0,
+    ("sparse", 1.0): 72.9,
+    ("sparse", 1.5): 367.0,
+    ("sparse", 2.0): 11.6,
+}
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from pytorch_nmf_tpu.models.nmf import NMF
-    from pytorch_nmf_tpu.ops.fast_nmf import nmf_updater_factory
-    from pytorch_nmf_tpu.ops.solver import get_dense_fit
+def _marginal_ms_per_iter(make_fit, args, iters_short=500, iters_long=4000,
+                          reps=5):
+    """Two-loop-length difference quotient, min over reps.
 
-    M, K, R = 5168, 1025, 88
-    BETA = 1.0
-    BASELINE_MS = 1.31  # torchnmf CUDA RTX 3070, beta=1 (BASELINE.md)
-
-    rng = np.random.RandomState(0)
-    V = jnp.asarray(rng.rand(M, K).astype("f"))
-    W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
-    H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
-
-    # Each dispatch through the (relay-attached) TPU runtime carries a
-    # large fixed latency (~35 ms here) that is not device compute.  The
-    # honest per-iteration cost is the MARGINAL rate: time the same fit at
-    # two loop lengths and divide the difference — fixed overhead cancels.
-    ITERS_SHORT = 100
-    ITERS_LONG = 1000
+    The relay runtime's run-to-run variance is ~±100 ms even on mins, so the
+    loop lengths are chosen to put the expected time difference well above
+    that floor for every grid row.  If a session still produces a
+    non-positive difference, retry once, then fall back to the total rate of
+    the long run — biased high by the amortized dispatch cost, never
+    negative.
+    """
 
     def timed(iters):
-        fit = get_dense_fit(
-            NMF.reconstruct, BETA, 0.0, iters, True, True, 0.0, 0.0, False,
-            nmf_updater_factory,
-        )
+        fit = make_fit(iters)
         for _ in range(2):  # compile + relay first-execution warmup
-            out = fit(V, W, H)
+            out = fit(*args)
             np.asarray(out[0])
         times = []
-        for _ in range(5):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            out = fit(V, W, H)
+            out = fit(*args)
             np.asarray(out[0])
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_short = timed(ITERS_SHORT)
-    t_long = timed(ITERS_LONG)
-    ms_per_iter = (t_long - t_short) / (ITERS_LONG - ITERS_SHORT) * 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": f"nmf_dense_mu_iter_{M}x{K}_r{R}_beta1",
-                "value": round(ms_per_iter, 5),
-                "unit": "ms/iter",
-                "vs_baseline": round(BASELINE_MS / ms_per_iter, 2),
-            }
-        )
-    )
+    for _ in range(2):
+        t_short = timed(iters_short)
+        t_long = timed(iters_long)
+        ms = (t_long - t_short) / (iters_long - iters_short) * 1000.0
+        if ms > 0:
+            return ms
+    return t_long / iters_long * 1000.0
+
+
+def main():
+    import jax.numpy as jnp
+
+    from pytorch_nmf_tpu.models.nmf import NMF
+    from pytorch_nmf_tpu.ops.fast_nmf import resolve_nmf_updater_factory
+    from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
+    from pytorch_nmf_tpu.ops.sparse import nmf_sp_pos_neg, sparse_from_dense
+
+    factory = resolve_nmf_updater_factory()
+    rng = np.random.RandomState(0)
+    grid = []
+
+    def dense_row(M, K, R, beta, tag):
+        V = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
+        W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
+        H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
+
+        def make_fit(n):
+            # tol=-inf: the convergence test ((prev-loss)/init < tol) must
+            # NEVER fire during timing — tol=0 still exits early when f32
+            # noise makes the loss tick upward near the optimum
+            return get_dense_fit(
+                NMF.reconstruct, float(beta), float("-inf"), n, True, True,
+                0.0, 0.0, False, factory,
+            )
+
+        ms = _marginal_ms_per_iter(make_fit, (V, W, H))
+        row = {
+            "metric": f"nmf_dense_mu_iter_{M}x{K}_r{R}_beta{beta:g}",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+        base = BASELINE_CUDA_MS.get(("dense", float(beta)))
+        if tag == "ref" and base is not None:
+            row["vs_baseline"] = round(base / ms, 2)
+        grid.append(row)
+        return row
+
+    def sparse_row(M, K, R, beta):
+        Vd = rng.rand(M, K).astype("f")
+        thr = float(np.quantile(Vd, 0.98))
+        V_sp = sparse_from_dense(np.where(Vd > thr, Vd, 0))
+        W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
+        H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
+
+        def make_fit(n):
+            return get_sparse_fit(
+                nmf_sp_pos_neg, float(beta), float("-inf"), n, True, True,
+                0.0, 0.0,
+            )
+
+        ms = _marginal_ms_per_iter(make_fit, (V_sp, W, H))
+        row = {
+            "metric": f"nmf_sparse_mu_iter_{M}x{K}_r{R}_2pct_beta{beta:g}",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+            "vs_baseline": round(
+                BASELINE_CUDA_MS[("sparse", float(beta))] / ms, 2
+            ),
+            "vs_sklearn_cpu": round(
+                BASELINE_SKLEARN_MS[("sparse", float(beta))] / ms, 2
+            ),
+        }
+        grid.append(row)
+        return row
+
+    # reference benchmark scale (5168x1025 r88) — dense beta grid
+    headline = None
+    for beta in (0.0, 0.5, 1.0, 1.5, 2.0):
+        row = dense_row(5168, 1025, 88, beta, tag="ref")
+        if beta == 1.0:
+            headline = row
+
+    # north-star scale (BASELINE.md "Targets": 4096x4096 rank-256)
+    for beta in (1.0, 2.0):
+        dense_row(4096, 4096, 256, beta, tag="northstar")
+
+    # sparse top-2% COO grid
+    for beta in (0.5, 1.0, 1.5, 2.0):
+        sparse_row(5168, 1025, 88, beta)
+
+    out = {
+        "metric": headline["metric"],
+        "value": headline["value"],
+        "unit": "ms/iter",
+        "vs_baseline": headline["vs_baseline"],
+        "grid": grid,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -121,6 +121,7 @@ def sparsity_proj_step(
     sparsity: float,
     dim: int = 1,
     max_iter: int = 10,
+    return_grads: bool = False,
 ):
     """One Hoyer projected-gradient step with backtracking, fully jittable.
 
@@ -128,8 +129,11 @@ def sparsity_proj_step(
         loss_fn: pure ``params_pytree -> scalar loss``.
         lr: current step size (carry it between calls; adapts ×0.5/×1.2
             like the reference, trainer.py:185-187).
+        return_grads: also return the loss gradient pytree (the class
+            trainer's ``p.grad`` observable).
 
-    Returns ``(new_params, new_lr, loss)``.
+    Returns ``(new_params, new_lr, loss)``, plus ``grads`` when
+    ``return_grads``.
     """
     leaves, treedef = jax.tree_util.tree_flatten(params)
     init_loss, grads = jax.value_and_grad(
@@ -175,8 +179,11 @@ def sparsity_proj_step(
         jnp.where(failed, p + lr * g, p) for p, g in zip(new_leaves, grads)
     ]
     lr = jnp.where(failed, lr * 0.5, lr)
-    return (
+    out = (
         jax.tree_util.tree_unflatten(treedef, new_leaves),
         lr * 1.2,
         loss,
     )
+    if return_grads:
+        return out + (jax.tree_util.tree_unflatten(treedef, grads),)
+    return out

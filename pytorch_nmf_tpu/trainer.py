@@ -62,6 +62,74 @@ def _output_depends_on_input(f, x) -> bool:
     return not isinstance(out, Literal) and out in reachable
 
 
+def _outputs_depend_on_inputs(f, xs):
+    """Per-input dependence of ``f(xs)``'s primary output, in one trace.
+
+    ``xs`` is a list of arrays; returns ``[bool] * len(xs)``.  Same
+    conservative jaxpr reachability as :func:`_output_depends_on_input`,
+    but tracks a bitmask of reaching inputs per variable so one
+    ``make_jaxpr`` covers every parameter.  Assumes full dependence when
+    the trace fails.
+    """
+    from jax.extend.core import Literal
+
+    try:
+        closed = jax.make_jaxpr(f)(xs)
+    except Exception:
+        return [True] * len(xs)
+    jaxpr = closed.jaxpr
+    masks = {v: 1 << i for i, v in enumerate(jaxpr.invars)}
+    for eqn in jaxpr.eqns:
+        m = 0
+        for a in eqn.invars:
+            if not isinstance(a, Literal):
+                m |= masks.get(a, 0)
+        if m:
+            for ov in eqn.outvars:
+                masks[ov] = masks.get(ov, 0) | m
+    out = jaxpr.outvars[0]
+    om = 0 if isinstance(out, Literal) else masks.get(out, 0)
+    return [bool(om >> i & 1) for i in range(len(xs))]
+
+
+def _closure_fingerprint(closure):
+    """Identity key for a user closure: its code object plus the ids of
+    everything it captures (cells and referenced globals).
+
+    Two lambdas created on the same source line capturing the same target
+    array and model compare equal — the common ``for _ in range(n):
+    trainer.step(lambda: (V, model()))`` pattern hits the compiled cache.
+    Returns ``(key, refs)`` where ``refs`` must be kept alive alongside the
+    cache entry (a strong reference pins each id against reuse), or ``None``
+    when the callable is not introspectable (fall back to the eager path).
+    """
+    code = getattr(closure, "__code__", None)
+    if code is None:
+        return None
+    refs = []
+    for c in closure.__closure__ or ():
+        try:
+            v = c.cell_contents
+        except ValueError:  # empty cell (e.g. self-referential def)
+            continue
+        if v is not closure:
+            refs.append(v)
+    globs = getattr(closure, "__globals__", {})
+    refs.extend(globs[n] for n in code.co_names if n in globs)
+    key = (code,) + tuple(id(r) for r in refs)
+    return key, refs
+
+
+def _substitute_all(params, vals):
+    """ExitStack substituting every Parameter with the matching value."""
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    for p, v in zip(params, vals):
+        stack.enter_context(p.substituted(v))
+    return stack
+
+
 class _Optimizer:
     """Minimal param-group container mirroring ``torch.optim.Optimizer``."""
 
@@ -112,7 +180,8 @@ class BetaMu(_Optimizer):
     reference cost model (trainer.py:73).
     """
 
-    def __init__(self, params, beta=1, l1_reg=0, l2_reg=0, orthogonal=0):
+    def __init__(self, params, beta=1, l1_reg=0, l2_reg=0, orthogonal=0,
+                 jit_compile=True):
         if not 0.0 <= l1_reg:
             raise ValueError(f"Invalid l1_reg value: {l1_reg}")
         if not 0.0 <= l2_reg:
@@ -123,9 +192,131 @@ class BetaMu(_Optimizer):
             params,
             dict(beta=beta, l1_reg=l1_reg, l2_reg=l2_reg, orthogonal=orthogonal),
         )
+        self.jit_compile = bool(jit_compile)
+        self._step_cache = {}
+
+    # -- compiled path -------------------------------------------------------
+    def _all_params_and_hypers(self):
+        params, hypers = [], []
+        for group in self.param_groups:
+            for p in group["params"]:
+                params.append(p)
+                hypers.append((
+                    group["beta"], group["l1_reg"], group["l2_reg"],
+                    group["orthogonal"],
+                ))
+        return params, hypers
+
+    def _build_step(self, closure, params, hypers):
+        """Trace the closure once to derive the per-parameter dependence
+        mask, then compile the FULL coordinate-wise sweep as one XLA
+        program.  Everything the closure captures besides the optimizer's
+        parameters is baked in as compile-time constants — sound because
+        the cache key pins the identity of every captured object."""
+        vals0 = [p.data for p in params]
+
+        def probe(vals):
+            with _substitute_all(params, vals):
+                _, WH = closure()
+            return WH
+
+        deps = _outputs_depend_on_inputs(probe, vals0)
+        mask = [p.requires_grad and d for p, d in zip(params, deps)]
+
+        def sweep(vals):
+            cur = list(vals)
+            grads = [None] * len(cur)
+            for i in range(len(cur)):
+                if not mask[i]:
+                    continue
+                beta, l1_reg, l2_reg, ortho = hypers[i]
+                gamma = gamma_from_beta(beta)
+
+                def f(x, _i=i):
+                    vs = list(cur)
+                    vs[_i] = x
+                    with _substitute_all(params, vs):
+                        V, WH = closure()
+                    return WH, jnp.asarray(V)
+
+                WH, vjp, V = jax.vjp(f, cur[i], has_aux=True)
+                if beta == 2:
+                    neg_cot, pos_cot = V, WH
+                elif beta == 1:
+                    neg_cot = V / (WH + eps)
+                    pos_cot = jnp.ones_like(WH)
+                elif beta == 0:
+                    recip = 1.0 / (WH + eps)
+                    neg_cot, pos_cot = recip * recip * V, recip
+                else:
+                    WH_eps = WH + eps
+                    neg_cot = WH_eps ** (beta - 2) * V
+                    pos_cot = WH_eps ** (beta - 1)
+
+                neg_raw = vjp(neg_cot)[0]
+                pos_raw = vjp(pos_cot)[0]
+                neg = jax.nn.relu(neg_raw)
+                pos = jax.nn.relu(pos_raw)
+                grads[i] = pos_raw - neg
+
+                p_val = cur[i]
+                if l1_reg > 0:
+                    pos = pos + l1_reg
+                if l2_reg > 0:
+                    pos = pos + l2_reg * p_val
+                if ortho > 0:
+                    pos = pos + ortho * (
+                        jnp.sum(p_val, axis=1, keepdims=True) - p_val
+                    )
+                multiplier = (neg + eps) / (pos + eps)
+                if gamma != 1:
+                    multiplier = multiplier**gamma
+                cur[i] = p_val * multiplier
+            updated = [cur[i] for i in range(len(cur)) if mask[i]]
+            out_grads = [grads[i] for i in range(len(cur)) if mask[i]]
+            return updated, out_grads
+
+        return jax.jit(sweep), mask
+
+    def _step_compiled(self, closure, key, refs):
+        params, hypers = self._all_params_and_hypers()
+        full_key = key + (
+            tuple(id(p) for p in params),
+            tuple(p.requires_grad for p in params),
+            tuple((tuple(p.data.shape), str(p.data.dtype)) for p in params),
+            tuple(hypers),
+        )
+        entry = self._step_cache.get(full_key)
+        if entry is None:
+            jitted, mask = self._build_step(closure, params, hypers)
+            # strong refs pin the captured objects' ids for the cache's life
+            entry = (jitted, mask, refs, params)
+            self._step_cache[full_key] = entry
+        jitted, mask, _, _ = entry
+        updated, grads = jitted([p.data for p in params])
+        it = iter(range(len(updated)))
+        for p, m in zip(params, mask):
+            if m:
+                j = next(it)
+                p.data = updated[j]
+                p.grad = grads[j]
+        return None
 
     def step(self, closure: Callable):
-        """Performs a single coordinate-wise MU pass over all parameters."""
+        """Performs a single coordinate-wise MU pass over all parameters.
+
+        The full sweep runs as ONE compiled XLA program when the closure is
+        introspectable (cached per closure structure + parameter set);
+        otherwise falls back to the eager per-parameter VJP path with
+        identical semantics.
+        """
+        if self.jit_compile:
+            fp = _closure_fingerprint(closure)
+            if fp is not None:
+                return self._step_compiled(closure, *fp)
+        return self._step_eager(closure)
+
+    def _step_eager(self, closure: Callable):
         for group in self.param_groups:
             beta = group["beta"]
             l1_reg = group["l1_reg"]
@@ -206,14 +397,117 @@ class SparsityProj(_Optimizer):
     ``step(closure)`` expects ``closure() -> loss``.
     """
 
-    def __init__(self, params, sparsity, dim=1, max_iter=10):
+    def __init__(self, params, sparsity, dim=1, max_iter=10, jit_compile=True):
         if not 0.0 < sparsity < 1.0:
             raise ValueError(f"Invalid sparsity value: {sparsity}")
         super().__init__(
             params, dict(sparsity=sparsity, lr=1, dim=dim, max_iter=max_iter)
         )
+        self.jit_compile = bool(jit_compile)
+        self._step_cache = {}
+
+    # -- compiled path -------------------------------------------------------
+    def _build_step(self, closure):
+        from .ops.trainer_core import sparsity_proj_step
+
+        all_params = [p for g in self.param_groups for p in g["params"]]
+        vals0 = [p.data for p in all_params]
+
+        def probe(vals):
+            with _substitute_all(all_params, vals):
+                return jnp.asarray(closure())
+
+        deps = _outputs_depend_on_inputs(probe, vals0)
+        mask = [p.requires_grad and d for p, d in zip(all_params, deps)]
+
+        # group -> indices (into all_params) of its active params
+        group_idxs = []
+        k = 0
+        for g in self.param_groups:
+            idxs = []
+            for _ in g["params"]:
+                if mask[k]:
+                    idxs.append(k)
+                k += 1
+            group_idxs.append(idxs)
+        statics = [
+            (g["sparsity"], g["dim"], g["max_iter"]) for g in self.param_groups
+        ]
+
+        def sweep(vals, lrs):
+            cur = list(vals)
+            new_lrs = []
+            grads_out = [None] * len(cur)
+            loss = probe(cur)  # loss when no group has active params
+            for idxs, (sparsity, dim, max_iter), lr in zip(
+                group_idxs, statics, lrs
+            ):
+                if not idxs:
+                    new_lrs.append(jnp.asarray(lr, jnp.float32))
+                    continue
+
+                def loss_fn(group_vals, _idxs=tuple(idxs)):
+                    vs = list(cur)
+                    for j, gi in enumerate(_idxs):
+                        vs[gi] = group_vals[j]
+                    with _substitute_all(all_params, vs):
+                        return jnp.asarray(closure())
+
+                new_vals, new_lr, loss, grads = sparsity_proj_step(
+                    loss_fn, [cur[gi] for gi in idxs], lr,
+                    sparsity, dim, max_iter, return_grads=True,
+                )
+                for j, gi in enumerate(idxs):
+                    cur[gi] = new_vals[j]
+                    grads_out[gi] = grads[j]
+                new_lrs.append(new_lr)
+            updated = [cur[i] for i in range(len(cur)) if mask[i]]
+            out_grads = [grads_out[i] for i in range(len(cur)) if mask[i]]
+            return updated, new_lrs, loss, out_grads
+
+        return jax.jit(sweep), mask, all_params
+
+    def _step_compiled(self, closure, key, refs):
+        all_params = [p for g in self.param_groups for p in g["params"]]
+        full_key = key + (
+            tuple(id(p) for p in all_params),
+            tuple(p.requires_grad for p in all_params),
+            tuple((tuple(p.data.shape), str(p.data.dtype)) for p in all_params),
+            tuple((g["sparsity"], g["dim"], g["max_iter"])
+                  for g in self.param_groups),
+        )
+        entry = self._step_cache.get(full_key)
+        if entry is None:
+            jitted, mask, params = self._build_step(closure)
+            entry = (jitted, mask, refs, params)
+            self._step_cache[full_key] = entry
+        jitted, mask, _, params = entry
+        lrs = [jnp.float32(g["lr"]) for g in self.param_groups]
+        updated, new_lrs, loss, grads = jitted([p.data for p in params], lrs)
+        j = 0
+        for p, m in zip(params, mask):
+            if m:
+                p.data = updated[j]
+                p.grad = grads[j]
+                j += 1
+        for g, lr in zip(self.param_groups, new_lrs):
+            g["lr"] = float(lr)
+        return loss
 
     def step(self, closure: Callable):
+        """One projected-gradient step with backtracking line search.
+
+        Compiled to a single XLA program when the closure is introspectable
+        (cached per closure structure + parameter set); otherwise the eager
+        path below runs the same algorithm.
+        """
+        if self.jit_compile:
+            fp = _closure_fingerprint(closure)
+            if fp is not None:
+                return self._step_compiled(closure, *fp)
+        return self._step_eager(closure)
+
+    def _step_eager(self, closure: Callable):
         loss = None
         for group in self.param_groups:
             sparsity = group["sparsity"]

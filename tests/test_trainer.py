@@ -150,3 +150,65 @@ def test_beta_trainer_skips_unconnected_param():
     trainer.step(closure)
     assert bool(jnp.all(m2.W.data == b0))
     assert m2.W.grad is None
+
+
+def test_betamu_compiled_matches_eager_and_caches():
+    """The jit-compiled step must (a) reuse one cache entry across fresh
+    lambdas created in a loop, and (b) track the eager path's factor/grad
+    trajectories to f32 noise."""
+    import copy
+
+    m1 = pnt.Sequential(NMF((60, 12), rank=6), NMF(W=(24, 12)), NMF(W=(30, 24)))
+    m2 = copy.deepcopy(m1)
+    target = RNG.rand(60, 30).astype("f")
+
+    tA = BetaMu(m1.parameters(), 1, 1e-3, 1e-3, 1e-2)
+    tB = BetaMu(m2.parameters(), 1, 1e-3, 1e-3, 1e-2, jit_compile=False)
+    for _ in range(5):
+        tA.step(lambda: (target, m1(None)))
+        tB.step(lambda: (target, m2(None)))
+    assert len(tA._step_cache) == 1  # fresh lambdas hit the same entry
+    for (_, p1), (_, p2) in zip(m1.named_parameters(), m2.named_parameters()):
+        np.testing.assert_allclose(
+            np.asarray(p1.data), np.asarray(p2.data), rtol=1e-5, atol=1e-7
+        )
+        g1, g2 = np.asarray(p1.grad), np.asarray(p2.grad)
+        scale = max(float(np.abs(g2).max()), 1e-6)
+        assert float(np.abs(g1 - g2).max()) / scale < 1e-4
+
+
+def test_sparsityproj_compiled_matches_eager():
+    import copy
+
+    mA = NMF((80, 40), rank=5)
+    mB = copy.deepcopy(mA)
+    target = RNG.rand(80, 40).astype("f")
+
+    sA = SparsityProj([mA.W], 0.3)
+    sB = SparsityProj([mB.W], 0.3, jit_compile=False)
+    for _ in range(5):
+        lA = sA.step(lambda: beta_div(mA(None), target))
+        lB = sB.step(lambda: beta_div(mB(None), target))
+    assert len(sA._step_cache) == 1
+    # the backtracking line search amplifies f32 noise; compare relative to
+    # the factor scale (loss trajectories agree to ~7 digits)
+    scale = float(np.abs(np.asarray(mB.W.data)).max())
+    diff = float(np.abs(np.asarray(mA.W.data) - np.asarray(mB.W.data)).max())
+    assert diff / scale < 1e-4
+    assert abs(sA.param_groups[0]["lr"] - sB.param_groups[0]["lr"]) < 1e-6
+    assert abs(float(lA) - float(lB)) / max(abs(float(lB)), 1e-6) < 1e-4
+
+
+def test_sparsityproj_disconnected_param_untouched():
+    """A requires_grad param the loss does not depend on must not be
+    projected (reference skips p.grad-is-None params, trainer.py:165-166)."""
+    from pytorch_nmf_tpu.module import Parameter
+
+    for jit_compile in (True, False):
+        pa = Parameter(jnp.asarray(RNG.rand(10, 4).astype("f")), True)
+        pb = Parameter(jnp.asarray(RNG.rand(10, 4).astype("f")), True)
+        sp = SparsityProj([pa, pb], 0.5, jit_compile=jit_compile)
+        before = np.asarray(pb.data).copy()
+        sp.step(lambda: jnp.sum(pa.value ** 2))
+        assert np.array_equal(before, np.asarray(pb.data))
+        assert pb.grad is None
