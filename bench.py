@@ -43,30 +43,41 @@ BASELINE_SKLEARN_MS = {
 }
 
 
-def _marginal_ms_per_iter(make_fit, args, iters_short=500, iters_long=4000,
-                          reps=5):
+def _marginal_ms_per_iter(make_fit, args, reps=4):
     """Two-loop-length difference quotient, min over reps.
 
-    The relay runtime's run-to-run variance is ~±100 ms even on mins, so the
-    loop lengths are chosen to put the expected time difference well above
-    that floor for every grid row.  If a session still produces a
+    The relay runtime's run-to-run variance is ~±100 ms even on mins, so a
+    pilot run first rescales the loop lengths until the long run costs ~2 s
+    of device time — the difference then dwarfs the noise floor for every
+    grid row, fast and slow alike.  If a session still produces a
     non-positive difference, retry once, then fall back to the total rate of
     the long run — biased high by the amortized dispatch cost, never
     negative.
     """
+    FIXED_S = 0.035  # typical relay dispatch+fetch latency
+    TARGET_S = 2.0
 
-    def timed(iters):
+    def timed(iters, n_reps=reps):
         fit = make_fit(iters)
         for _ in range(2):  # compile + relay first-execution warmup
             out = fit(*args)
             np.asarray(out[0])
         times = []
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             out = fit(*args)
             np.asarray(out[0])
             times.append(time.perf_counter() - t0)
         return min(times)
+
+    iters_long = 4000
+    t_pilot = timed(iters_long, n_reps=2)
+    compute = max(t_pilot - FIXED_S, 0.004)
+    if compute < TARGET_S:
+        iters_long = min(int(iters_long * TARGET_S / compute), 200_000)
+    elif compute > 1.5 * TARGET_S:
+        iters_long = max(int(iters_long * TARGET_S / compute), 500)
+    iters_short = max(iters_long // 8, 100)
 
     for _ in range(2):
         t_short = timed(iters_short)
@@ -123,10 +134,15 @@ def main():
         W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
         H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
 
+        from pytorch_nmf_tpu.ops.sparse import should_densify
+
+        densify = should_densify(V_sp)
+
         def make_fit(n):
             return get_sparse_fit(
                 nmf_sp_pos_neg, float(beta), float("-inf"), n, True, True,
-                0.0, 0.0,
+                0.0, 0.0, False,
+                densify, NMF.reconstruct, factory if densify else None,
             )
 
         ms = _marginal_ms_per_iter(make_fit, (V_sp, W, H))

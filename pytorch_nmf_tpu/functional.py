@@ -50,9 +50,15 @@ def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
             raise NotImplementedError(
                 f"{model_cls.__name__} does not support sparse targets"
             )
+        from .ops.sparse import should_densify
+
+        densify = should_densify(V)
         fit = get_sparse_fit(
             model_cls._sp_pos_neg, float(beta), float(tol), int(max_iter),
-            update_W, update_H, float(l1_reg), float(l2_reg),
+            update_W, update_H, float(l1_reg), float(l2_reg), False,
+            densify, model_cls.reconstruct,
+            (model_cls._updater_resolver()
+             if densify and model_cls._updater_resolver is not None else None),
         )
     else:
         updater_factory = (

@@ -236,6 +236,9 @@ def get_sparse_fit(
     l1_reg: float,
     l2_reg: float,
     verbose: bool = False,
+    densify: bool = False,
+    recon2: Optional[Callable] = None,
+    updater_factory: Optional[Callable] = None,
 ):
     """Returns jitted ``fit(V_sparse, W, H) -> (W, H, n_iter)``.
 
@@ -244,11 +247,33 @@ def get_sparse_fit(
     The MU numerators/denominators are the two scalar gradients — XLA turns
     the gather transposes into the segment-sum scatters directly (a
     hand-written closed form measured no faster on TPU).
+
+    ``densify=True`` selects the TPU fast path: the target is scattered to
+    dense ONCE at fit entry and the per-iteration updates run through the
+    fused dense updaters (``updater_factory`` / the generic VJP engine on
+    ``recon2``) — algebraically identical because zero entries contribute
+    nothing to any β cotangent (reference parity oracle:
+    tests/test_nmf_sparse.py dense-vs-sparse equivalence; reference
+    torchnmf tests/test_nmf_sparse.py).  The every-10-iterations loss keeps
+    the exact sparse split form ``V_norm + pos - neg`` (reference
+    nmf.py:358,398) so convergence decisions match the gather path.
     """
     gamma = gamma_from_beta(beta)
 
+    dense_updaters = None
+    if densify:
+        updaters = (
+            updater_factory(beta, gamma, l1_reg, l2_reg)
+            if updater_factory
+            else None
+        )
+        if updaters is None:
+            updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
+        dense_updaters = (updaters[0], updaters[1])
+
     def fit(V: SparseCOO, W, H):
         V_norm = get_V_norm(V, beta)
+        Vd = V.to_dense() if densify else None
 
         def loss_of(state):
             w, h = state
@@ -257,6 +282,13 @@ def get_sparse_fit(
 
         def one_iter(state):
             w, h = state
+            if densify:
+                upd_W, upd_H = dense_updaters
+                if update_W:
+                    w = upd_W(Vd, w, h)
+                if update_H:
+                    h = upd_H(Vd, w, h)
+                return w, h
             if update_W:
                 pos_pre = kl_pos_W(h) if beta == 1 else None
                 w = _sp_factor_update(

@@ -38,7 +38,12 @@ from ..ops.solver import (
     alpha_is_active,
 )
 
-__all__ = ["shard_target", "sharded_nmf_fit", "sharded_plca_fit"]
+__all__ = [
+    "shard_target",
+    "sharded_nmf_fit",
+    "sharded_plca_fit",
+    "nmf_updater_factory_sharded",
+]
 
 
 def shard_target(x, mesh: Mesh, spec: P):
@@ -49,6 +54,76 @@ def shard_target(x, mesh: Mesh, spec: P):
 # --------------------------------------------------------------------------
 # Explicit shard_map MU fit for NMF
 # --------------------------------------------------------------------------
+def _local_nmf_updaters(
+    beta, gamma, l1_reg, l2_reg, data_axis, model_axis, fuse,
+    interpret=None,
+):
+    """Per-shard W/H MU updates with explicit psum-reduced contractions.
+
+    Shared by the explicit shard_map solver below and the GSPMD
+    annotation-path updater factory (:func:`nmf_updater_factory_sharded`).
+    Local shapes: ``V (m_loc, k_loc)``, ``W (k_loc, R)``, ``H (m_loc, R)``.
+    """
+    if fuse:
+        from ..ops.pallas_mu import h_side_contractions, w_side_contractions
+    need_pos = beta not in (1, 2)
+
+    def wh(w, h):
+        return lax.dot_general(
+            h, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def upd_W(V, w, h):
+        # contract the data axis -> psum over 'data'
+        if fuse:
+            neg_l, pos_l = w_side_contractions(
+                V, h, w, beta, need_pos, interpret
+            )
+        else:
+            WH = wh(w, h)
+            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
+            neg_l = lax.dot_general(
+                neg_cot, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos_l = None if beta == 1 else lax.dot_general(
+                pos_cot, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        neg = jax.nn.relu(lax.psum(neg_l, data_axis)) + eps
+        if beta == 1:
+            pos = lax.psum(jnp.sum(h, axis=0, keepdims=True), data_axis)
+        else:
+            pos = jax.nn.relu(lax.psum(pos_l, data_axis)) + eps
+        return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
+
+    def upd_H(V, w, h):
+        # contract the feature axis -> psum over 'model'
+        if fuse:
+            neg_l, pos_l = h_side_contractions(
+                V, h, w, beta, need_pos, interpret
+            )
+        else:
+            WH = wh(w, h)
+            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
+            neg_l = neg_cot @ w
+            pos_l = None if beta == 1 else pos_cot @ w
+        neg = lax.psum(neg_l, model_axis) if model_axis else neg_l
+        neg = jax.nn.relu(neg) + eps
+        if beta == 1:
+            pos = jnp.sum(w, axis=0, keepdims=True)
+            if model_axis:
+                pos = lax.psum(pos, model_axis)
+            pos = jnp.squeeze(pos, axis=0)
+        else:
+            pos = lax.psum(pos_l, model_axis) if model_axis else pos_l
+            pos = jax.nn.relu(pos) + eps
+        return h * mu_multiplier(neg, pos, h, gamma, l1_reg, l2_reg)
+
+    return upd_W, upd_H
+
+
 @lru_cache(maxsize=None)
 def _get_sharded_nmf_fit(
     mesh: Mesh,
@@ -67,71 +142,29 @@ def _get_sharded_nmf_fit(
     # local contractions are plain GEMMs already
     fuse = use_pallas and beta != 2
     if fuse:
-        from ..ops.pallas_mu import (
-            fused_beta_loss,
-            h_side_contractions,
-            w_side_contractions,
-        )
-    need_pos = beta not in (1, 2)
+        from ..ops.pallas_mu import fused_beta_loss
+    upd_W, upd_H = _local_nmf_updaters(
+        beta, gamma, l1_reg, l2_reg, data_axis, model_axis, fuse
+    )
 
     def local_fit(V, W, H):
         # V: (m_loc, k_loc), W: (k_loc, R), H: (m_loc, R)
-        def wh(w, h):
-            return lax.dot_general(
-                h, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
         def loss_of(state):
             w, h = state
             if fuse:
                 part = fused_beta_loss(V, h, w, beta)
             else:
-                part = beta_div(wh(w, h), V, beta)
+                WH = lax.dot_general(
+                    h, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                part = beta_div(WH, V, beta)
             return jnp.sqrt(2.0 * lax.psum(part, axes_all))
 
         def one_iter(state):
             w, h = state
-            # ---- W update (contract the data axis -> psum over 'data') ----
-            if fuse:
-                neg_l, pos_l = w_side_contractions(V, h, w, beta, need_pos)
-            else:
-                WH = wh(w, h)
-                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
-                neg_l = lax.dot_general(
-                    neg_cot, h, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                pos_l = None if beta == 1 else lax.dot_general(
-                    pos_cot, h, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            neg = jax.nn.relu(lax.psum(neg_l, data_axis)) + eps
-            if beta == 1:
-                pos = lax.psum(jnp.sum(h, axis=0, keepdims=True), data_axis)
-            else:
-                pos = jax.nn.relu(lax.psum(pos_l, data_axis)) + eps
-            w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
-
-            # ---- H update (contract the feature axis -> psum over 'model') --
-            if fuse:
-                neg_l, pos_l = h_side_contractions(V, h, w, beta, need_pos)
-            else:
-                WH = wh(w, h)
-                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
-                neg_l = neg_cot @ w
-                pos_l = None if beta == 1 else pos_cot @ w
-            neg = lax.psum(neg_l, model_axis) if model_axis else neg_l
-            neg = jax.nn.relu(neg) + eps
-            if beta == 1:
-                pos = jnp.sum(w, axis=0, keepdims=True)
-                if model_axis:
-                    pos = lax.psum(pos, model_axis)
-                pos = jnp.squeeze(pos, axis=0)
-            else:
-                pos = lax.psum(pos_l, model_axis) if model_axis else pos_l
-                pos = jax.nn.relu(pos) + eps
-            h = h * mu_multiplier(neg, pos, h, gamma, l1_reg, l2_reg)
+            w = upd_W(V, w, h)
+            h = upd_H(V, w, h)
             return w, h
 
         (W, H), k, conv = _converging_loop(
@@ -149,12 +182,83 @@ def _get_sharded_nmf_fit(
         mesh=mesh,
         in_specs=(v_spec, w_spec, h_spec),
         out_specs=(w_spec, h_spec, P()),
-        # all reductions here are explicit psums; the VMA checker would
-        # additionally require varying-axis declarations on the Pallas
-        # kernels' out_shapes, which pallas_call cannot express generically
-        check_vma=False,
+        # With Pallas kernels in the body the VMA checker would require
+        # varying-axis declarations on the kernels' out_shapes, which
+        # pallas_call cannot express generically; the plain-XLA branch
+        # keeps the replication checker on.
+        check_vma=not fuse,
     )
     return jax.jit(mapped)
+
+
+# --------------------------------------------------------------------------
+# GSPMD annotation path: shard_map-wrapped fused updaters for the ordinary
+# dense solver (plugged in as ``updater_factory`` by models/nmf.py when
+# ``fit`` sees a multi-device NMF target).
+# --------------------------------------------------------------------------
+class _ShardedUpdaterFactory:
+    """Hashable ``updater_factory`` producing shard_map'd per-shard updaters.
+
+    Instances are interned by :func:`nmf_updater_factory_sharded` so the
+    solver's ``lru_cache`` keyed on the factory object hits across fit calls
+    with the same mesh/axes/Pallas configuration.
+    """
+
+    def __init__(self, mesh, data_axis, model_axis, use_pallas, interpret):
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.model_axis = model_axis
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+
+    def __call__(self, beta, gamma, l1_reg, l2_reg):
+        if beta == 2:
+            # β=2's Gram updaters are already shard-friendly global GEMMs —
+            # GSPMD partitions them with one psum over the contracted axis;
+            # no shard_map needed.
+            from ..ops.fast_nmf import _beta2_updaters
+
+            return _beta2_updaters(gamma, l1_reg, l2_reg)
+        fuse = self.use_pallas
+        upd_W_local, upd_H_local = _local_nmf_updaters(
+            beta, gamma, l1_reg, l2_reg, self.data_axis, self.model_axis,
+            fuse, self.interpret,
+        )
+        data_axis, model_axis = self.data_axis, self.model_axis
+        v_spec = P(data_axis, model_axis) if model_axis else P(data_axis)
+        w_spec = P(model_axis, None) if model_axis else P()
+        h_spec = P(data_axis, None)
+
+        upd_W = jax.shard_map(
+            upd_W_local, mesh=self.mesh,
+            in_specs=(v_spec, w_spec, h_spec), out_specs=w_spec,
+            check_vma=not fuse,
+        )
+        upd_H = jax.shard_map(
+            upd_H_local, mesh=self.mesh,
+            in_specs=(v_spec, w_spec, h_spec), out_specs=h_spec,
+            check_vma=not fuse,
+        )
+
+        # solver updater signature: upd(V, W, H) -> new factor
+        def upd_W_g(V, W, H):
+            return upd_W(V, W, H)
+
+        def upd_H_g(V, W, H):
+            return upd_H(V, W, H)
+
+        return upd_W_g, upd_H_g
+
+
+@lru_cache(maxsize=None)
+def nmf_updater_factory_sharded(
+    mesh: Mesh, data_axis: str, model_axis, use_pallas: bool,
+    interpret: bool = False,
+):
+    """Interned shard_map updater factory for GSPMD-annotated NMF fits."""
+    return _ShardedUpdaterFactory(
+        mesh, data_axis, model_axis, use_pallas, interpret
+    )
 
 
 def sharded_nmf_fit(

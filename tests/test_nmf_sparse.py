@@ -89,3 +89,31 @@ def test_sparse_beta_le_zero_raises():
     m = NMF((4, 4), 2)
     with pytest.raises(ValueError):
         m.fit(sp, beta=0)
+
+
+@pytest.mark.parametrize("beta", [0.5, 1, 2, 3])
+def test_densify_fast_path_matches_gather_path(beta):
+    """The densified sparse fast path must reproduce the gather path's
+    trajectory exactly (same split-loss cadence, same updates)."""
+    import os
+
+    max_iter = 15
+    V_sparse, _ = _make_pair(shape=(120, 90))
+    a = NMF((120, 90), 7)
+    b = NMF((120, 90), 7)
+    b.load_state_dict(a.state_dict())
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    try:
+        na = a.fit(V_sparse, beta, 1e-4, max_iter)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+    os.environ["PNT_SPARSE_DENSIFY"] = "1"
+    try:
+        nb = b.fit(V_sparse, beta, 1e-4, max_iter)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+
+    assert na == nb  # identical early-stop decisions
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5

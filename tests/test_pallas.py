@@ -184,3 +184,40 @@ def test_kl_epilogue_fused_update_matches_manual(data):
     neg_h, _ = h_side_contractions(V, H, W, 1.0, False)
     ref_h = H * ((jnp.maximum(neg_h, 0) + eps) / kl_pos_H(W))
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=2e-5)
+
+
+@pytest.mark.parametrize("model_axis", [None, "model"])
+def test_annotation_path_uses_sharded_pallas_factory(model_axis):
+    """A multi-device NamedSharding'd NMF fit must route through the
+    shard_map'd fused updaters (VERDICT r1 item 6) and keep trajectory
+    parity with the single-device fit."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.parallel import make_mesh, shard_target
+    from pytorch_nmf_tpu.parallel.sharded import _ShardedUpdaterFactory
+
+    M2, K2, R2 = 64, 32, 4
+    V = RNG.rand(M2, K2).astype("f")
+    W0 = RNG.rand(K2, R2).astype("f") + 0.1
+    H0 = RNG.rand(M2, R2).astype("f") + 0.1
+    axes = {"data": 4, "model": 2} if model_axis else {"data": 8}
+    mesh = make_mesh(axes)
+
+    m = NMF(W=W0, H=H0)
+    # the resolver must pick the interned shard_map factory for this sharding
+    v_spec = P("data", model_axis) if model_axis else P("data")
+    Vs = shard_target(V, mesh, v_spec)
+    factory = m._sharded_updater_factory(Vs)
+    assert isinstance(factory, _ShardedUpdaterFactory)
+    assert factory.use_pallas and factory.interpret  # module env fixture
+
+    m.fit(Vs, 0.5, 0, 5)
+
+    ref = NMF(W=W0, H=H0)
+    ref.fit(V, 0.5, 0, 5)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
