@@ -94,6 +94,7 @@ def _get_sharded_deconv_fit(
     l1_reg: float,
     l2_reg: float,
     seq_axis: str,
+    loss_offset: float = 0.0,
 ):
     gamma = gamma_from_beta(beta)
     halo = T - 1
@@ -110,7 +111,10 @@ def _get_sharded_deconv_fit(
         def loss_of(state):
             w, hp = state
             part = beta_div(recon(hp, w), V, beta)
-            return jnp.sqrt(2.0 * lax.psum(part, seq_axis))
+            # subtract the exact constant the auto-padded (V=0, WH=0) cells
+            # contribute for fractional β, so the convergence trajectory
+            # matches the unpadded problem
+            return jnp.sqrt(2.0 * (lax.psum(part, seq_axis) - loss_offset))
 
         sum_axes = (0,) + tuple(range(2, 2 + nd))
 
@@ -185,24 +189,42 @@ def _sharded_deconv_fit(
             )
 
     n_dev = mesh.shape[seq_axis]
-    if L_out % n_dev:
-        raise ValueError(
-            f"trailing length {L_out} must divide evenly over the "
-            f"{seq_axis} axis ({n_dev} devices)"
-        )
-    if L_out // n_dev < T - 1:
-        raise ValueError(
-            f"local chunk {L_out // n_dev} < halo {T - 1}: use fewer "
-            "devices or a shorter kernel"
-        )
+    # Auto-pad the trailing axis so it (a) divides evenly over the mesh axis
+    # and (b) gives every device a chunk of at least T-1 frames (the
+    # single-neighbor halo width).  Zero padding is exact: padded H entries
+    # are MU fixed points (0 · anything = 0), padded V cells never couple
+    # back into real H cells, and their constant loss contribution
+    # (beta_div(0, 0, β) per cell, nonzero only for fractional β) is
+    # subtracted from the convergence metric below.
+    chunk = max(-(-L_out // n_dev), T - 1)
+    L_pad = chunk * n_dev
+    pad_v = L_pad - L_out
 
-    # zero-pad H's trailing axis: padded entries are MU fixed points
-    pad = [(0, 0)] * (H.ndim - 1) + [(0, L_out - L_in)]
+    import numpy as _np
+
+    from ..metrics import beta_div as _bd
+
+    cells = pad_v
+    for d in range(V.ndim - 1):
+        cells *= V.shape[d]
+    per_cell = float(_bd(jnp.zeros(()), jnp.zeros(()), beta)) if pad_v else 0.0
+    loss_offset = float(per_cell * cells)
+    if not _np.isfinite(loss_offset):
+        loss_offset = 0.0  # defensive: never poison the loss
+
+    if pad_v:
+        vpad = [(0, 0)] * (V.ndim - 1) + [(0, pad_v)]
+        V = jnp.pad(V, vpad)
+
+    # zero-pad H's trailing axis to V's (padded) length so both shard into
+    # equal chunks: padded entries are MU fixed points
+    pad = [(0, 0)] * (H.ndim - 1) + [(0, L_pad - L_in)]
     Hp = jnp.pad(H, pad)
 
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
+        loss_offset,
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)
@@ -221,9 +243,11 @@ def sharded_nmfd_fit(
     """Fit NMFD with the convolution time axis sharded over ``mesh``.
 
     ``V (N, C, L_out)``, ``W (C, R, T)``, ``H (N, R, L_in)`` with
-    ``L_in = L_out - T + 1``.  Requires ``L_out`` divisible by the mesh
-    axis size and local chunks at least ``T - 1`` frames (single-neighbor
-    halos).  Returns ``(W, H, n_iter)`` matching the single-device
+    ``L_in = L_out - T + 1``.  The trailing axis is zero-padded
+    automatically so it divides evenly over the mesh axis with local chunks
+    of at least ``T - 1`` frames (single-neighbor halos) — padding is exact
+    (padded entries are MU fixed points; the constant loss offset is
+    corrected).  Returns ``(W, H, n_iter)`` matching the single-device
     trajectories.
     """
     return _sharded_deconv_fit(

@@ -137,15 +137,43 @@ def test_halo_sharded_nmfd_early_stop_matches():
 
 
 @needs_8
-def test_halo_validation_errors():
+@pytest.mark.parametrize("beta", [0.5, 1])
+def test_halo_auto_pads_non_divisible_length(beta):
+    """Non-divisible trailing lengths are zero-padded (exactly) instead of
+    raising; trajectories — including the fractional-β early-stop metric —
+    must still match the single-device fit."""
     from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
 
     mesh = make_mesh({"seq": 8})
     V = RNG.rand(1, 4, 60).astype("f")  # 60 not divisible by 8
-    W0 = RNG.rand(4, 2, 5).astype("f")
-    H0 = RNG.rand(1, 2, 56).astype("f")
-    with pytest.raises(ValueError):
-        sharded_nmfd_fit(V, W0, H0, mesh)
+    W0 = RNG.rand(4, 2, 5).astype("f") + 0.1
+    H0 = RNG.rand(1, 2, 56).astype("f") + 0.1
+    Wd, Hd, n_iter = sharded_nmfd_fit(
+        V, W0, H0, mesh, beta=beta, tol=1e-3, max_iter=50
+    )
+    ref = NMFD(W=W0, H=H0)
+    n_ref = ref.fit(V, beta, 1e-3, 50)
+    assert Hd.shape == H0.shape
+    assert int(n_iter) == n_ref
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_auto_pads_short_chunks():
+    """Chunks shorter than the halo (T-1) are padded up, not rejected."""
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    mesh = make_mesh({"seq": 8})
+    N, C, L_out, R, T = 1, 6, 40, 3, 9  # chunk 5 < halo 8
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    Wd, Hd, n_iter = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=10)
+    ref = NMFD(W=W0, H=H0)
+    ref.fit(V, 1, 0, 10)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
 
 
 @needs_8
