@@ -401,6 +401,12 @@ class NMFD(BaseComponent):
     def reconstruct(H, W):
         return _recon.deconv1d(H, W)
 
+    @staticmethod
+    def _updater_resolver(multi_device: bool = False):
+        from ..ops.fast_nmfd import resolve_nmfd_updater_factory
+
+        return resolve_nmfd_updater_factory(multi_device)
+
 
 class NMF2D(BaseComponent):
     r"""Non-negative Matrix Factor 2-D Deconvolution (Schmidt 2006;

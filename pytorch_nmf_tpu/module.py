@@ -41,9 +41,11 @@ __all__ = ["Parameter", "Module", "Sequential", "manual_seed", "next_rng_key"]
 # --------------------------------------------------------------------------
 # Global RNG for parameter init (reference uses torch's global RNG;
 # ``torch.randn(*size).abs()`` at nmf.py:221,234).  We keep an explicit,
-# reseedable JAX key chain.  Deterministic by default.
+# reseedable JAX key chain.  Deterministic by default.  Created lazily:
+# importing the library must NOT initialize the XLA backend (multi-host
+# programs must be able to call ``jax.distributed.initialize`` first).
 # --------------------------------------------------------------------------
-_GLOBAL_KEY = [jax.random.key(0)]
+_GLOBAL_KEY = [None]
 
 
 def manual_seed(seed: int) -> None:
@@ -53,6 +55,8 @@ def manual_seed(seed: int) -> None:
 
 def next_rng_key():
     """Split and return a fresh key from the global RNG chain."""
+    if _GLOBAL_KEY[0] is None:
+        _GLOBAL_KEY[0] = jax.random.key(0)
     _GLOBAL_KEY[0], sub = jax.random.split(_GLOBAL_KEY[0])
     return sub
 

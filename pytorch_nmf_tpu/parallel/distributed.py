@@ -48,6 +48,15 @@ def initialize(
     if _INITIALIZED:
         return
     explicit = coordinator_address is not None or num_processes is not None
+    # CPU clusters need a cross-process collectives backend; gloo ships with
+    # jaxlib on Linux.  Harmless no-op when the platform is TPU.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # pragma: no cover - older jaxlib
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -1,0 +1,81 @@
+"""Unfold-GEMM NMFD updaters: patch/fold correctness and trajectory parity
+with the conv (generic VJP) engine."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_nmf_tpu.nmf import NMFD
+from pytorch_nmf_tpu.ops import recon as _recon
+from pytorch_nmf_tpu.ops.fast_nmfd import (
+    _w2,
+    nmfd_unfold_supported,
+    unfold_patches,
+)
+
+RNG = np.random.RandomState(77)
+
+
+def test_unfold_reconstruction_matches_conv():
+    N, C, L_out, R, T = 2, 9, 41, 5, 6
+    H = jnp.asarray(RNG.rand(N, R, L_out - T + 1).astype("f"))
+    W = jnp.asarray(RNG.rand(C, R, T).astype("f"))
+    P = unfold_patches(H, T)
+    WH2 = P @ _w2(W)  # (N, L_out, C)
+    ref = _recon.deconv1d(H, W)  # (N, C, L_out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(WH2, 1, 2)), np.asarray(ref), rtol=2e-5
+    )
+
+
+def test_unfold_gating():
+    assert nmfd_unfold_supported((1, 10, 100), (10, 4, 8))
+    assert not nmfd_unfold_supported((1, 10, 100), (10, 4, 1))  # T=1
+    os.environ["PNT_NMFD_UNFOLD_MAX_BYTES"] = "16"
+    try:
+        assert not nmfd_unfold_supported((1, 10, 100), (10, 4, 8))
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD_MAX_BYTES", None)
+
+
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+def test_unfold_fit_matches_conv_fit(beta):
+    N, C, L_out, R, T = 2, 12, 50, 4, 7
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+
+    a = NMFD(W=W0, H=H0)  # unfold path (default)
+    na = a.fit(V, beta, 1e-4, 30)
+
+    os.environ["PNT_NMFD_UNFOLD"] = "0"
+    try:
+        b = NMFD(W=W0, H=H0)  # conv / generic VJP path
+        nb = b.fit(V, beta, 1e-4, 30)
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD", None)
+
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+def test_oversized_patch_falls_back_in_trace():
+    """Shapes exceeding the budget run the generic engine inside the same
+    factory — results must still be correct."""
+    N, C, L_out, R, T = 1, 6, 30, 3, 5
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_UNFOLD_MAX_BYTES"] = "64"  # force in-trace fallback
+    try:
+        a = NMFD(W=W0, H=H0)
+        a.fit(V, 1, 1e-4, 10)
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD_MAX_BYTES", None)
+    b = NMFD(W=W0, H=H0)
+    b.fit(V, 1, 1e-4, 10)
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5

@@ -147,8 +147,15 @@ def test_sparse_fit_parity_dense_target(beta):
     jm = NMF(W=W0, H=H0)
     jm.sparse_fit(V, beta, 5, False, 0.4, None)
 
-    assert _maxdiff(tm.W, jm.W.data) < 5e-4
-    assert _maxdiff(tm.H, jm.H.data) < 5e-4
+    # Tolerance note: the backtracking line search makes DISCRETE
+    # keep/halve decisions by comparing losses whose torch-CPU vs XLA
+    # values differ by ~1e-7 relative (GEMM accumulation order).  When the
+    # true margin lands inside that noise the two implementations pick
+    # different step sizes, amplifying the difference ~10x; measured
+    # worst-case over seeds is 1.6e-5 (typical 1e-6), hence 5e-5 here
+    # instead of the 1e-5 used for the decision-free solvers.
+    assert _maxdiff(tm.W, jm.W.data) < 5e-5
+    assert _maxdiff(tm.H, jm.H.data) < 5e-5
 
 
 @pytest.mark.parametrize("beta", [0.5, 1, 2, 3])
@@ -328,5 +335,7 @@ def test_nmfd_hoyer_sparse_fit_parity():
     jm = NMFD(W=W0, H=H0)
     jm.sparse_fit(V, 2, 5, False, None, 0.4)
 
-    assert _maxdiff(tm.W, jm.W.data) < 5e-4
-    assert _maxdiff(tm.H, jm.H.data) < 5e-4
+    # 5e-5, not 1e-5: discrete line-search decisions amplify f32 noise
+    # (see test_sparse_fit_parity_dense_target for the mechanism)
+    assert _maxdiff(tm.W, jm.W.data) < 5e-5
+    assert _maxdiff(tm.H, jm.H.data) < 5e-5
