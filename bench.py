@@ -70,14 +70,14 @@ def _marginal_ms_per_iter(make_fit, args, reps=4):
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    iters_long = 4000
+    iters_long = 500
     t_pilot = timed(iters_long, n_reps=2)
     compute = max(t_pilot - FIXED_S, 0.004)
     if compute < TARGET_S:
         iters_long = min(int(iters_long * TARGET_S / compute), 200_000)
     elif compute > 1.5 * TARGET_S:
-        iters_long = max(int(iters_long * TARGET_S / compute), 500)
-    iters_short = max(iters_long // 8, 100)
+        iters_long = max(int(iters_long * TARGET_S / compute), 400)
+    iters_short = max(iters_long // 8, 50)
 
     for _ in range(2):
         t_short = timed(iters_short)
@@ -175,6 +175,32 @@ def main():
     # sparse top-2% COO grid
     for beta in (0.5, 1.0, 1.5, 2.0):
         sparse_row(5168, 1025, 88, beta)
+
+    # deconvolutional flagship (librosa-shaped NMFD: C=1025, T=400 over
+    # ~5k frames; reference examples/librosa_example.py) — unfold-GEMM MU
+    from pytorch_nmf_tpu.models.nmf import NMFD
+    from pytorch_nmf_tpu.ops.fast_nmfd import resolve_nmfd_updater_factory
+
+    nmfd_factory = resolve_nmfd_updater_factory()
+    for R in (8, 88):
+        N, C, L_out, T = 1, 1025, 5000, 400
+        V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
+        W = jnp.asarray(rng.rand(C, R, T).astype("f") + 0.1)
+        H = jnp.asarray(rng.rand(N, R, L_out - T + 1).astype("f") + 0.1)
+
+        def make_fit(n, _R=R):
+            return get_dense_fit(
+                NMFD.reconstruct, 1.0, float("-inf"), n, True, True,
+                0.0, 0.0, False, nmfd_factory,
+            )
+
+        ms = _marginal_ms_per_iter(make_fit, (V, W, H))
+        grid.append({
+            "metric": f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta1",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        })
 
     out = {
         "metric": headline["metric"],
