@@ -432,6 +432,12 @@ class NMF2D(BaseComponent):
     def reconstruct(H, W):
         return _recon.deconv2d(H, W)
 
+    @staticmethod
+    def _updater_resolver(multi_device: bool = False):
+        from ..ops.fast_nmfd import resolve_nmfd_updater_factory
+
+        return resolve_nmfd_updater_factory(multi_device, spatial_ndim=2)
+
 
 class NMF3D(BaseComponent):
     r"""Non-negative Matrix Factor 3-D Deconvolution
@@ -456,3 +462,9 @@ class NMF3D(BaseComponent):
     @staticmethod
     def reconstruct(H, W):
         return _recon.deconv3d(H, W)
+
+    @staticmethod
+    def _updater_resolver(multi_device: bool = False):
+        from ..ops.fast_nmfd import resolve_nmfd_updater_factory
+
+        return resolve_nmfd_updater_factory(multi_device, spatial_ndim=3)

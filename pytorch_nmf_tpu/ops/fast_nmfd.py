@@ -47,55 +47,107 @@ _DEFAULT_MAX_BYTES = 2 * 1024**3
 
 
 def nmfd_unfold_supported(V_shape, W_shape) -> bool:
-    """Whether the patch tensor for these shapes fits the memory budget."""
-    if len(V_shape) != 3 or len(W_shape) != 3:
+    """Whether the patch tensor for these shapes fits the memory budget.
+
+    Accepts any spatial rank: ``V (N, C, *S_out)``, ``W (C, R, *kernel)``.
+    Multi-dimensional kernels additionally require the fully-unrolled form
+    (``K·R ≤ _CHUNK_COLS``) — the streaming τ-chunk path is 1-D only.
+    """
+    if len(V_shape) != len(W_shape) or len(V_shape) < 3:
         return False
-    N, _, L_out = V_shape
-    _, R, T = W_shape
-    if T < 2:  # plain NMF in disguise — the dense engine handles it
+    N = V_shape[0]
+    R = W_shape[1]
+    kernel = W_shape[2:]
+    K = 1
+    for k in kernel:
+        K *= k
+    if K < 2:  # plain NMF in disguise — the dense engine handles it
         return False
+    if len(kernel) > 1 and K * R > _CHUNK_COLS:
+        return False
+    Lp = 1
+    for s in V_shape[2:]:
+        Lp *= s
     max_bytes = int(
         os.environ.get("PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES)
     )
-    return 4 * N * L_out * T * R <= max_bytes
+    return 4 * N * Lp * K * R <= max_bytes
+
+
+def _taus(kernel):
+    """All kernel offsets, row-major (matches the W2 reshape ordering)."""
+    import itertools
+
+    return list(itertools.product(*(range(k) for k in kernel)))
+
+
+def unfold_patches_nd(H, kernel):
+    """N-D patch matrix: ``P[n, l_vec, τ_flat·R + r] = Hp[n, l_vec - τ, r]``.
+
+    ``H (N, R, *S_in)`` → spatial-major padded copy → ``prod(kernel)``
+    static slices stacked along a new τ axis → reshape to
+    ``(N, prod(S_out), K·R)`` with ``S_out = S_in + kernel - 1``.  Pure
+    data movement (copies) — no gathers.
+    """
+    d = len(kernel)
+    N, R = H.shape[:2]
+    S_in = H.shape[2:]
+    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
+    pads = ((0, 0),) + tuple((k - 1, k - 1) for k in kernel) + ((0, 0),)
+    Hp2 = jnp.pad(H2, pads)
+    cols = []
+    for tau in _taus(kernel):
+        sl = Hp2
+        for ax, (t, k, so) in enumerate(zip(tau, kernel, S_out)):
+            sl = lax.slice_in_dim(sl, k - 1 - t, k - 1 - t + so, axis=1 + ax)
+        cols.append(sl)
+    P = jnp.stack(cols, axis=1 + d)  # (N, *S_out, K, R)
+    K = 1
+    for k in kernel:
+        K *= k
+    Lp = 1
+    for s in S_out:
+        Lp *= s
+    return P.reshape(N, Lp, K * R)
 
 
 def unfold_patches(H, T: int):
-    """Patch matrix ``P (N, L_out, T·R)`` with ``P[n,l,τ·R+r] = Hp[n,l-τ,r]``.
+    """1-D convenience wrapper: ``P (N, L_out, T·R)``."""
+    return unfold_patches_nd(H, (T,))
 
-    ``H (N, R, L)`` → time-major padded ``Hp (N, L_out + T - 1, R)`` →
-    ``T`` static slices stacked along a new τ axis.  A pure data movement
-    XLA compiles to copies; the (τ, r) column ordering matches
-    ``W.transpose(2, 1, 0).reshape(T·R, C)``.
-    """
-    N, R, L = H.shape
-    L_out = L + T - 1
-    H2 = jnp.swapaxes(H, 1, 2)  # (N, L, R) time-major
-    Hp2 = jnp.pad(H2, ((0, 0), (T - 1, T - 1), (0, 0)))
-    cols = [
-        lax.slice_in_dim(Hp2, T - 1 - tau, T - 1 - tau + L_out, axis=1)
-        for tau in range(T)
-    ]
-    P = jnp.stack(cols, axis=2)  # (N, L_out, T, R)
-    return P.reshape(N, L_out, T * R)
+
+def _fold_nd(G, S_in, kernel, R: int):
+    """Adjoint of :func:`unfold_patches_nd` restricted to the real H
+    support: ``out[n, m_vec, r] = Σ_τ G[n, m_vec + τ, τ_flat·R + r]``."""
+    d = len(kernel)
+    N = G.shape[0]
+    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    K = 1
+    for k in kernel:
+        K *= k
+    G5 = G.reshape((N,) + S_out + (K, R))
+    parts = []
+    for i, tau in enumerate(_taus(kernel)):
+        sl = G5[(slice(None),) * (1 + d) + (i,)]  # (N, *S_out, R)
+        for ax, (t, s) in enumerate(zip(tau, S_in)):
+            sl = lax.slice_in_dim(sl, t, t + s, axis=1 + ax)
+        parts.append(sl)
+    return jnp.sum(jnp.stack(parts, axis=0), axis=0)  # (N, *S_in, R)
 
 
 def _fold(G, L: int, T: int, R: int):
-    """Adjoint of :func:`unfold_patches` restricted to the real H support:
-    ``out[n,m,r] = Σ_τ G[n, m+τ, τ·R+r]`` for ``m ∈ [0, L)``."""
-    N = G.shape[0]
-    G4 = G.reshape(N, G.shape[1], T, R)
-    parts = [
-        lax.slice_in_dim(G4[:, :, tau, :], tau, tau + L, axis=1)
-        for tau in range(T)
-    ]
-    return jnp.sum(jnp.stack(parts, axis=0), axis=0)  # (N, L, R)
+    """1-D convenience wrapper for :func:`_fold_nd`."""
+    return _fold_nd(G, (L,), (T,), R)
 
 
 def _w2(W):
-    """``W (C, R, T)`` → ``(T·R, C)`` matching the patch column order."""
+    """``W (C, R, *k)`` → ``(K·R, C)`` matching the patch column order
+    (τ-major, rank-minor)."""
     C = W.shape[0]
-    return jnp.transpose(W, (2, 1, 0)).reshape(-1, C)
+    d = W.ndim - 2
+    perm = tuple(range(2, 2 + d)) + (1, 0)
+    return jnp.transpose(W, perm).reshape(-1, C)
 
 
 # max patch-matrix columns before the τ axis is streamed through lax.scan
@@ -205,56 +257,68 @@ def _dot(a, b):
     )
 
 
-def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
-    """``updater_factory`` hook producing unfold-GEMM NMFD updaters.
+def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
+    """``updater_factory`` hook producing unfold-GEMM deconvolution
+    updaters for any spatial rank.
 
     The returned updaters check the (static) shapes at trace time and fall
     back to the generic VJP/conv engine when the patch tensor would exceed
-    the memory budget.
+    the memory budget (or, for 2-D/3-D kernels, when it would need the
+    1-D-only streaming path).
     """
 
     def _generic(V, W, H, which):
         from . import recon as _recon
         from .mu import mu_update
 
+        deconv = getattr(_recon, f"deconv{spatial_ndim}d")
         if which == "W":
             pos_pre = kl_pos_W(H) if beta == 1 else None
             return mu_update(
-                lambda w: _recon.deconv1d(H, w), V, W, beta, gamma,
+                lambda w: deconv(H, w), V, W, beta, gamma,
                 l1_reg, l2_reg, pos_pre,
             )
         pos_pre = kl_pos_H(W) if beta == 1 else None
         return mu_update(
-            lambda h: _recon.deconv1d(h, W), V, H, beta, gamma,
+            lambda h: deconv(h, W), V, H, beta, gamma,
             l1_reg, l2_reg, pos_pre,
         )
 
     def _contractions(V, W, H, w_side: bool):
         """(neg, pos_or_None) for one factor via the patch GEMMs.
 
-        Small ``T·R`` uses one fully-unrolled patch matrix; large ``T·R``
-        streams τ-chunks through a ``lax.scan`` so neither the patch tensor
-        nor the XLA graph blows up (a fully-unrolled T=400, R=88 program
-        took minutes to compile and paged HBM)."""
-        C, R, T = W.shape
-        N, _, L = H.shape
-        V2 = jnp.swapaxes(V, 1, 2)        # (N, L_out, C)
+        Small ``K·R`` uses one fully-unrolled patch matrix; a large 1-D
+        ``T·R`` streams τ-chunks through a ``lax.scan`` so neither the
+        patch tensor nor the XLA graph blows up (a fully-unrolled T=400,
+        R=88 program took minutes to compile and paged HBM)."""
+        C, R = W.shape[:2]
+        kernel = W.shape[2:]
+        N = H.shape[0]
+        S_in = H.shape[2:]
+        K = 1
+        for k in kernel:
+            K *= k
+        d = len(kernel)
+        # flatten spatial dims; channels last
+        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)  # (N, Lp, C)
         need_pos = beta != 1
 
-        if T * R <= _CHUNK_COLS:
-            P = unfold_patches(H, T)      # (N, L_out, TR)
-            W2 = _w2(W)                   # (TR, C)
-            WH2 = _dot(P, W2)             # (N, L_out, C)
+        if K * R <= _CHUNK_COLS:
+            P = unfold_patches_nd(H, kernel)  # (N, Lp, KR)
+            W2 = _w2(W)                       # (KR, C)
+            WH2 = _dot(P, W2)                 # (N, Lp, C)
             neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
             if w_side:
-                # neg_W (C, R, T) = transpose(Pᵀ @ cot)
+                # neg_W (C, R, *k) = transpose(Pᵀ @ cot)
                 def contract(cot):
                     out = jnp.einsum(
                         "nlk,nlc->kc", P, cot,
                         preferred_element_type=jnp.float32,
-                    )  # (TR, C)
-                    return jnp.transpose(out.reshape(T, R, C), (2, 1, 0))
+                    )  # (KR, C)
+                    out = out.reshape(kernel + (R, C))
+                    perm = (1 + d, d) + tuple(range(d))
+                    return jnp.transpose(out, perm)
 
                 return (
                     contract(neg_cot),
@@ -262,15 +326,14 @@ def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
                 )
 
             def contract(cot):
-                G = _dot(cot, W2.T)        # (N, L_out, TR)
-                out = _fold(G, L, T, R)    # (N, L, R)
-                return jnp.swapaxes(out, 1, 2)
+                G = _dot(cot, W2.T)                 # (N, Lp, KR)
+                out = _fold_nd(G, S_in, kernel, R)  # (N, *S_in, R)
+                return jnp.moveaxis(out, -1, 1)
 
             return contract(neg_cot), (contract(pos_cot) if need_pos else None)
 
-        return _chunked_contractions(
-            V2, W, H, beta, need_pos, w_side
-        )
+        # 1-D streaming path only (guarded by nmfd_unfold_supported)
+        return _chunked_contractions(V2, W, H, beta, need_pos, w_side)
 
     def upd_W(V, W, H):
         if not nmfd_unfold_supported(V.shape, W.shape):
@@ -291,8 +354,32 @@ def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     return upd_W, upd_H
 
 
-def resolve_nmfd_updater_factory(multi_device: bool = False):
-    """Per-call factory resolution for NMFD (mirrors the NMF resolver).
+def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Unfold-GEMM updaters for NMFD (1-D)."""
+    return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
+
+
+def nmf2d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Unfold-GEMM updaters for NMF2D."""
+    return _deconv_unfold_updater_factory(2, beta, gamma, l1_reg, l2_reg)
+
+
+def nmf3d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Unfold-GEMM updaters for NMF3D."""
+    return _deconv_unfold_updater_factory(3, beta, gamma, l1_reg, l2_reg)
+
+
+_FACTORIES = {
+    1: nmfd_unfold_updater_factory,
+    2: nmf2d_unfold_updater_factory,
+    3: nmf3d_unfold_updater_factory,
+}
+
+
+def resolve_nmfd_updater_factory(multi_device: bool = False,
+                                 spatial_ndim: int = 1):
+    """Per-call factory resolution for the deconvolutional family
+    (mirrors the NMF resolver).
 
     Multi-device (GSPMD) targets keep the generic engine — the unfold GEMM
     materializes the patch tensor along the sharded time axis; the explicit
@@ -303,4 +390,4 @@ def resolve_nmfd_updater_factory(multi_device: bool = False):
         return None
     if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
         return None
-    return nmfd_unfold_updater_factory
+    return _FACTORIES[spatial_ndim]

@@ -79,3 +79,66 @@ def test_oversized_patch_falls_back_in_trace():
     b = NMFD(W=W0, H=H0)
     b.fit(V, 1, 1e-4, 10)
     assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+
+
+def test_unfold_reconstruction_matches_conv_2d():
+    from pytorch_nmf_tpu.ops.fast_nmfd import unfold_patches_nd
+
+    N, C, R = 2, 7, 3
+    kh, kw = 3, 4
+    S_in = (10, 11)
+    H = jnp.asarray(RNG.rand(N, R, *S_in).astype("f"))
+    W = jnp.asarray(RNG.rand(C, R, kh, kw).astype("f"))
+    P = unfold_patches_nd(H, (kh, kw))
+    WH2 = (P @ _w2(W)).reshape(N, S_in[0] + kh - 1, S_in[1] + kw - 1, C)
+    ref = _recon.deconv2d(H, W)  # (N, C, ...)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(WH2, -1, 1)), np.asarray(ref), rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_unfold_fit_matches_conv_fit_2d(beta):
+    from pytorch_nmf_tpu.nmf import NMF2D
+
+    N, C = 1, 6
+    kh, kw = 3, 3
+    Ly, Lx = 14, 12
+    V = RNG.rand(N, C, Ly, Lx).astype("f")
+    W0 = RNG.rand(C, 4, kh, kw).astype("f") + 0.1
+    H0 = RNG.rand(N, 4, Ly - kh + 1, Lx - kw + 1).astype("f") + 0.1
+
+    a = NMF2D(W=W0, H=H0)
+    na = a.fit(V, beta, 1e-4, 20)
+    os.environ["PNT_NMFD_UNFOLD"] = "0"
+    try:
+        b = NMF2D(W=W0, H=H0)
+        nb = b.fit(V, beta, 1e-4, 20)
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD", None)
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+def test_unfold_fit_matches_conv_fit_3d():
+    from pytorch_nmf_tpu.nmf import NMF3D
+
+    N, C = 1, 4
+    k = (2, 3, 2)
+    S = (6, 8, 7)
+    V = RNG.rand(N, C, *S).astype("f")
+    W0 = RNG.rand(C, 3, *k).astype("f") + 0.1
+    H0 = RNG.rand(N, 3, *(s - kk + 1 for s, kk in zip(S, k))).astype("f") + 0.1
+
+    a = NMF3D(W=W0, H=H0)
+    na = a.fit(V, 1, 1e-4, 15)
+    os.environ["PNT_NMFD_UNFOLD"] = "0"
+    try:
+        b = NMF3D(W=W0, H=H0)
+        nb = b.fit(V, 1, 1e-4, 15)
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD", None)
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
