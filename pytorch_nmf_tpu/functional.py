@@ -28,6 +28,7 @@ from .ops.trainer_core import betamu_step, sparsity_proj_step  # noqa: F401
 
 __all__ = [
     "nmf_fit",
+    "nmf_fit_batched",
     "nmfd_fit",
     "nmf2d_fit",
     "nmf3d_fit",
@@ -80,6 +81,33 @@ def nmf_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
     a :class:`SparseCOO`."""
     return _fit(_nmf_models.NMF, V, W, H, beta, tol, max_iter, update_W,
                 update_H, l1_reg, l2_reg)
+
+
+def nmf_fit_batched(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
+                    update_H=True, l1_reg=0.0, l2_reg=0.0, model_cls=None):
+    """Fit MANY factorizations in one compiled program.
+
+    ``V (B, ...)``, ``W (B, ...)``, ``H (B, ...)`` carry a leading batch
+    axis; updates are vmapped and each problem early-stops independently
+    (its factors freeze once its own tolerance fires).  Returns
+    ``(W, H, n_iter)`` with ``n_iter (B,)``.  ``model_cls`` selects the
+    reconstruction (default plain ``NMF``; any dense model family works).
+    """
+    from .ops.solver import get_batched_dense_fit
+
+    model_cls = model_cls or _nmf_models.NMF
+    _validate(V, beta)
+    if model_cls is _nmf_models.NMF:
+        # the Gram-trick beta=2 updaters are plain GEMMs and vmap cleanly;
+        # other beta values use the generic VJP engine under vmap
+        from .ops.fast_nmf import nmf_updater_factory_xla as factory
+    else:
+        factory = None
+    fit = get_batched_dense_fit(
+        model_cls.reconstruct, float(beta), float(tol), int(max_iter),
+        update_W, update_H, float(l1_reg), float(l2_reg), factory,
+    )
+    return fit(V, W, H)
 
 
 def nmfd_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,

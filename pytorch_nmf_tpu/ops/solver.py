@@ -46,6 +46,7 @@ from .sparse import SparseCOO, get_V_norm
 
 __all__ = [
     "get_dense_fit",
+    "get_batched_dense_fit",
     "get_sparse_fit",
     "get_hoyer_fit",
     "get_plca_fit",
@@ -201,6 +202,100 @@ def get_dense_fit(
             one_iter, loss_of, (W, H), tol, max_iter, verbose
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
+        return W, H, n_iter
+
+    return jax.jit(fit)
+
+
+# --------------------------------------------------------------------------
+# Batched dense fit: many factorizations in ONE program (vmapped updates
+# with per-problem early stopping — a capability the reference lacks).
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def get_batched_dense_fit(
+    recon2: Callable,
+    beta: float,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    l1_reg: float,
+    l2_reg: float,
+    updater_factory: Optional[Callable] = None,
+):
+    """Returns jitted ``fit(V, W, H) -> (W, H, n_iter)`` over a leading
+    batch axis: ``V (B, ...)``, ``W (B, ...)``, ``H (B, ...)``,
+    ``n_iter (B,)``.
+
+    Updates are vmapped; the convergence loop runs while ANY problem is
+    unconverged, but factors of already-converged problems are frozen so
+    each problem's trajectory and stopping decision match what it would do
+    alone (same chunked cadence and stop rule as :func:`get_dense_fit`).
+    """
+    gamma = gamma_from_beta(beta)
+    updaters = (
+        updater_factory(beta, gamma, l1_reg, l2_reg) if updater_factory else None
+    )
+    if updaters is None:
+        updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
+    loss_terms = updaters[2] if len(updaters) > 2 else None
+    upd_W, upd_H = updaters[0], updaters[1]
+
+    def fit(V, W, H):
+        B = V.shape[0]
+
+        def loss_one(v, w, h):
+            if loss_terms is not None:
+                return jnp.sqrt(2.0 * loss_terms(v, w, h))
+            return jnp.sqrt(2.0 * beta_div(recon2(h, w), v, beta))
+
+        loss_of = jax.vmap(loss_one)
+
+        def one_iter_one(v, w, h):
+            if update_W:
+                w = upd_W(v, w, h)
+            if update_H:
+                h = upd_H(v, w, h)
+            return w, h
+
+        one_iter = jax.vmap(one_iter_one)
+
+        def masked(conv, old, new):
+            m = conv.reshape((B,) + (1,) * (old.ndim - 1))
+            return jnp.where(m, old, new)
+
+        loss_init = loss_of(V, W, H)
+        n_chunks = max_iter // 10
+        rem = max_iter % 10
+
+        def chunk_body(carry):
+            w, h, prev, k, conv, n_iter = carry
+            w2, h2 = lax.fori_loop(
+                0, 10, lambda i, s: one_iter(V, *s), (w, h)
+            )
+            w2 = masked(conv, w, w2)
+            h2 = masked(conv, h, h2)
+            loss = loss_of(V, w2, h2)
+            loss = jnp.where(conv, prev, loss)
+            newly = (~conv) & ((prev - loss) / loss_init < tol)
+            n_iter = jnp.where(newly, (k + 1) * 10, n_iter)
+            return w2, h2, loss, k + 1, conv | newly, n_iter
+
+        def cond(carry):
+            _, _, _, k, conv, _ = carry
+            return (~jnp.all(conv)) & (k < n_chunks)
+
+        carry0 = (
+            W, H, loss_init, jnp.int32(0),
+            jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32),
+        )
+        W, H, _, k, conv, n_iter = lax.while_loop(cond, chunk_body, carry0)
+        if rem:
+            w2, h2 = lax.fori_loop(
+                0, rem, lambda i, s: one_iter(V, *s), (W, H)
+            )
+            W = masked(conv, W, w2)
+            H = masked(conv, H, h2)
         return W, H, n_iter
 
     return jax.jit(fit)

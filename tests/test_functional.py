@@ -254,3 +254,50 @@ def test_vmapped_batched_fits():
         Wr, Hr, nr = fit(Vs[b], W0[b], H0[b])
         assert int(n_iters[b]) == int(nr)
         assert float(jnp.abs(Wb[b] - Wr).max()) < 1e-5
+
+
+def test_batched_fit_matches_individual_fits():
+    """Per-problem trajectories and early-stop counts in the batched fit
+    must equal running each problem alone."""
+    import pytorch_nmf_tpu.functional as F
+    from pytorch_nmf_tpu.nmf import NMF
+
+    rng = np.random.RandomState(21)
+    B, M, K, R = 3, 40, 25, 4
+    V = rng.rand(B, M, K).astype("f")
+    # make problems converge at different times: one trivially easy
+    W0 = rng.rand(B, K, R).astype("f") + 0.1
+    H0 = rng.rand(B, M, R).astype("f") + 0.1
+    V[0] = (H0[0] @ W0[0].T) * 1.0001  # near-exact -> stops early
+
+    for beta in (1, 2):
+        Wb, Hb, n_b = F.nmf_fit_batched(V, W0, H0, beta=beta, tol=1e-4,
+                                        max_iter=100)
+        for b in range(B):
+            m = NMF(W=W0[b], H=H0[b])
+            n_ref = m.fit(V[b], beta, 1e-4, 100)
+            assert int(n_b[b]) == n_ref, (beta, b, int(n_b[b]), n_ref)
+            assert float(jnp.abs(Wb[b] - m.W.data).max()) < 5e-5
+            assert float(jnp.abs(Hb[b] - m.H.data).max()) < 5e-5
+
+
+def test_batched_fit_deconv_model():
+    import pytorch_nmf_tpu.functional as F
+    from pytorch_nmf_tpu.nmf import NMFD
+
+    rng = np.random.RandomState(22)
+    B, N, C, L_out, R, T = 2, 1, 6, 20, 3, 4
+    V = rng.rand(B, N, C, L_out).astype("f")
+    W0 = rng.rand(B, C, R, T).astype("f") + 0.1
+    H0 = rng.rand(B, N, R, L_out - T + 1).astype("f") + 0.1
+    Wb, Hb, n_b = F.nmf_fit_batched(V, W0, H0, beta=1, tol=0, max_iter=10,
+                                    model_cls=NMFD)
+    import os
+    os.environ["PNT_NMFD_UNFOLD"] = "0"
+    try:
+        for b in range(B):
+            m = NMFD(W=W0[b], H=H0[b])
+            m.fit(V[b], 1, 0, 10)
+            assert float(jnp.abs(Wb[b] - m.W.data).max()) < 5e-5
+    finally:
+        os.environ.pop("PNT_NMFD_UNFOLD", None)
