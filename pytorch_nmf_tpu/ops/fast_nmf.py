@@ -36,7 +36,14 @@ __all__ = [
 
 
 def _dot_tn(a, b):
-    """``aᵀ @ b`` with f32 accumulation: contract the leading axis."""
+    """``aᵀ @ b`` with f32 accumulation: contract the leading axis.
+
+    Mixed-precision operands (a bfloat16 target against float32 factors)
+    are harmonized via jnp promotion; on TPU the MXU consumes bf16
+    natively, so XLA's bfloat16 propagation elides the upcast."""
+    if a.dtype != b.dtype:
+        dt = jnp.promote_types(a.dtype, b.dtype)
+        a, b = a.astype(dt), b.astype(dt)
     return lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

@@ -161,15 +161,9 @@ def _chunk_tc(R: int, T: int):
     return min(Tc, T)
 
 
-def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
-    """Streaming-τ version of the patch-GEMM contractions.
-
-    Two scans over τ-chunks: the first accumulates the reconstruction
-    ``WH2 = Σ_t Pc(t) @ W2c(t)``, the second forms the per-chunk
-    numerator/denominator contributions from the (fully materialized, but
-    only (N, L_out, C)-sized) cotangents.  Patch chunks are built from
-    ``Tc`` dynamic slices of the padded time-major activation.
-    """
+def _chunk_setup(W, H):
+    """Shared padded-activation / chunked-kernel layout for the streaming
+    τ paths."""
     C, R, T = W.shape
     N, _, L = H.shape
     L_out = L + T - 1
@@ -179,7 +173,7 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
 
     H2 = jnp.swapaxes(H, 1, 2)  # (N, L, R)
     Hp2 = jnp.pad(H2, ((0, 0), (T_pad - 1, L_out - L + T_pad - 1), (0, 0)))
-    # Hp2[n, x, r] = H2[n, x - (T_pad-1), r]; length L_out + 2(T_pad-1) - ...
+    # Hp2[n, x, r] = H2[n, x - (T_pad-1), r]
     # padded W: extra taps are zero and contribute nothing
     Wp = jnp.pad(W, ((0, 0), (0, 0), (0, T_pad - T)))
     W3 = jnp.transpose(Wp, (2, 1, 0)).reshape(n_chunks, Tc * R, C)
@@ -194,6 +188,15 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
         Pc = jnp.stack(cols, axis=2)  # (N, L_out, Tc, R)
         return Pc.reshape(N, L_out, Tc * R)
 
+    return patch_chunk, W3, n_chunks, Tc, T_pad, L_out
+
+
+def _chunked_recon(V2, W, H):
+    """Streaming-τ reconstruction ``WH2 (N, L_out, C)``."""
+    C = W.shape[0]
+    N = H.shape[0]
+    patch_chunk, W3, n_chunks, _, _, L_out = _chunk_setup(W, H)
+
     def recon_body(acc, inp):
         t, W2c = inp
         return acc + _dot(patch_chunk(t), W2c), None
@@ -203,6 +206,23 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
         jnp.zeros((N, L_out, C), jnp.float32),
         (jnp.arange(n_chunks), W3),
     )
+    return WH2
+
+
+def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
+    """Streaming-τ version of the patch-GEMM contractions.
+
+    Two scans over τ-chunks: the first accumulates the reconstruction
+    ``WH2 = Σ_t Pc(t) @ W2c(t)``, the second forms the per-chunk
+    numerator/denominator contributions from the (fully materialized, but
+    only (N, L_out, C)-sized) cotangents.  Patch chunks are built from
+    ``Tc`` dynamic slices of the padded time-major activation.
+    """
+    C, R, T = W.shape
+    N, _, L = H.shape
+    patch_chunk, W3, n_chunks, Tc, T_pad, L_out = _chunk_setup(W, H)
+
+    WH2 = _chunked_recon(V2, W, H)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
 
@@ -351,7 +371,30 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         pos = kl_pos_H(W) if beta == 1 else jax.nn.relu(pos) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
-    return upd_W, upd_H
+    def loss_terms(V, W, H):
+        # every-10-iterations cadence loss via the same patch GEMMs — the
+        # conv reconstruction would cost ~1/3 of a whole unfold update
+        from ..metrics import beta_div
+
+        C, R = W.shape[:2]
+        kernel = W.shape[2:]
+        N = H.shape[0]
+        K = 1
+        for k in kernel:
+            K *= k
+        if not nmfd_unfold_supported(V.shape, W.shape):
+            from . import recon as _recon
+
+            deconv = getattr(_recon, f"deconv{spatial_ndim}d")
+            return beta_div(deconv(H, W), V, beta)
+        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
+        if K * R <= _CHUNK_COLS:
+            WH2 = _dot(unfold_patches_nd(H, kernel), _w2(W))
+        else:
+            WH2 = _chunked_recon(V2, W, H)
+        return beta_div(WH2, V2, beta)
+
+    return upd_W, upd_H, loss_terms
 
 
 def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):

@@ -201,3 +201,26 @@ def test_rank_one_fit():
     m = NMF(V.shape, 1)
     n = m.fit(V, 1, 0, 20)
     assert n == 20 and not bool(jnp.any(jnp.isnan(m.W.data)))
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_bf16_target_storage(beta):
+    """A bfloat16 target is preserved (HBM-stream opt-in) and the fit stays
+    close to the float32 trajectory."""
+    import jax.numpy as jnp
+
+    V = RNG.rand(120, 60).astype("f")
+    W0 = RNG.rand(60, 6).astype("f") + 0.1
+    H0 = RNG.rand(120, 6).astype("f") + 0.1
+
+    a = NMF(W=W0, H=H0)
+    a.fit(jnp.asarray(V, jnp.bfloat16), beta, 0, 30)
+    b = NMF(W=W0, H=H0)
+    b.fit(V, beta, 0, 30)
+
+    from pytorch_nmf_tpu.metrics import beta_div
+    la = float(beta_div(a(), V, beta))
+    lb = float(beta_div(b(), V, beta))
+    # same optimization result to bf16 input-rounding accuracy
+    assert abs(la - lb) / lb < 2e-2, (la, lb)
+    assert a.W.data.dtype == jnp.float32  # factors stay f32
