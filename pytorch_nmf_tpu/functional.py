@@ -24,11 +24,13 @@ from .ops.solver import (
     get_sparse_fit,
 )
 from .ops.sparse import SparseCOO
+from .ops.streaming import streaming_nmf_fit  # noqa: F401
 from .ops.trainer_core import betamu_step, sparsity_proj_step  # noqa: F401
 
 __all__ = [
     "nmf_fit",
     "nmf_fit_batched",
+    "streaming_nmf_fit",
     "nmfd_fit",
     "nmf2d_fit",
     "nmf3d_fit",

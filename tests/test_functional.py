@@ -301,3 +301,33 @@ def test_batched_fit_deconv_model():
             assert float(jnp.abs(Wb[b] - m.W.data).max()) < 5e-5
     finally:
         os.environ.pop("PNT_NMFD_UNFOLD", None)
+
+
+def test_streaming_fit_matches_in_memory():
+    """Row-block streaming must reproduce the in-memory trajectory and
+    early-stop count (V provided as an np.memmap)."""
+    import tempfile
+
+    import pytorch_nmf_tpu.functional as F
+    from pytorch_nmf_tpu.nmf import NMF
+
+    rng = np.random.RandomState(31)
+    M, K, R = 90, 40, 5
+    V = rng.rand(M, K).astype("f")
+    W0 = rng.rand(K, R).astype("f") + 0.1
+    H0 = rng.rand(M, R).astype("f") + 0.1
+
+    with tempfile.NamedTemporaryFile(suffix=".dat") as f:
+        mm = np.memmap(f.name, dtype="float32", mode="w+", shape=(M, K))
+        mm[:] = V
+        mm.flush()
+
+        for beta in (1, 2):
+            Ws, Hs, ns = F.streaming_nmf_fit(
+                mm, W0, H0, beta=beta, tol=1e-4, max_iter=60, row_block=32
+            )
+            m = NMF(W=W0, H=H0)
+            n_ref = m.fit(V, beta, 1e-4, 60)
+            assert ns == n_ref, (beta, ns, n_ref)
+            assert float(jnp.abs(Ws - m.W.data).max()) < 5e-5
+            assert float(jnp.abs(Hs - m.H.data).max()) < 5e-5
