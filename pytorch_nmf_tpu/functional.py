@@ -152,7 +152,7 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     fit = get_hoyer_fit(
-        None if is_sp else model_cls.reconstruct,
+        None if is_sp else model_cls._fit_recon2(),
         model_cls._sp_pos_neg if is_sp else None,
         float(beta),
         int(max_iter),
@@ -179,8 +179,9 @@ def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     from .ops.solver import alpha_is_active
 
     model_cls = model_cls or _plca_models.PLCA
+    recon3 = getattr(model_cls, "_fit_reconstruct", None) or model_cls.reconstruct
     fit = get_plca_fit(
-        model_cls.reconstruct, float(tol), int(max_iter),
+        recon3, float(tol), int(max_iter),
         update_W, update_H, update_Z,
         alpha_is_active(W_alpha), alpha_is_active(H_alpha),
         alpha_is_active(Z_alpha),

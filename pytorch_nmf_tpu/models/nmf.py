@@ -141,6 +141,14 @@ class BaseComponent(Module):
         """The model's forward map; overridden by subclasses."""
         raise NotImplementedError
 
+    @classmethod
+    def _fit_recon2(cls):
+        """Reconstruction used INSIDE gradient-based solvers (Hoyer's
+        projected-gradient steps differentiate through it).  Deconv
+        subclasses substitute the unfold-GEMM form whose adjoints are
+        patch-GEMM contractions; defaults to ``reconstruct``."""
+        return cls.reconstruct
+
     # hooks supplied by subclasses that support sparse targets / fast paths
     _sp_pos_neg = None  # staticmethod (V, H, W, beta) -> (pos, neg)
     # staticmethod (multi_device: bool) -> updater factory | None, resolved
@@ -266,7 +274,7 @@ class BaseComponent(Module):
         H_col_dim = int(H.data.size // H.shape[1])
 
         fit_fn = _solver.get_hoyer_fit(
-            None if is_sp else type(self).reconstruct,
+            None if is_sp else type(self)._fit_recon2(),
             self._sp_pos_neg if is_sp else None,
             float(beta),
             int(max_iter),
@@ -401,6 +409,12 @@ class NMFD(BaseComponent):
     def reconstruct(H, W):
         return _recon.deconv1d(H, W)
 
+    @classmethod
+    def _fit_recon2(cls):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv
+
     @staticmethod
     def _updater_resolver(multi_device: bool = False):
         from ..ops.fast_nmfd import resolve_nmfd_updater_factory
@@ -432,6 +446,12 @@ class NMF2D(BaseComponent):
     def reconstruct(H, W):
         return _recon.deconv2d(H, W)
 
+    @classmethod
+    def _fit_recon2(cls):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv
+
     @staticmethod
     def _updater_resolver(multi_device: bool = False):
         from ..ops.fast_nmfd import resolve_nmfd_updater_factory
@@ -462,6 +482,12 @@ class NMF3D(BaseComponent):
     @staticmethod
     def reconstruct(H, W):
         return _recon.deconv3d(H, W)
+
+    @classmethod
+    def _fit_recon2(cls):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv
 
     @staticmethod
     def _updater_resolver(multi_device: bool = False):

@@ -160,6 +160,12 @@ class BaseComponent(Module):
     def reconstruct(H, W, Z):
         raise NotImplementedError
 
+    # reconstruction used INSIDE the EM solver (the E-step differentiates
+    # through it); deconvolutional subclasses substitute the unfold-GEMM
+    # form whose adjoints are patch-GEMM contractions.  Resolved at fit
+    # time via ``type(self)._fit_reconstruct``; defaults to ``reconstruct``
+    # through ``__init_subclass__`` below.
+
     def fit(
         self,
         V,
@@ -187,7 +193,7 @@ class BaseComponent(Module):
         )
 
         fit_fn = _solver.get_plca_fit(
-            type(self).reconstruct,
+            type(self)._fit_reconstruct,
             float(tol),
             int(max_iter),
             W.requires_grad,
@@ -231,6 +237,8 @@ class PLCA(BaseComponent):
         Z = as_array(Z)
         return _recon.linear(H, W * Z)
 
+    _fit_reconstruct = reconstruct
+
 
 class SIPLCA(BaseComponent):
     r"""Shift-Invariant PLCA, 1-D (Smaragdis & Raj 2007;
@@ -254,6 +262,12 @@ class SIPLCA(BaseComponent):
     @staticmethod
     def reconstruct(H, W, Z):
         return _recon.deconv1d(H, _recon.scaled_kernel(W, Z, 1))
+
+    @staticmethod
+    def _fit_reconstruct(H, W, Z):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv(H, _recon.scaled_kernel(W, Z, 1))
 
 
 class SIPLCA2(BaseComponent):
@@ -280,6 +294,12 @@ class SIPLCA2(BaseComponent):
     def reconstruct(H, W, Z):
         return _recon.deconv2d(H, _recon.scaled_kernel(W, Z, 2))
 
+    @staticmethod
+    def _fit_reconstruct(H, W, Z):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv(H, _recon.scaled_kernel(W, Z, 2))
+
 
 class SIPLCA3(BaseComponent):
     r"""Shift-Invariant PLCA across 3 dimensions
@@ -304,3 +324,9 @@ class SIPLCA3(BaseComponent):
     @staticmethod
     def reconstruct(H, W, Z):
         return _recon.deconv3d(H, _recon.scaled_kernel(W, Z, 3))
+
+    @staticmethod
+    def _fit_reconstruct(H, W, Z):
+        from ..ops.fast_nmfd import unfold_deconv
+
+        return unfold_deconv(H, _recon.scaled_kernel(W, Z, 3))

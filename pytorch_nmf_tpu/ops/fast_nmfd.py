@@ -40,6 +40,7 @@ __all__ = [
     "nmfd_unfold_updater_factory",
     "resolve_nmfd_updater_factory",
     "unfold_patches",
+    "unfold_deconv",
     "nmfd_unfold_supported",
 ]
 
@@ -395,6 +396,35 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         return beta_div(WH2, V2, beta)
 
     return upd_W, upd_H, loss_terms
+
+
+def unfold_deconv(H, W):
+    """Full-padded true convolution via the patch GEMM — the same output
+    as ``recon.deconvNd(H, W)`` (to f32 rounding), but expressed in ops
+    whose JAX adjoints are the patch-GEMM contractions (slice/stack
+    transposes = the fold), so differentiating through it — as the PLCA EM
+    E-step and the Hoyer solver do — inherits the unfold speedup.
+
+    Falls back to the conv formulation when the patch tensor exceeds the
+    memory budget (decided from the static shapes at trace time).
+    """
+    kernel = W.shape[2:]
+    d = len(kernel)
+    N, R = H.shape[:2]
+    S_in = H.shape[2:]
+    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    V_like = (N, W.shape[0]) + S_out
+    if (
+        os.environ.get("PNT_NMFD_UNFOLD", "") == "0"
+        or not nmfd_unfold_supported(V_like, W.shape)
+    ):
+        from . import recon as _recon
+
+        return getattr(_recon, f"deconv{d}d")(H, W)
+    P = unfold_patches_nd(H, kernel)        # (N, Lp, KR)
+    WH2 = _dot(P, _w2(W))                   # (N, Lp, C)
+    WH = WH2.reshape((N,) + S_out + (W.shape[0],))
+    return jnp.moveaxis(WH, -1, 1)          # (N, C, *S_out)
 
 
 def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
