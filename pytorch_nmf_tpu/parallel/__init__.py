@@ -14,5 +14,5 @@ from .halo import (  # noqa: F401
     sharded_nmf3d_fit,
     sharded_nmfd_fit,
 )
-from .mesh import make_mesh  # noqa: F401
+from .mesh import make_hybrid_mesh, make_mesh  # noqa: F401
 from .sharded import shard_target, sharded_nmf_fit, sharded_plca_fit  # noqa: F401

@@ -305,3 +305,23 @@ def test_halo_sharded_nmf3d_matches_single_device():
     ref.fit(V, 1, 0, 8)
     assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
     assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_hybrid_mesh_fallback_and_fit():
+    """make_hybrid_mesh: single-slice devices fall back to a flat
+    DCN-outer/ICI-inner mesh that drives the sharded solver."""
+    from pytorch_nmf_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh({"data": 4}, {"model": 2})
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    V = RNG.rand(16, 12).astype("f")
+    W0 = RNG.rand(12, 3).astype("f") + 0.1
+    H0 = RNG.rand(16, 3).astype("f") + 0.1
+    Wd, Hd, n = sharded_nmf_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=5,
+                                model_axis="model")
+    ref = NMF(W=W0, H=H0)
+    ref.fit(V, 1, 0, 5)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
