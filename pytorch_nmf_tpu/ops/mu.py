@@ -76,7 +76,9 @@ def mu_cotangents(V, WH, beta: float, kl_pos_ones: bool = False):
         return recip * recip * V, recip
     else:
         WH_eps = WH + eps
-        return WH_eps ** (beta - 2) * V, WH_eps ** (beta - 1)
+        # one pow, shared: WH_eps^(β-1) = WH_eps^(β-2) · WH_eps
+        p2 = WH_eps ** (beta - 2)
+        return p2 * V, p2 * WH_eps
 
 
 def mu_multiplier(neg, pos, p, gamma: float, l1_reg: float, l2_reg: float):

@@ -86,8 +86,9 @@ def _cotangent_tiles(v, wh, beta: float, need_pos: bool):
         return r * r * v, (r if need_pos else None)
     else:
         whe = wh + eps
-        c_neg = whe ** (beta - 2) * v
-        c_pos = whe ** (beta - 1) if need_pos else None
+        p2 = whe ** (beta - 2)  # one pow, shared: whe^(β-1) = whe^(β-2)·whe
+        c_neg = p2 * v
+        c_pos = (p2 * whe) if need_pos else None
         return c_neg, c_pos
 
 
@@ -322,8 +323,9 @@ def _loss_kernel(beta, M, K, bm, bk):
         else:
             t = v + eps if beta < 0 else v
             ie = wh + eps
+            ie_bm1 = ie ** (beta - 1)  # share: ie^β = ie^(β-1)·ie
             terms = (
-                t**beta + (beta - 1) * ie**beta - beta * t * ie ** (beta - 1)
+                t**beta + (beta - 1) * ie_bm1 * ie - beta * t * ie_bm1
             ) / (beta * (beta - 1))
 
         partial = jnp.sum(jnp.where(valid, terms, 0.0))
