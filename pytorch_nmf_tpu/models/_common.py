@@ -31,9 +31,11 @@ def to_f32(x):
     keeps its (possibly multi-device) sharding; everything else goes through
     numpy on the host.
 
-    bfloat16 arrays are preserved — an explicit opt-in to halve the target's
-    HBM stream (the dominant traffic of the β ≠ 2 MU paths); all compute
-    still accumulates in float32 via type promotion.
+    bfloat16 arrays are preserved — an explicit opt-in that halves the
+    target's HBM *footprint* (fit ~2x larger problems per chip); all
+    compute still accumulates in float32 via type promotion.  Measured on
+    TPU v5e the fused MU kernels are compute-bound, so iteration rate is
+    unchanged — this is a capacity knob, not a speed knob.
     """
     if isinstance(x, jax.Array):
         if x.dtype in (jnp.float32, jnp.bfloat16):
