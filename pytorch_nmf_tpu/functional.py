@@ -36,6 +36,7 @@ __all__ = [
     "nmf3d_fit",
     "nmf_hoyer_fit",
     "plca_fit",
+    "plca_fit_batched",
     "mu_update",
     "betamu_step",
     "sparsity_proj_step",
@@ -110,6 +111,35 @@ def nmf_fit_batched(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
         update_W, update_H, float(l1_reg), float(l2_reg), factory,
     )
     return fit(V, W, H)
+
+
+def plca_fit_batched(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
+                     update_W=True, update_H=True, update_Z=True,
+                     W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0):
+    """EM-fit MANY PLCA problems in one compiled program.
+
+    Leading batch axis on ``V``/``W``/``H``/``Z``; vmapped EM iterations
+    with per-problem early stopping.  Returns ``(W, H, Z, n_iter, norm)``
+    with ``n_iter (B,)`` and ``norm (B,)``.
+    """
+    import jax.numpy as jnp
+
+    from .ops.solver import alpha_is_active, get_batched_plca_fit
+
+    model_cls = model_cls or _plca_models.PLCA
+    recon3 = getattr(model_cls, "_fit_reconstruct", None) or model_cls.reconstruct
+    fit = get_batched_plca_fit(
+        recon3, float(tol), int(max_iter),
+        update_W, update_H, update_Z,
+        alpha_is_active(W_alpha), alpha_is_active(H_alpha),
+        alpha_is_active(Z_alpha),
+    )
+    return fit(
+        V, W, H, Z,
+        jnp.asarray(W_alpha, jnp.float32),
+        jnp.asarray(H_alpha, jnp.float32),
+        jnp.asarray(Z_alpha, jnp.float32),
+    )
 
 
 def nmfd_fit(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,

@@ -577,6 +577,53 @@ def alpha_is_active(alpha) -> bool:
     return not (isinstance(alpha, (int, float)) and alpha == 1)
 
 
+def _plca_em_iter(
+    recon3, update_W, update_H, update_Z,
+    W_alpha_active, H_alpha_active, Z_alpha_active,
+    Vn, state, W_alpha, H_alpha, Z_alpha,
+):
+    """One EM iteration: a single VJP E-step (cotangent ``Vn/(WZH+eps)``,
+    reference plca.py:252-253) + closed-form M-step renormalizations with
+    optional Dirichlet MAP (plca.py:255-289).  Pure — shared by the single
+    and batched solvers."""
+    w, h, z = state
+    WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
+    gH, gW, gZ = vjp(Vn / (WZH + eps))
+
+    Z_prior = None
+    if update_Z:
+        z = z * jax.nn.relu(gZ)
+        Z_prior = z
+        if Z_alpha_active:
+            z = _threshold_eps(z + (Z_alpha - 1.0))
+        z = z / jnp.sum(z)
+
+    if update_W:
+        w = w * jax.nn.relu(gW)
+        if Z_prior is None:
+            W_divider = _plca_marginal_sum(w)
+            Z_prior = W_divider.reshape(-1)
+        else:
+            W_divider = Z_prior.reshape((-1,) + (1,) * (w.ndim - 2))
+        w = w / W_divider
+        if W_alpha_active:
+            w = _threshold_eps(w + (W_alpha - 1.0))
+            w = w / _plca_marginal_sum(w)
+
+    if update_H:
+        h = h * jax.nn.relu(gH)
+        if Z_prior is None:
+            H_divider = _plca_marginal_sum(h)
+        else:
+            H_divider = Z_prior.reshape((-1,) + (1,) * (h.ndim - 2))
+        h = h / H_divider
+        if H_alpha_active:
+            h = _threshold_eps(h + (H_alpha - 1.0))
+            h = h / _plca_marginal_sum(h)
+
+    return w, h, z
+
+
 @lru_cache(maxsize=None)
 def get_plca_fit(
     recon3: Callable,
@@ -621,42 +668,11 @@ def get_plca_fit(
             return jnp.sqrt(2.0 * kl_div(WZH * norm, Vn * norm))
 
         def one_iter(state):
-            w, h, z = state
-            WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
-            gH, gW, gZ = vjp(Vn / (WZH + eps))
-
-            Z_prior = None
-            if update_Z:
-                z = z * jax.nn.relu(gZ)
-                Z_prior = z
-                if Z_alpha_active:
-                    z = _threshold_eps(z + (Z_alpha - 1.0))
-                z = z / jnp.sum(z)
-
-            if update_W:
-                w = w * jax.nn.relu(gW)
-                if Z_prior is None:
-                    W_divider = _plca_marginal_sum(w)
-                    Z_prior = W_divider.reshape(-1)
-                else:
-                    W_divider = Z_prior.reshape((-1,) + (1,) * (w.ndim - 2))
-                w = w / W_divider
-                if W_alpha_active:
-                    w = _threshold_eps(w + (W_alpha - 1.0))
-                    w = w / _plca_marginal_sum(w)
-
-            if update_H:
-                h = h * jax.nn.relu(gH)
-                if Z_prior is None:
-                    H_divider = _plca_marginal_sum(h)
-                else:
-                    H_divider = Z_prior.reshape((-1,) + (1,) * (h.ndim - 2))
-                h = h / H_divider
-                if H_alpha_active:
-                    h = _threshold_eps(h + (H_alpha - 1.0))
-                    h = h / _plca_marginal_sum(h)
-
-            return w, h, z
+            return _plca_em_iter(
+                recon3, update_W, update_H, update_Z,
+                W_alpha_active, H_alpha_active, Z_alpha_active,
+                Vn, state, W_alpha, H_alpha, Z_alpha,
+            )
 
         (W, H, Z), k, conv = _converging_loop(
             one_iter, loss_of, (W, H, Z), tol, max_iter, verbose,
@@ -665,6 +681,85 @@ def get_plca_fit(
         # reference returns the raw loop index: 10c-1 on early break,
         # max_iter-1 otherwise (plca.py:304)
         n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
+        return W, H, Z, n_iter, norm
+
+    return jax.jit(fit)
+
+
+@lru_cache(maxsize=None)
+def get_batched_plca_fit(
+    recon3: Callable,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    update_Z: bool,
+    W_alpha_active: bool,
+    H_alpha_active: bool,
+    Z_alpha_active: bool,
+):
+    """Batched EM: ``fit(V (B,...), W (B,...), H (B,...), Z (B,R), alphas)
+    -> (W, H, Z, n_iter (B,), norm (B,))`` — vmapped iterations with
+    per-problem early stopping (converged problems' factors freeze, so
+    each trajectory matches running alone; same n_iter quirk)."""
+
+    def fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
+        B = V.shape[0]
+        norm = jnp.sum(V.reshape(B, -1), axis=1)
+        Vn = V / norm.reshape((B,) + (1,) * (V.ndim - 1))
+
+        def em_one(vn, w, h, z):
+            return _plca_em_iter(
+                recon3, update_W, update_H, update_Z,
+                W_alpha_active, H_alpha_active, Z_alpha_active,
+                vn, (w, h, z), W_alpha, H_alpha, Z_alpha,
+            )
+
+        one_iter = jax.vmap(em_one)
+
+        def loss_one(vn, w, h, z, nrm):
+            WZH = recon3(h, w, z)
+            return jnp.sqrt(2.0 * kl_div(WZH * nrm, vn * nrm))
+
+        loss_of = jax.vmap(loss_one)
+
+        def masked(conv, old, new):
+            m = conv.reshape((B,) + (1,) * (old.ndim - 1))
+            return jnp.where(m, old, new)
+
+        loss_init = loss_of(Vn, W, H, Z, norm)
+        n_chunks = max_iter // 10
+        rem = max_iter % 10
+
+        def chunk_body(carry):
+            w, h, z, prev, k, conv, n_iter = carry
+            w2, h2, z2 = lax.fori_loop(
+                0, 10, lambda i, s: one_iter(Vn, *s), (w, h, z)
+            )
+            w2 = masked(conv, w, w2)
+            h2 = masked(conv, h, h2)
+            z2 = masked(conv, z, z2)
+            loss = loss_of(Vn, w2, h2, z2, norm)
+            loss = jnp.where(conv, prev, loss)
+            newly = (~conv) & ((prev - loss) / loss_init < tol)
+            n_iter = jnp.where(newly, (k + 1) * 10 - 1, n_iter)
+            return w2, h2, z2, loss, k + 1, conv | newly, n_iter
+
+        def cond(carry):
+            return (~jnp.all(carry[5])) & (carry[4] < n_chunks)
+
+        carry0 = (
+            W, H, Z, loss_init, jnp.int32(0),
+            jnp.zeros((B,), bool), jnp.full((B,), max_iter - 1, jnp.int32),
+        )
+        W, H, Z, _, k, conv, n_iter = lax.while_loop(cond, chunk_body, carry0)
+        if rem:
+            w2, h2, z2 = lax.fori_loop(
+                0, rem, lambda i, s: one_iter(Vn, *s), (W, H, Z)
+            )
+            W = masked(conv, W, w2)
+            H = masked(conv, H, h2)
+            Z = masked(conv, Z, z2)
         return W, H, Z, n_iter, norm
 
     return jax.jit(fit)

@@ -331,3 +331,28 @@ def test_streaming_fit_matches_in_memory():
             assert ns == n_ref, (beta, ns, n_ref)
             assert float(jnp.abs(Ws - m.W.data).max()) < 5e-5
             assert float(jnp.abs(Hs - m.H.data).max()) < 5e-5
+
+
+def test_batched_plca_matches_individual():
+    import pytorch_nmf_tpu.functional as F
+    from pytorch_nmf_tpu.plca import PLCA
+
+    rng = np.random.RandomState(41)
+    B, M, K, R = 3, 30, 20, 4
+    V = rng.rand(B, M, K).astype("f")
+    W0 = rng.rand(B, K, R).astype("f")
+    W0 /= W0.sum(axis=1, keepdims=True)
+    H0 = rng.rand(B, M, R).astype("f")
+    H0 /= H0.sum(axis=1, keepdims=True)
+    Z0 = np.full((B, R), 1.0 / R, "f")
+
+    Wb, Hb, Zb, n_b, norm_b = F.plca_fit_batched(
+        V, W0, H0, Z0, tol=1e-4, max_iter=100
+    )
+    for b in range(B):
+        m = PLCA(W=W0[b], H=H0[b], Z=Z0[b])
+        n_ref, norm_ref = m.fit(V[b], 1e-4, 100)
+        assert int(n_b[b]) == n_ref, (b, int(n_b[b]), n_ref)
+        assert abs(float(norm_b[b]) - float(norm_ref)) < 1e-3
+        assert float(jnp.abs(Wb[b] - m.W.data).max()) < 5e-5
+        assert float(jnp.abs(Zb[b] - m.Z.data).max()) < 5e-5
