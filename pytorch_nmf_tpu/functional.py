@@ -127,7 +127,7 @@ def plca_fit_batched(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     from .ops.solver import alpha_is_active, get_batched_plca_fit
 
     model_cls = model_cls or _plca_models.PLCA
-    recon3 = getattr(model_cls, "_fit_reconstruct", None) or model_cls.reconstruct
+    recon3 = model_cls._resolve_fit_recon3()
     fit = get_batched_plca_fit(
         recon3, float(tol), int(max_iter),
         update_W, update_H, update_Z,
@@ -209,7 +209,7 @@ def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     from .ops.solver import alpha_is_active
 
     model_cls = model_cls or _plca_models.PLCA
-    recon3 = getattr(model_cls, "_fit_reconstruct", None) or model_cls.reconstruct
+    recon3 = model_cls._resolve_fit_recon3()
     fit = get_plca_fit(
         recon3, float(tol), int(max_iter),
         update_W, update_H, update_Z,

@@ -411,6 +411,10 @@ class NMFD(BaseComponent):
 
     @classmethod
     def _fit_recon2(cls):
+        import os
+
+        if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
+            return cls.reconstruct  # kill switch, resolved per call
         from ..ops.fast_nmfd import unfold_deconv
 
         return unfold_deconv
@@ -448,6 +452,10 @@ class NMF2D(BaseComponent):
 
     @classmethod
     def _fit_recon2(cls):
+        import os
+
+        if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
+            return cls.reconstruct  # kill switch, resolved per call
         from ..ops.fast_nmfd import unfold_deconv
 
         return unfold_deconv
@@ -485,6 +493,10 @@ class NMF3D(BaseComponent):
 
     @classmethod
     def _fit_recon2(cls):
+        import os
+
+        if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
+            return cls.reconstruct  # kill switch, resolved per call
         from ..ops.fast_nmfd import unfold_deconv
 
         return unfold_deconv

@@ -160,11 +160,24 @@ class BaseComponent(Module):
     def reconstruct(H, W, Z):
         raise NotImplementedError
 
-    # reconstruction used INSIDE the EM solver (the E-step differentiates
+    # Reconstruction used INSIDE the EM solver (the E-step differentiates
     # through it); deconvolutional subclasses substitute the unfold-GEMM
-    # form whose adjoints are patch-GEMM contractions.  Resolved at fit
-    # time via ``type(self)._fit_reconstruct``; defaults to ``reconstruct``
-    # through ``__init_subclass__`` below.
+    # form whose adjoints are patch-GEMM contractions.  ``None`` (the
+    # default, covering user subclasses that only define ``reconstruct``)
+    # resolves to ``reconstruct``; the env kill switch is honored per call
+    # so cached solvers never hold a stale decision.
+    _fit_reconstruct = None
+
+    @classmethod
+    def _resolve_fit_recon3(cls):
+        import os
+
+        if (
+            cls._fit_reconstruct is None
+            or os.environ.get("PNT_NMFD_UNFOLD", "") == "0"
+        ):
+            return cls.reconstruct
+        return cls._fit_reconstruct
 
     def fit(
         self,
@@ -193,7 +206,7 @@ class BaseComponent(Module):
         )
 
         fit_fn = _solver.get_plca_fit(
-            type(self)._fit_reconstruct,
+            type(self)._resolve_fit_recon3(),
             float(tol),
             int(max_iter),
             W.requires_grad,
@@ -236,8 +249,6 @@ class PLCA(BaseComponent):
         W = as_array(W)
         Z = as_array(Z)
         return _recon.linear(H, W * Z)
-
-    _fit_reconstruct = reconstruct
 
 
 class SIPLCA(BaseComponent):

@@ -192,7 +192,7 @@ def _chunk_setup(W, H):
     return patch_chunk, W3, n_chunks, Tc, T_pad, L_out
 
 
-def _chunked_recon(V2, W, H):
+def _chunked_recon(W, H):
     """Streaming-τ reconstruction ``WH2 (N, L_out, C)``."""
     C = W.shape[0]
     N = H.shape[0]
@@ -223,7 +223,7 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
     N, _, L = H.shape
     patch_chunk, W3, n_chunks, Tc, T_pad, L_out = _chunk_setup(W, H)
 
-    WH2 = _chunked_recon(V2, W, H)
+    WH2 = _chunked_recon(W, H)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
 
@@ -392,7 +392,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         if K * R <= _CHUNK_COLS:
             WH2 = _dot(unfold_patches_nd(H, kernel), _w2(W))
         else:
-            WH2 = _chunked_recon(V2, W, H)
+            WH2 = _chunked_recon(W, H)
         return beta_div(WH2, V2, beta)
 
     return upd_W, upd_H, loss_terms
@@ -405,8 +405,12 @@ def unfold_deconv(H, W):
     transposes = the fold), so differentiating through it — as the PLCA EM
     E-step and the Hoyer solver do — inherits the unfold speedup.
 
-    Falls back to the conv formulation when the patch tensor exceeds the
-    memory budget (decided from the static shapes at trace time).
+    Long 1-D kernels stream τ-chunks through ``lax.scan`` (the fully
+    unrolled patch matrix at T=400, R=88 compiles for minutes and pages
+    HBM); shapes exceeding the memory budget fall back to the conv
+    formulation (decided from the static shapes at trace time — use the
+    per-call model resolvers, not env toggles, to switch paths on cached
+    solvers).
     """
     kernel = W.shape[2:]
     d = len(kernel)
@@ -414,15 +418,18 @@ def unfold_deconv(H, W):
     S_in = H.shape[2:]
     S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
     V_like = (N, W.shape[0]) + S_out
-    if (
-        os.environ.get("PNT_NMFD_UNFOLD", "") == "0"
-        or not nmfd_unfold_supported(V_like, W.shape)
-    ):
+    if not nmfd_unfold_supported(V_like, W.shape):
         from . import recon as _recon
 
         return getattr(_recon, f"deconv{d}d")(H, W)
-    P = unfold_patches_nd(H, kernel)        # (N, Lp, KR)
-    WH2 = _dot(P, _w2(W))                   # (N, Lp, C)
+    K = 1
+    for k in kernel:
+        K *= k
+    if K * R <= _CHUNK_COLS:
+        P = unfold_patches_nd(H, kernel)    # (N, Lp, KR)
+        WH2 = _dot(P, _w2(W))               # (N, Lp, C)
+    else:  # 1-D only (nmfd_unfold_supported rejects larger N-D kernels)
+        WH2 = _chunked_recon(W, H)
     WH = WH2.reshape((N,) + S_out + (W.shape[0],))
     return jnp.moveaxis(WH, -1, 1)          # (N, C, *S_out)
 

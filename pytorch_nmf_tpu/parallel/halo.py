@@ -113,8 +113,11 @@ def _get_sharded_deconv_fit(
             part = beta_div(recon(hp, w), V, beta)
             # subtract the exact constant the auto-padded (V=0, WH=0) cells
             # contribute for fractional β, so the convergence trajectory
-            # matches the unpadded problem
-            return jnp.sqrt(2.0 * (lax.psum(part, seq_axis) - loss_offset))
+            # matches the unpadded problem; clamp at 0 — f32 rounding of the
+            # psum'd total could otherwise dip below the exact host constant
+            # near a perfect fit and poison the sqrt with NaN
+            total = lax.psum(part, seq_axis) - loss_offset
+            return jnp.sqrt(2.0 * jnp.maximum(total, 0.0))
 
         sum_axes = (0,) + tuple(range(2, 2 + nd))
 

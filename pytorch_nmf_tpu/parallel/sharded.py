@@ -135,6 +135,7 @@ def _get_sharded_nmf_fit(
     data_axis: str,
     model_axis,  # str or None
     use_pallas: bool,
+    interpret: bool = False,
 ):
     gamma = gamma_from_beta(beta)
     axes_all = (data_axis,) + ((model_axis,) if model_axis else ())
@@ -144,7 +145,7 @@ def _get_sharded_nmf_fit(
     if fuse:
         from ..ops.pallas_mu import fused_beta_loss
     upd_W, upd_H = _local_nmf_updaters(
-        beta, gamma, l1_reg, l2_reg, data_axis, model_axis, fuse
+        beta, gamma, l1_reg, l2_reg, data_axis, model_axis, fuse, interpret
     )
 
     def local_fit(V, W, H):
@@ -152,7 +153,7 @@ def _get_sharded_nmf_fit(
         def loss_of(state):
             w, h = state
             if fuse:
-                part = fused_beta_loss(V, h, w, beta)
+                part = fused_beta_loss(V, h, w, beta, interpret)
             else:
                 WH = lax.dot_general(
                     h, w, (((1,), (1,)), ((), ())),
@@ -285,9 +286,9 @@ def sharded_nmf_fit(
     (β ≠ 2) — the multi-chip fast path; ``use_pallas`` overrides the
     autodetection.
     """
-    if use_pallas is None:
-        from ..ops.pallas_mu import pallas_supported
+    from ..ops.pallas_mu import _interpret_mode, pallas_supported
 
+    if use_pallas is None:
         use_pallas = pallas_supported()
     fit = _get_sharded_nmf_fit(
         mesh,
@@ -299,6 +300,7 @@ def sharded_nmf_fit(
         data_axis,
         model_axis,
         bool(use_pallas),
+        _interpret_mode(),  # resolved per call -> part of the cache key
     )
     v_spec = P(data_axis, model_axis) if model_axis else P(data_axis)
     w_spec = P(model_axis, None) if model_axis else P()

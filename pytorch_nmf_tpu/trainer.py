@@ -92,16 +92,25 @@ def _outputs_depend_on_inputs(f, xs):
     return [bool(om >> i & 1) for i in range(len(xs))]
 
 
-def _closure_fingerprint(closure):
+def _closure_fingerprint(closure, optimized_params=()):
     """Identity key for a user closure: its code object plus the ids of
-    everything it captures (cells and referenced globals).
+    everything it captures — cells, referenced globals, AND default
+    arguments (``lambda V=V: ...`` puts the capture in ``__defaults__``,
+    not ``__closure__``).  Captured Modules/Parameters additionally
+    contribute the ids of their current ``.data`` arrays, so rebinding a
+    non-optimized parameter between steps (``model.W.data = new_W``)
+    retraces instead of silently reusing baked constants.
 
-    Two lambdas created on the same source line capturing the same target
-    array and model compare equal — the common ``for _ in range(n):
-    trainer.step(lambda: (V, model()))`` pattern hits the compiled cache.
-    Returns ``(key, refs)`` where ``refs`` must be kept alive alongside the
-    cache entry (a strong reference pins each id against reuse), or ``None``
-    when the callable is not introspectable (fall back to the eager path).
+    Two lambdas created on the same source line capturing the same objects
+    compare equal — the common ``for _ in range(n): trainer.step(lambda:
+    (V, model()))`` pattern hits the compiled cache.  Returns
+    ``(key, refs)`` where ``refs`` must be kept alive alongside the cache
+    entry (a strong reference pins each id against reuse), or ``None`` when
+    the callable is not introspectable (fall back to the eager path).
+
+    Known limit (documented): arrays mutated IN PLACE (e.g. refilling a
+    captured numpy buffer) keep their id and will NOT retrigger tracing —
+    pass fresh arrays or use the functional trainer cores for that pattern.
     """
     code = getattr(closure, "__code__", None)
     if code is None:
@@ -114,10 +123,48 @@ def _closure_fingerprint(closure):
             continue
         if v is not closure:
             refs.append(v)
+    refs.extend(getattr(closure, "__defaults__", None) or ())
     globs = getattr(closure, "__globals__", {})
     refs.extend(globs[n] for n in code.co_names if n in globs)
+    # data ids of any captured NON-OPTIMIZED Parameter (directly or inside a
+    # captured Module): their values are baked constants, so rebinding
+    # .data must miss the cache.  The optimizer's own parameters are jit
+    # arguments (substituted fresh every step) — including them would
+    # defeat the cache, since the optimizer rebinds them each step.
+    from .module import Module
+
+    managed = {id(p) for p in optimized_params}
+    data_refs = []
+    for r in refs:
+        if isinstance(r, Parameter) and id(r) not in managed:
+            data_refs.append(r.data)
+        elif isinstance(r, Module):
+            data_refs.extend(
+                p.data for p in r.parameters() if id(p) not in managed
+            )
+    refs = refs + data_refs
     key = (code,) + tuple(id(r) for r in refs)
     return key, refs
+
+
+# compiled-step cache: bounded LRU so long-lived optimizers over many
+# distinct closures do not pin unbounded captured data (each entry's refs
+# deliberately keep the captured objects alive while cached)
+_STEP_CACHE_MAX = 8
+
+
+def _cache_get(cache, key):
+    entry = cache.get(key)
+    if entry is not None:
+        cache.move_to_end(key)
+    return entry
+
+
+def _cache_put(cache, key, entry):
+    cache[key] = entry
+    cache.move_to_end(key)
+    while len(cache) > _STEP_CACHE_MAX:
+        cache.popitem(last=False)
 
 
 def _substitute_all(params, vals):
@@ -193,7 +240,9 @@ class BetaMu(_Optimizer):
             dict(beta=beta, l1_reg=l1_reg, l2_reg=l2_reg, orthogonal=orthogonal),
         )
         self.jit_compile = bool(jit_compile)
-        self._step_cache = {}
+        from collections import OrderedDict
+
+        self._step_cache = OrderedDict()
 
     # -- compiled path -------------------------------------------------------
     def _all_params_and_hypers(self):
@@ -286,12 +335,12 @@ class BetaMu(_Optimizer):
             tuple((tuple(p.data.shape), str(p.data.dtype)) for p in params),
             tuple(hypers),
         )
-        entry = self._step_cache.get(full_key)
+        entry = _cache_get(self._step_cache, full_key)
         if entry is None:
             jitted, mask = self._build_step(closure, params, hypers)
             # strong refs pin the captured objects' ids for the cache's life
             entry = (jitted, mask, refs, params)
-            self._step_cache[full_key] = entry
+            _cache_put(self._step_cache, full_key, entry)
         jitted, mask, _, _ = entry
         updated, grads = jitted([p.data for p in params])
         it = iter(range(len(updated)))
@@ -311,7 +360,8 @@ class BetaMu(_Optimizer):
         identical semantics.
         """
         if self.jit_compile:
-            fp = _closure_fingerprint(closure)
+            opt_params = [p for g in self.param_groups for p in g["params"]]
+            fp = _closure_fingerprint(closure, opt_params)
             if fp is not None:
                 return self._step_compiled(closure, *fp)
         return self._step_eager(closure)
@@ -404,7 +454,9 @@ class SparsityProj(_Optimizer):
             params, dict(sparsity=sparsity, lr=1, dim=dim, max_iter=max_iter)
         )
         self.jit_compile = bool(jit_compile)
-        self._step_cache = {}
+        from collections import OrderedDict
+
+        self._step_cache = OrderedDict()
 
     # -- compiled path -------------------------------------------------------
     def _build_step(self, closure):
@@ -476,11 +528,11 @@ class SparsityProj(_Optimizer):
             tuple((g["sparsity"], g["dim"], g["max_iter"])
                   for g in self.param_groups),
         )
-        entry = self._step_cache.get(full_key)
+        entry = _cache_get(self._step_cache, full_key)
         if entry is None:
             jitted, mask, params = self._build_step(closure)
             entry = (jitted, mask, refs, params)
-            self._step_cache[full_key] = entry
+            _cache_put(self._step_cache, full_key, entry)
         jitted, mask, _, params = entry
         lrs = [jnp.float32(g["lr"]) for g in self.param_groups]
         updated, new_lrs, loss, grads = jitted([p.data for p in params], lrs)
@@ -502,7 +554,8 @@ class SparsityProj(_Optimizer):
         path below runs the same algorithm.
         """
         if self.jit_compile:
-            fp = _closure_fingerprint(closure)
+            opt_params = [p for g in self.param_groups for p in g["params"]]
+            fp = _closure_fingerprint(closure, opt_params)
             if fp is not None:
                 return self._step_compiled(closure, *fp)
         return self._step_eager(closure)

@@ -212,3 +212,45 @@ def test_sparsityproj_disconnected_param_untouched():
         sp.step(lambda: jnp.sum(pa.value ** 2))
         assert np.array_equal(before, np.asarray(pb.data))
         assert pb.grad is None
+
+
+def test_betamu_default_arg_capture_not_stale():
+    """`lambda V=V: ...` captures via __defaults__, not __closure__; each
+    distinct target must get its own compiled entry (code-review r2)."""
+    m = NMF((20, 10), 3)
+    t = BetaMu(m.parameters(), 2)
+    targets = [RNG.rand(20, 10).astype("f") for _ in range(2)]
+
+    # step once per target with the default-arg idiom
+    for V in targets:
+        t.step(lambda V=V: (V, m(None)))
+    assert len(t._step_cache) == 2  # one entry per captured target
+
+    # grads of the last step must reflect the LAST target, not the first
+    ref = NMF(W=np.asarray(m.W.data), H=np.asarray(m.H.data))
+    # recompute one more step against target[1] both ways
+    t.step(lambda V=targets[1]: (V, m(None)))
+    tb = BetaMu(ref.parameters(), 2, jit_compile=False)
+    tb.step(lambda: (targets[1], ref(None)))
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 1e-5
+
+
+def test_betamu_rebound_nonoptimized_param_not_stale():
+    """Rebinding a frozen parameter's .data between steps must retrace
+    instead of reusing the baked constant (code-review r2)."""
+    m = NMF((20, 10), 3)
+    m.W.requires_grad = False
+    target = RNG.rand(20, 10).astype("f")
+    t = BetaMu(m.parameters(), 1)
+
+    t.step(lambda: (target, m(None)))
+    H_after_first = np.asarray(m.H.data).copy()
+
+    m.W.data = jnp.asarray(RNG.rand(10, 3).astype("f") + 0.5)  # rebind frozen W
+    t.step(lambda: (target, m(None)))
+
+    ref = NMF(W=np.asarray(m.W.data), H=H_after_first)
+    ref.W.requires_grad = False
+    tb = BetaMu(ref.parameters(), 1, jit_compile=False)
+    tb.step(lambda: (target, ref(None)))
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 1e-5
