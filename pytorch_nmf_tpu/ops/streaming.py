@@ -119,9 +119,23 @@ def streaming_nmf_fit(
         for b in range(n_blocks)
     ]
 
+    # one-block-ahead prefetch on a worker thread: numpy slice/copy of a
+    # memmap releases the GIL, so disk/page-cache reads overlap the device
+    # compute of the previous block
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def _read(b):
+        return np.asarray(V[b * row_block:(b + 1) * row_block])
+
     def blocks():
+        fut = pool.submit(_read, 0)
         for b in range(n_blocks):
-            yield np.asarray(V[b * row_block:(b + 1) * row_block]), b
+            cur = fut.result()
+            if b + 1 < n_blocks:
+                fut = pool.submit(_read, b + 1)
+            yield cur, b
 
     def total_loss(Wc):
         acc = 0.0
@@ -155,5 +169,6 @@ def streaming_nmf_fit(
                 break
             prev = loss
 
+    pool.shutdown(wait=False)
     H_out = jnp.concatenate(H_blocks, axis=0) if n_blocks > 1 else H_blocks[0]
     return W, H_out, n_iter
