@@ -35,6 +35,7 @@ __all__ = [
     "nmf2d_fit",
     "nmf3d_fit",
     "nmf_hoyer_fit",
+    "nmf_hoyer_fit_batched",
     "plca_fit",
     "plca_fit_batched",
     "mu_update",
@@ -192,6 +193,40 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
         None if sH is None or not update_H else float(sH),
         int(W.size // W.shape[1]),
         int(H.size // H.shape[1]),
+    )
+    return fit(V, W, H)
+
+
+def nmf_hoyer_fit_batched(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
+                          update_W=True, update_H=True, model_cls=None):
+    """Hoyer-fit MANY problems in one compiled program (dense targets).
+
+    Leading batch axis on ``V``/``W``/``H``; returns ``(W, H, n_iter)``
+    with ``n_iter (B,)``.  Each problem's backtracking trajectories match
+    running it alone through :func:`nmf_hoyer_fit`.
+    """
+    import jax.numpy as jnp
+
+    from .ops.solver import get_batched_hoyer_fit
+
+    _validate(V, beta)
+    model_cls = model_cls or _nmf_models.NMF
+    if isinstance(V, SparseCOO):
+        raise NotImplementedError(
+            "batched Hoyer fits support dense targets only"
+        )
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    fit = get_batched_hoyer_fit(
+        model_cls._fit_recon2(),
+        float(beta),
+        int(max_iter),
+        update_W,
+        update_H,
+        None if sW is None or not update_W else float(sW),
+        None if sH is None or not update_H else float(sH),
+        int(W[0].size // W.shape[2]),
+        int(H[0].size // H.shape[2]),
     )
     return fit(V, W, H)
 

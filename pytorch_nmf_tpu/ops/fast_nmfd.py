@@ -82,20 +82,35 @@ def _taus(kernel):
     return list(itertools.product(*(range(k) for k in kernel)))
 
 
-def unfold_patches_nd(H, kernel):
+def unfold_patches_nd(H, kernel, pad=None):
     """N-D patch matrix: ``P[n, l_vec, τ_flat·R + r] = Hp[n, l_vec - τ, r]``.
 
     ``H (N, R, *S_in)`` → spatial-major padded copy → ``prod(kernel)``
     static slices stacked along a new τ axis → reshape to
     ``(N, prod(S_out), K·R)`` with ``S_out = S_in + kernel - 1``.  Pure
     data movement (copies) — no gathers.
+
+    ``pad`` optionally selects the boundary mode per spatial axis (default
+    all ``True`` = full convolution padding).  A ``False`` axis is consumed
+    VALID — ``S_out = S_in - kernel + 1`` with no zero padding — which is
+    the form the halo-exchange sharded solvers need on their halo'd
+    trailing axis (:mod:`pytorch_nmf_tpu.parallel.halo`): the halo frames
+    supplied by the ring neighbor play the role of the padding.
     """
     d = len(kernel)
     N, R = H.shape[:2]
     S_in = H.shape[2:]
-    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    if pad is None:
+        pad = (True,) * d
+    S_out = tuple(
+        s + k - 1 if p else s - k + 1 for s, k, p in zip(S_in, kernel, pad)
+    )
     H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
-    pads = ((0, 0),) + tuple((k - 1, k - 1) for k in kernel) + ((0, 0),)
+    pads = (
+        ((0, 0),)
+        + tuple((k - 1, k - 1) if p else (0, 0) for k, p in zip(kernel, pad))
+        + ((0, 0),)
+    )
     Hp2 = jnp.pad(H2, pads)
     cols = []
     for tau in _taus(kernel):

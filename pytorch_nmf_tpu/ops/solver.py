@@ -553,6 +553,34 @@ def get_hoyer_fit(
     return jax.jit(fit)
 
 
+@lru_cache(maxsize=None)
+def get_batched_hoyer_fit(
+    recon2: Callable,
+    beta: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    sW: Optional[float],
+    sH: Optional[float],
+    W_col_dim: int,
+    H_col_dim: int,
+):
+    """Batched Hoyer fit: ``fit(V (B,...), W (B,...), H (B,...))
+    -> (W, H, n_iter (B,))`` for dense targets.
+
+    The Hoyer solver has no early stopping (it always runs ``max_iter``;
+    reference nmf.py:587-599), so batching is a plain ``vmap`` of the
+    single-problem solver — each problem's backtracking line searches run
+    independently (``lax.while_loop`` batching freezes finished lanes), so
+    every trajectory matches what it would do alone.
+    """
+    inner = get_hoyer_fit(
+        recon2, None, beta, max_iter, update_W, update_H,
+        sW, sH, W_col_dim, H_col_dim,
+    )
+    return jax.jit(jax.vmap(inner))
+
+
 # --------------------------------------------------------------------------
 # PLCA EM fit (reference plca.py:193-304)
 # --------------------------------------------------------------------------

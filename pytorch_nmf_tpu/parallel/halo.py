@@ -28,6 +28,7 @@ Per MU iteration per factor: one halo ``ppermute`` (forward), one reverse
 ``ppermute`` (adjoint), one ``psum`` for the kernel contraction — all ICI.
 """
 
+import os
 from functools import lru_cache
 
 import jax
@@ -37,6 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import eps
 from ..metrics import beta_div
+from ..ops.fast_nmfd import _CHUNK_COLS, _DEFAULT_MAX_BYTES, _dot, _w2, \
+    unfold_patches_nd
 from ..ops.mu import gamma_from_beta, mu_cotangents, mu_multiplier
 from ..ops.solver import _converging_loop
 
@@ -63,6 +66,48 @@ def left_halo(x, halo: int, axis_name: str):
 
 
 _CONV_LETTERS = {1: "H", 2: "HW", 3: "DHW"}
+
+
+def _unfold_halo_nd(Hh, W, spatial_ndim: int):
+    """Same output as ``_conv_halo_nd`` (to f32 rounding) but expressed as
+    a patch GEMM (full padding on the leading local spatial axes, VALID on
+    the halo'd trailing axis), so every heavy op — and, through ``jax.vjp``,
+    every MU contraction — is an MXU GEMM instead of a rank-starved
+    convolution (see :mod:`pytorch_nmf_tpu.ops.fast_nmfd`)."""
+    kernel = W.shape[2:]
+    pad = (True,) * (spatial_ndim - 1) + (False,)
+    N = Hh.shape[0]
+    C = W.shape[0]
+    S_out = tuple(
+        s + k - 1 if p else s - k + 1
+        for s, k, p in zip(Hh.shape[2:], kernel, pad)
+    )
+    P_mat = unfold_patches_nd(Hh, kernel, pad)   # (N, prod(S_out), K·R)
+    WH2 = _dot(P_mat, _w2(W))                    # (N, prod(S_out), C)
+    return jnp.moveaxis(WH2.reshape((N,) + S_out + (C,)), -1, 1)
+
+
+def _halo_unfold_ok(n_batch, lead_shapes, chunk, kernel, R) -> bool:
+    """Whether the per-shard patch tensor fits the memory budget (and the
+    kernel is small enough for the fully-unrolled form — the τ-streaming
+    path is not used under ``jax.vjp``, where scan residuals would undo the
+    saving)."""
+    if os.environ.get("PNT_HALO_UNFOLD", "") == "0":
+        return False
+    K = 1
+    for k in kernel:
+        K *= k
+    if K < 2 or K * R > _CHUNK_COLS:
+        return False
+    Lp = chunk
+    for s, k in zip(lead_shapes, kernel[:-1]):
+        Lp *= s + k - 1
+    max_bytes = int(
+        os.environ.get("PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES)
+    )
+    # the vjp keeps the patch matrix as a residual alongside the cotangent
+    # GEMM operand — budget for ~2 live copies
+    return 4 * n_batch * Lp * K * R * 2 <= max_bytes
 
 
 def _conv_halo_nd(H, W, spatial_ndim: int):
@@ -95,6 +140,7 @@ def _get_sharded_deconv_fit(
     l2_reg: float,
     seq_axis: str,
     loss_offset: float = 0.0,
+    use_unfold: bool = False,
 ):
     gamma = gamma_from_beta(beta)
     halo = T - 1
@@ -106,7 +152,10 @@ def _get_sharded_deconv_fit(
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
         def recon(hp, w):
-            return _conv_halo_nd(left_halo(hp, halo, seq_axis), w, nd)
+            hh = left_halo(hp, halo, seq_axis)
+            if use_unfold:
+                return _unfold_halo_nd(hh, w, nd)
+            return _conv_halo_nd(hh, w, nd)
 
         def loss_of(state):
             w, hp = state
@@ -224,10 +273,16 @@ def _sharded_deconv_fit(
     pad = [(0, 0)] * (H.ndim - 1) + [(0, L_pad - L_in)]
     Hp = jnp.pad(H, pad)
 
+    use_unfold = _halo_unfold_ok(
+        int(H.shape[0]),
+        tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),  # leading spatial
+        chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
+    )
+
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
-        loss_offset,
+        loss_offset, use_unfold,
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

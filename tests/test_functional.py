@@ -356,3 +356,44 @@ def test_batched_plca_matches_individual():
         assert abs(float(norm_b[b]) - float(norm_ref)) < 1e-3
         assert float(jnp.abs(Wb[b] - m.W.data).max()) < 5e-5
         assert float(jnp.abs(Zb[b] - m.Z.data).max()) < 5e-5
+
+
+def test_batched_hoyer_matches_individual():
+    import pytorch_nmf_tpu.functional as F
+
+    rng = np.random.RandomState(42)
+    B, M, K, R = 3, 30, 20, 4
+    V = rng.rand(B, M, K).astype("f")
+    W0 = rng.rand(B, K, R).astype("f") + 0.1
+    H0 = rng.rand(B, M, R).astype("f") + 0.1
+
+    Wb, Hb, n_b = F.nmf_hoyer_fit_batched(
+        V, W0, H0, beta=2, max_iter=8, sW=0.4, sH=0.5
+    )
+    assert n_b.shape == (B,)
+    for b in range(B):
+        Ws, Hs, ns = F.nmf_hoyer_fit(
+            V[b], W0[b], H0[b], beta=2, max_iter=8, sW=0.4, sH=0.5
+        )
+        assert int(n_b[b]) == int(ns) == 8
+        assert float(jnp.abs(Wb[b] - Ws).max()) < 1e-5
+        assert float(jnp.abs(Hb[b] - Hs).max()) < 1e-5
+
+
+def test_batched_hoyer_mixed_constraint():
+    """Only one factor constrained: the other takes plain MU steps."""
+    import pytorch_nmf_tpu.functional as F
+
+    rng = np.random.RandomState(43)
+    B, M, K, R = 2, 24, 16, 3
+    V = rng.rand(B, M, K).astype("f")
+    W0 = rng.rand(B, K, R).astype("f") + 0.1
+    H0 = rng.rand(B, M, R).astype("f") + 0.1
+
+    Wb, Hb, _ = F.nmf_hoyer_fit_batched(V, W0, H0, beta=1, max_iter=6, sW=0.6)
+    for b in range(B):
+        Ws, Hs, _ = F.nmf_hoyer_fit(
+            V[b], W0[b], H0[b], beta=1, max_iter=6, sW=0.6
+        )
+        assert float(jnp.abs(Wb[b] - Ws).max()) < 1e-5
+        assert float(jnp.abs(Hb[b] - Hs).max()) < 1e-5

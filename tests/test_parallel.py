@@ -325,3 +325,50 @@ def test_hybrid_mesh_fallback_and_fit():
     ref = NMF(W=W0, H=H0)
     ref.fit(V, 1, 0, 5)
     assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_unfold_matches_conv_formulation():
+    """The per-shard unfold-GEMM reconstruction (default when the patch
+    tensor fits the budget) must match the conv formulation to f32
+    rounding, for the 1-D and 2-D sharded solvers."""
+    import os
+
+    from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit
+    from pytorch_nmf_tpu.parallel.halo import _halo_unfold_ok, sharded_nmfd_fit
+
+    rng = np.random.RandomState(7)
+    N, C, L_out, R, T = 2, 10, 48, 4, 5
+    V = rng.rand(N, C, L_out).astype("f")
+    W0 = rng.rand(C, R, T).astype("f") + 0.1
+    H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    mesh = make_mesh({"seq": 8})
+
+    assert _halo_unfold_ok(N, (), 6, (T,), R)
+    Wu, Hu, nu = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=10)
+    os.environ["PNT_HALO_UNFOLD"] = "0"
+    try:
+        assert not _halo_unfold_ok(N, (), 6, (T,), R)
+        Wc, Hc, nc = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=1, tol=0, max_iter=10
+        )
+    finally:
+        del os.environ["PNT_HALO_UNFOLD"]
+    assert int(nu) == int(nc)
+    assert float(jnp.abs(Wu - Wc).max()) < 1e-5
+    assert float(jnp.abs(Hu - Hc).max()) < 1e-5
+
+    N, C, Y, X, R, ky, kx = 1, 5, 10, 32, 3, 3, 4
+    V = rng.rand(N, C, Y, X).astype("f")
+    W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+    H0 = rng.rand(N, R, Y - ky + 1, X - kx + 1).astype("f") + 0.1
+    Wu, Hu, _ = sharded_nmf2d_fit(V, W0, H0, mesh, beta=2, tol=0, max_iter=10)
+    os.environ["PNT_HALO_UNFOLD"] = "0"
+    try:
+        Wc, Hc, _ = sharded_nmf2d_fit(
+            V, W0, H0, mesh, beta=2, tol=0, max_iter=10
+        )
+    finally:
+        del os.environ["PNT_HALO_UNFOLD"]
+    assert float(jnp.abs(Wu - Wc).max()) < 1e-5
+    assert float(jnp.abs(Hu - Hc).max()) < 1e-5
