@@ -177,25 +177,51 @@ def _chunk_tc(R: int, T: int):
     return min(Tc, T)
 
 
-def _chunk_setup(W, H):
-    """Shared padded-activation / chunked-kernel layout for the streaming
-    τ paths."""
-    C, R, T = W.shape
-    N, _, L = H.shape
-    L_out = L + T - 1
+def _streaming_dims(R: int, T: int):
     Tc = _chunk_tc(R, T)
     n_chunks = -(-T // Tc)
-    T_pad = n_chunks * Tc
+    return Tc, n_chunks, n_chunks * Tc
 
+
+def _kernel_dims(V_shape, H_shape):
+    """Static kernel extents from the target/activation shapes
+    (``S_out = S_in + kernel - 1`` for every deconv model)."""
+    return tuple(int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:]))
+
+
+def _w3_from_w(W):
+    """``W (C, R, T)`` → τ-chunked GEMM operand ``(n_chunks, Tc·R, C)``
+    (zero rows for the τ padding)."""
+    C, R, T = W.shape
+    Tc, n_chunks, T_pad = _streaming_dims(R, T)
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, T_pad - T)))
+    return jnp.transpose(Wp, (2, 1, 0)).reshape(n_chunks, Tc * R, C)
+
+
+def _w_from_w3(W3, R: int, T: int):
+    """Inverse of :func:`_w3_from_w`."""
+    C = W3.shape[-1]
+    full = W3.reshape(-1, R, C)[:T]
+    return jnp.transpose(full, (2, 1, 0))
+
+
+def _w_from_w2(W2, kernel, R: int):
+    """Inverse of :func:`_w2`: ``(K·R, C)`` → ``(C, R, *kernel)``."""
+    d = len(kernel)
+    C = W2.shape[-1]
+    full = W2.reshape(kernel + (R, C))
+    return jnp.transpose(full, (1 + d, d) + tuple(range(d)))
+
+
+def _patch_chunk_fn(H, Tc: int, T_pad: int, L_out: int):
+    """Closure building τ-chunk patch matrices from the padded time-major
+    activation: ``Pc(t)[n, l, τl·R + r] = H2[n, l - (t·Tc + τl), r]``."""
+    N, R, L = H.shape
     H2 = jnp.swapaxes(H, 1, 2)  # (N, L, R)
     Hp2 = jnp.pad(H2, ((0, 0), (T_pad - 1, L_out - L + T_pad - 1), (0, 0)))
     # Hp2[n, x, r] = H2[n, x - (T_pad-1), r]
-    # padded W: extra taps are zero and contribute nothing
-    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, T_pad - T)))
-    W3 = jnp.transpose(Wp, (2, 1, 0)).reshape(n_chunks, Tc * R, C)
 
     def patch_chunk(t):
-        # Pc[n, l, τl·R + r] = Hp2[n, l + (T_pad-1) - (t·Tc + τl), r]
         base = T_pad - 1 - t * Tc
         cols = [
             lax.dynamic_slice_in_dim(Hp2, base - tl, L_out, axis=1)
@@ -204,14 +230,17 @@ def _chunk_setup(W, H):
         Pc = jnp.stack(cols, axis=2)  # (N, L_out, Tc, R)
         return Pc.reshape(N, L_out, Tc * R)
 
-    return patch_chunk, W3, n_chunks, Tc, T_pad, L_out
+    return patch_chunk
 
 
-def _chunked_recon(W, H):
-    """Streaming-τ reconstruction ``WH2 (N, L_out, C)``."""
-    C = W.shape[0]
-    N = H.shape[0]
-    patch_chunk, W3, n_chunks, _, _, L_out = _chunk_setup(W, H)
+def _stream_recon(W3, H, T: int):
+    """Streaming-τ reconstruction ``WH2 (N, L_out, C)`` from the chunked
+    GEMM operand ``W3 (n_chunks, Tc·R, C)``."""
+    n_chunks, TcR, C = W3.shape
+    N, R, L = H.shape
+    Tc = TcR // R
+    L_out = L + T - 1
+    patch_chunk = _patch_chunk_fn(H, Tc, n_chunks * Tc, L_out)
 
     def recon_body(acc, inp):
         t, W2c = inp
@@ -225,26 +254,36 @@ def _chunked_recon(W, H):
     return WH2
 
 
-def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
-    """Streaming-τ version of the patch-GEMM contractions.
+def _chunked_recon(W, H):
+    """Streaming-τ reconstruction from the model-layout kernel (used by
+    :func:`unfold_deconv`; the MU solvers carry ``W3`` directly)."""
+    return _stream_recon(_w3_from_w(W), H, W.shape[-1])
+
+
+def _stream_contractions(V2, W3, H, T, beta, need_pos, w_side):
+    """Streaming-τ patch-GEMM contractions against the chunked operand.
 
     Two scans over τ-chunks: the first accumulates the reconstruction
     ``WH2 = Σ_t Pc(t) @ W2c(t)``, the second forms the per-chunk
     numerator/denominator contributions from the (fully materialized, but
     only (N, L_out, C)-sized) cotangents.  Patch chunks are built from
-    ``Tc`` dynamic slices of the padded time-major activation.
+    ``Tc`` dynamic slices of the padded time-major activation.  W-side
+    outputs stay in the ``(n_chunks, Tc·R, C)`` loop layout — no transposes
+    in the hot loop.
     """
-    C, R, T = W.shape
-    N, _, L = H.shape
-    patch_chunk, W3, n_chunks, Tc, T_pad, L_out = _chunk_setup(W, H)
+    n_chunks, TcR, C = W3.shape
+    N, R, L = H.shape
+    Tc = TcR // R
+    T_pad = n_chunks * Tc
+    L_out = L + T - 1
+    patch_chunk = _patch_chunk_fn(H, Tc, T_pad, L_out)
 
-    WH2 = _chunked_recon(W, H)
+    WH2 = _stream_recon(W3, H, T)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
 
     if w_side:
-        def w_body(carry, inp):
-            t, _ = inp
+        def w_body(carry, t):
             Pc = patch_chunk(t)
             outs = tuple(
                 jnp.einsum(
@@ -255,16 +294,11 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
             )
             return carry, outs
 
-        _, stacked = lax.scan(
-            w_body, 0, (jnp.arange(n_chunks), W3)
-        )  # each: (n_chunks, Tc·R, C)
+        _, stacked = lax.scan(w_body, 0, jnp.arange(n_chunks))
+        # each: (n_chunks, Tc·R, C) — the W3 layout
+        return stacked[0], (stacked[1] if need_pos else None)
 
-        def finish(s):
-            full = s.reshape(T_pad, R, C)[:T]
-            return jnp.transpose(full, (2, 1, 0))
-
-        outs = tuple(finish(s) for s in stacked)
-        return outs[0], (outs[1] if need_pos else None)
+    pad_tail = T_pad - T  # minimal: slice end max = T_pad - 1 + L
 
     def h_body(acc, inp):
         t, W2c = inp
@@ -272,7 +306,7 @@ def _chunked_contractions(V2, W, H, beta, need_pos, w_side):
         accs = list(acc)
         for i, cot in enumerate(cots):
             Gc = _dot(cot, W2c.T).reshape(N, L_out, Tc, R)
-            Gp = jnp.pad(Gc, ((0, 0), (0, T_pad), (0, 0), (0, 0)))
+            Gp = jnp.pad(Gc, ((0, 0), (0, pad_tail), (0, 0), (0, 0)))
             for tl in range(Tc):
                 sl = lax.dynamic_slice_in_dim(
                     Gp[:, :, tl, :], t * Tc + tl, L, axis=1
@@ -295,13 +329,53 @@ def _dot(a, b):
 
 def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
     """``updater_factory`` hook producing unfold-GEMM deconvolution
-    updaters for any spatial rank.
+    updaters for any spatial rank — extended (5-tuple) protocol.
 
-    The returned updaters check the (static) shapes at trace time and fall
-    back to the generic VJP/conv engine when the patch tensor would exceed
-    the memory budget (or, for 2-D/3-D kernels, when it would need the
-    1-D-only streaming path).
+    The kernel factor is loop-carried in its GEMM layout — ``W2 (K·R, C)``
+    for the fully-unrolled form, ``W3 (n_chunks, Tc·R, C)`` for the 1-D
+    streaming form — via the solver's ``prepare``/``finish`` hooks, so the
+    hot loop contains NO layout transposes (the ``(C, R, T) ↔ (T·R, C)``
+    relayout of a T=400 r88 kernel costs ~0.5 ms on v5e and the old
+    per-iteration code paid it ~4×).  MU multiplies, regularizers and the
+    relu/eps clamps are elementwise and layout-agnostic; zero-padded τ rows
+    stay zero under any multiplier.  Shapes outside the memory budget keep
+    the model layout and the generic VJP/conv engine (the mode is a static
+    trace-time function of the V/H shapes, so ``prepare`` and the updaters
+    always agree).
     """
+
+    def _mode(V_shape, H_shape):
+        if len(V_shape) != 2 + spatial_ndim:
+            return "none"
+        kernel = _kernel_dims(V_shape, H_shape)
+        R = int(H_shape[1])
+        W_shape = (int(V_shape[1]), R) + kernel
+        if not nmfd_unfold_supported(
+            tuple(int(s) for s in V_shape), W_shape
+        ):
+            return "none"
+        K = 1
+        for k in kernel:
+            K *= k
+        return "unrolled" if K * R <= _CHUNK_COLS else "stream"
+
+    def prepare(V, W, H):
+        m = _mode(V.shape, H.shape)
+        if m == "unrolled":
+            return _w2(W), H
+        if m == "stream":
+            return _w3_from_w(W), H
+        return W, H
+
+    def finish(V, w, h):
+        m = _mode(V.shape, h.shape)
+        if m == "unrolled":
+            return _w_from_w2(w, _kernel_dims(V.shape, h.shape),
+                              int(h.shape[1])), h
+        if m == "stream":
+            T = int(V.shape[-1]) - int(h.shape[-1]) + 1
+            return _w_from_w3(w, int(h.shape[1]), T), h
+        return w, h
 
     def _generic(V, W, H, which):
         from . import recon as _recon
@@ -320,97 +394,108 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
             l1_reg, l2_reg, pos_pre,
         )
 
-    def _contractions(V, W, H, w_side: bool):
-        """(neg, pos_or_None) for one factor via the patch GEMMs.
+    def _v2(V):
+        # flatten spatial dims; channels last
+        return jnp.moveaxis(V, 1, -1).reshape(V.shape[0], -1, V.shape[1])
+
+    def _contractions(V, w, H, mode, w_side: bool):
+        """(neg, pos_or_None) for one factor via the patch GEMMs; w-side
+        outputs stay in ``w``'s GEMM layout.
 
         Small ``K·R`` uses one fully-unrolled patch matrix; a large 1-D
         ``T·R`` streams τ-chunks through a ``lax.scan`` so neither the
         patch tensor nor the XLA graph blows up (a fully-unrolled T=400,
         R=88 program took minutes to compile and paged HBM)."""
-        C, R = W.shape[:2]
-        kernel = W.shape[2:]
-        N = H.shape[0]
+        R = H.shape[1]
+        kernel = _kernel_dims(V.shape, H.shape)
         S_in = H.shape[2:]
-        K = 1
-        for k in kernel:
-            K *= k
-        d = len(kernel)
-        # flatten spatial dims; channels last
-        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)  # (N, Lp, C)
+        V2 = _v2(V)
         need_pos = beta != 1
 
-        if K * R <= _CHUNK_COLS:
+        if mode == "unrolled":
             P = unfold_patches_nd(H, kernel)  # (N, Lp, KR)
-            W2 = _w2(W)                       # (KR, C)
-            WH2 = _dot(P, W2)                 # (N, Lp, C)
+            WH2 = _dot(P, w)                  # (N, Lp, C)
             neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
             if w_side:
-                # neg_W (C, R, *k) = transpose(Pᵀ @ cot)
-                def contract(cot):
-                    out = jnp.einsum(
+                def contract(cot):  # (KR, C) — the W2 layout
+                    return jnp.einsum(
                         "nlk,nlc->kc", P, cot,
                         preferred_element_type=jnp.float32,
-                    )  # (KR, C)
-                    out = out.reshape(kernel + (R, C))
-                    perm = (1 + d, d) + tuple(range(d))
-                    return jnp.transpose(out, perm)
-
-                return (
-                    contract(neg_cot),
-                    (contract(pos_cot) if need_pos else None),
-                )
-
-            def contract(cot):
-                G = _dot(cot, W2.T)                 # (N, Lp, KR)
-                out = _fold_nd(G, S_in, kernel, R)  # (N, *S_in, R)
-                return jnp.moveaxis(out, -1, 1)
+                    )
+            else:
+                def contract(cot):
+                    G = _dot(cot, w.T)                  # (N, Lp, KR)
+                    out = _fold_nd(G, S_in, kernel, R)  # (N, *S_in, R)
+                    return jnp.moveaxis(out, -1, 1)
 
             return contract(neg_cot), (contract(pos_cot) if need_pos else None)
 
         # 1-D streaming path only (guarded by nmfd_unfold_supported)
-        return _chunked_contractions(V2, W, H, beta, need_pos, w_side)
+        return _stream_contractions(
+            V2, w, H, kernel[0], beta, need_pos, w_side
+        )
 
-    def upd_W(V, W, H):
-        if not nmfd_unfold_supported(V.shape, W.shape):
-            return _generic(V, W, H, "W")
-        neg, pos = _contractions(V, W, H, w_side=True)
-        neg = jax.nn.relu(neg) + eps
-        pos = kl_pos_W(H) if beta == 1 else jax.nn.relu(pos) + eps
-        return W * mu_multiplier(neg, pos, W, gamma, l1_reg, l2_reg)
+    def _pos_w_tiled(H, w, mode):
+        """Analytic KL denominator for W in ``w``'s layout: the per-rank
+        activation sums tiled over the τ rows."""
+        s = kl_pos_W(H).reshape(-1)  # (R,)
+        if mode == "unrolled":
+            reps = w.shape[0] // s.shape[0]
+            return jnp.tile(s, reps)[:, None]
+        reps = w.shape[1] // s.shape[0]
+        return jnp.tile(s, reps)[None, :, None]
 
-    def upd_H(V, W, H):
-        if not nmfd_unfold_supported(V.shape, W.shape):
-            return _generic(V, W, H, "H")
-        neg, pos = _contractions(V, W, H, w_side=False)
+    def _pos_h_from_w(w, R):
+        """Analytic KL denominator for H from the GEMM-layout kernel:
+        per-rank sums over all (τ, c) — padded rows are zero.  Shaped to
+        broadcast against ``H (N, R, *S_in)``."""
+        s = jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
+        return s.reshape((R,) + (1,) * spatial_ndim)
+
+    def upd_W(V, w, H):
+        mode = _mode(V.shape, H.shape)
+        if mode == "none":
+            return _generic(V, w, H, "W")
+        neg, pos = _contractions(V, w, H, mode, w_side=True)
         neg = jax.nn.relu(neg) + eps
-        pos = kl_pos_H(W) if beta == 1 else jax.nn.relu(pos) + eps
+        pos = (
+            _pos_w_tiled(H, w, mode) if beta == 1
+            else jax.nn.relu(pos) + eps
+        )
+        return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
+
+    def upd_H(V, w, H):
+        mode = _mode(V.shape, H.shape)
+        if mode == "none":
+            return _generic(V, w, H, "H")
+        neg, pos = _contractions(V, w, H, mode, w_side=False)
+        neg = jax.nn.relu(neg) + eps
+        pos = (
+            _pos_h_from_w(w, H.shape[1]) if beta == 1
+            else jax.nn.relu(pos) + eps
+        )
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
-    def loss_terms(V, W, H):
+    def loss_terms(V, w, H):
         # every-10-iterations cadence loss via the same patch GEMMs — the
         # conv reconstruction would cost ~1/3 of a whole unfold update
         from ..metrics import beta_div
 
-        C, R = W.shape[:2]
-        kernel = W.shape[2:]
-        N = H.shape[0]
-        K = 1
-        for k in kernel:
-            K *= k
-        if not nmfd_unfold_supported(V.shape, W.shape):
+        mode = _mode(V.shape, H.shape)
+        if mode == "none":
             from . import recon as _recon
 
             deconv = getattr(_recon, f"deconv{spatial_ndim}d")
-            return beta_div(deconv(H, W), V, beta)
-        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
-        if K * R <= _CHUNK_COLS:
-            WH2 = _dot(unfold_patches_nd(H, kernel), _w2(W))
+            return beta_div(deconv(H, w), V, beta)
+        kernel = _kernel_dims(V.shape, H.shape)
+        if mode == "unrolled":
+            WH2 = _dot(unfold_patches_nd(H, kernel), w)
         else:
-            WH2 = _chunked_recon(W, H)
-        return beta_div(WH2, V2, beta)
+            WH2 = _stream_recon(w, H, kernel[0])
+        return beta_div(WH2, _v2(V), beta)
 
-    return upd_W, upd_H, loss_terms
+    return upd_W, upd_H, loss_terms, prepare, finish
 
 
 def unfold_deconv(H, W):

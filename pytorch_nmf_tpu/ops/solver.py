@@ -107,6 +107,22 @@ def _default_updaters(recon2, beta, gamma, l1_reg, l2_reg):
     return upd_W, upd_H
 
 
+def _normalize_updaters(updaters):
+    """Factory return values come in three arities:
+
+    * ``(upd_W, upd_H)``
+    * ``(upd_W, upd_H, loss_terms)``
+    * ``(upd_W, upd_H, loss_terms, prepare, finish)`` — the extended
+      protocol: ``prepare(V, W, H) -> (w_state, h_state)`` converts the
+      factors into the updaters' preferred loop-carried layout once at fit
+      entry (e.g. the NMFD Pallas kernels carry ``W`` as the flattened
+      ``(T·R, C)`` GEMM operand) and ``finish(V, w_state, h_state) ->
+      (W, H)`` converts back once at exit.  ``upd_*``/``loss_terms`` then
+      operate on the state layout.
+    """
+    return (tuple(updaters) + (None,) * 5)[:5]
+
+
 def _converging_loop(
     one_iter: Callable,
     loss_of: Callable,
@@ -179,9 +195,8 @@ def get_dense_fit(
     )
     if updaters is None:
         updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
-    # factories may supply a fused loss as an optional third element
-    loss_terms = updaters[2] if len(updaters) > 2 else None
-    upd_W, upd_H = updaters[0], updaters[1]
+    # factories may supply a fused loss / layout hooks (extended protocol)
+    upd_W, upd_H, loss_terms, prepare, finish = _normalize_updaters(updaters)
 
     def fit(V, W, H):
         def loss_of(state):
@@ -198,9 +213,11 @@ def get_dense_fit(
                 h = upd_H(V, w, h)
             return w, h
 
-        (W, H), k, conv = _converging_loop(
-            one_iter, loss_of, (W, H), tol, max_iter, verbose
+        state0 = (W, H) if prepare is None else prepare(V, W, H)
+        state, k, conv = _converging_loop(
+            one_iter, loss_of, state0, tol, max_iter, verbose
         )
+        W, H = state if finish is None else finish(V, *state)
         n_iter = jnp.where(conv, k * 10, max_iter)
         return W, H, n_iter
 
@@ -238,8 +255,11 @@ def get_batched_dense_fit(
     )
     if updaters is None:
         updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
-    loss_terms = updaters[2] if len(updaters) > 2 else None
-    upd_W, upd_H = updaters[0], updaters[1]
+    upd_W, upd_H, loss_terms, prepare, _ = _normalize_updaters(updaters)
+    assert prepare is None, (
+        "layout-transforming updater factories are not supported by the "
+        "batched solver"
+    )
 
     def fit(V, W, H):
         B = V.shape[0]
