@@ -339,3 +339,66 @@ def test_nmfd_hoyer_sparse_fit_parity():
     # (see test_sparse_fit_parity_dense_target for the mechanism)
     assert _maxdiff(tm.W, jm.W.data) < 5e-5
     assert _maxdiff(tm.H, jm.H.data) < 5e-5
+
+
+def test_fuzz_parity_random_configs():
+    """Randomized property sweep: random shapes, β drawn from a continuum,
+    random regularization and trainability flags — 5-iteration trajectories
+    must match the reference elementwise for every sampled config."""
+    rng = np.random.RandomState(777)
+    for case in range(8):
+        M = int(rng.randint(12, 70))
+        K = int(rng.randint(10, 50))
+        R = int(rng.randint(2, min(M, K, 9)))
+        beta = float(rng.choice(
+            [rng.uniform(-1, 0), rng.uniform(0.1, 0.9), 1.0,
+             rng.uniform(1.1, 1.9), 2.0, rng.uniform(2.1, 3.0)]
+        ))
+        alpha = float(rng.choice([0.0, rng.uniform(0, 0.3)]))
+        l1_ratio = float(rng.uniform(0, 1)) if alpha else 0.0
+        tW = bool(rng.randint(2))
+        tH = True if not tW else bool(rng.randint(2))
+
+        V = rng.rand(M, K).astype("f") + (0.01 if beta <= 0 else 0.0)
+        W0 = rng.rand(K, R).astype("f") + 0.1
+        H0 = rng.rand(M, R).astype("f") + 0.1
+
+        tm = torchnmf.nmf.NMF(
+            W=torch.tensor(W0), H=torch.tensor(H0),
+            trainable_W=tW, trainable_H=tH,
+        )
+        tm.fit(torch.tensor(V), beta, 0, 5, False, alpha, l1_ratio)
+
+        jm = NMF(W=W0, H=H0, trainable_W=tW, trainable_H=tH)
+        jm.fit(V, beta, 0, 5, False, alpha, l1_ratio)
+
+        ctx = (case, M, K, R, beta, alpha, l1_ratio, tW, tH)
+        assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+        assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+
+
+def test_fuzz_parity_deconv_random_configs():
+    """Same randomized sweep for the 1-D deconvolutional model, spanning
+    both the unrolled and streaming unfold modes."""
+    rng = np.random.RandomState(888)
+    for case in range(5):
+        N = int(rng.randint(1, 3))
+        C = int(rng.randint(4, 14))
+        T = int(rng.randint(2, 12))
+        L_out = int(T + rng.randint(8, 40))
+        R = int(rng.randint(2, 6))
+        beta = float(rng.choice([0.5, 1.0, 1.5, 2.0]))
+
+        V = rng.rand(N, C, L_out).astype("f")
+        W0 = rng.rand(C, R, T).astype("f") + 0.1
+        H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+
+        tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+        tm.fit(torch.tensor(V), beta, 0, 5)
+
+        jm = NMFD(W=W0, H=H0)
+        jm.fit(V, beta, 0, 5)
+
+        ctx = (case, N, C, T, L_out, R, beta)
+        assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+        assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
