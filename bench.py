@@ -61,12 +61,16 @@ def _marginal_ms_per_iter(make_fit, args, reps=4):
         fit = make_fit(iters)
         for _ in range(2):  # compile + relay first-execution warmup
             out = fit(*args)
-            np.asarray(out[0])
+            np.asarray(out[-1])
         times = []
         for _ in range(n_reps):
             t0 = time.perf_counter()
             out = fit(*args)
-            np.asarray(out[0])
+            # sync on the scalar n_iter: any output of the compiled program
+            # waits for the whole program, and fetching a factor instead
+            # would ship up to ~144 MB (the NMFD kernel) through the relay
+            # per timed call
+            np.asarray(out[-1])
             times.append(time.perf_counter() - t0)
         return min(times)
 

@@ -298,18 +298,72 @@ def _stream_contractions(V2, W3, H, T, beta, need_pos, w_side):
         # each: (n_chunks, Tc·R, C) — the W3 layout
         return stacked[0], (stacked[1] if need_pos else None)
 
-    pad_tail = T_pad - T  # minimal: slice end max = T_pad - 1 + L
+    return _stream_h_contract(W3, cots, H, Tc, T_pad, L_out, need_pos)
+
+
+def _stream_upd_w(V2, W3, H, T, beta, gamma, l1_reg, l2_reg, pos_tiled):
+    """Fused streaming W update: the per-chunk numerator (and denominator)
+    never leave registers — the MU multiply is applied inside the scan, so
+    the two W-sized stacks (each the size of the kernel itself) are not
+    written to and re-read from HBM.  ``pos_tiled``: the analytic β=1
+    denominator tiled to ``(Tc·R, 1)``, or ``None``."""
+    n_chunks, TcR, C = W3.shape
+    N, R, L = H.shape
+    Tc = TcR // R
+    T_pad = n_chunks * Tc
+    L_out = L + T - 1
+    patch_chunk = _patch_chunk_fn(H, Tc, T_pad, L_out)
+
+    WH2 = _stream_recon(W3, H, T)
+    need_pos = beta != 1
+    neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+
+    def w_body(carry, inp):
+        t, W3c = inp
+        Pc = patch_chunk(t)
+
+        def contract(cot):
+            return jnp.einsum(
+                "nlk,nlc->kc", Pc, cot,
+                preferred_element_type=jnp.float32,
+            )
+
+        neg = jax.nn.relu(contract(neg_cot)) + eps
+        pos = (
+            jax.nn.relu(contract(pos_cot)) + eps if need_pos else pos_tiled
+        )
+        return carry, W3c * mu_multiplier(
+            neg, pos, W3c, gamma, l1_reg, l2_reg
+        )
+
+    _, W3_new = lax.scan(w_body, 0, (jnp.arange(n_chunks), W3))
+    return W3_new
+
+
+def _stream_h_contract(W3, cots, H, Tc, T_pad, L_out, need_pos):
+    """Streaming fold: per-chunk ``cot @ W2cᵀ`` GEMMs overlap-added into the
+    ``(N, L, R)`` accumulators."""
+    N, R, L = H.shape
+    n_chunks = W3.shape[0]
+    T = L_out - L + 1
+    # pad the cotangents ONCE so every fold slice is in-bounds (slice end
+    # max = T_pad - 1 + L = L_out + pad_tail) — padding the per-chunk G
+    # inside the scan would copy the whole chunk every iteration
+    pad_tail = T_pad - T
+    cots = tuple(
+        jnp.pad(cot, ((0, 0), (0, pad_tail), (0, 0))) for cot in cots
+    )
+    Lp = L_out + pad_tail
 
     def h_body(acc, inp):
         t, W2c = inp
         # Gc[n, l, τl·R + r]; fold: out[n, m, r] += Gc[n, m + t·Tc + τl, ...]
         accs = list(acc)
         for i, cot in enumerate(cots):
-            Gc = _dot(cot, W2c.T).reshape(N, L_out, Tc, R)
-            Gp = jnp.pad(Gc, ((0, 0), (0, pad_tail), (0, 0), (0, 0)))
+            Gc = _dot(cot, W2c.T).reshape(N, Lp, Tc, R)
             for tl in range(Tc):
                 sl = lax.dynamic_slice_in_dim(
-                    Gp[:, :, tl, :], t * Tc + tl, L, axis=1
+                    Gc[:, :, tl, :], t * Tc + tl, L, axis=1
                 )
                 accs[i] = accs[i] + sl
         return tuple(accs), None
@@ -457,6 +511,17 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         mode = _mode(V.shape, H.shape)
         if mode == "none":
             return _generic(V, w, H, "W")
+        if mode == "stream":
+            # fused per-chunk update: the W-sized numerator/denominator
+            # stacks never round-trip HBM
+            pos_tiled = (
+                _pos_w_tiled(H, w, mode).reshape(-1, 1) if beta == 1
+                else None
+            )
+            return _stream_upd_w(
+                _v2(V), w, H, _kernel_dims(V.shape, H.shape)[0],
+                beta, gamma, l1_reg, l2_reg, pos_tiled,
+            )
         neg, pos = _contractions(V, w, H, mode, w_side=True)
         neg = jax.nn.relu(neg) + eps
         pos = (

@@ -142,3 +142,22 @@ def test_unfold_fit_matches_conv_fit_3d():
     assert na == nb
     assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
     assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+@pytest.mark.parametrize(
+    "C,R,T,L",
+    [(12, 4, 5, 40),    # unrolled mode
+     (6, 64, 80, 300)],  # streaming mode (T*R > chunk cols)
+)
+def test_frozen_kernel_bit_exact_through_layout_roundtrip(C, R, T, L):
+    """trainable_W=False must leave W bit-identical: the prepare/finish
+    GEMM-layout conversion is a pure permutation (pad rows sliced off)."""
+    from pytorch_nmf_tpu.nmf import NMFD
+
+    rng = np.random.RandomState(9)
+    V = rng.rand(1, C, L).astype("f")
+    W0 = rng.rand(C, R, T).astype("f") + 0.1
+    H0 = rng.rand(1, R, L - T + 1).astype("f") + 0.1
+    m = NMFD(W=W0, H=H0, trainable_W=False)
+    m.fit(V, 1, 0, 5)
+    assert np.array_equal(np.asarray(m.W.data), W0)
