@@ -260,44 +260,21 @@ def _chunked_recon(W, H):
     return _stream_recon(_w3_from_w(W), H, W.shape[-1])
 
 
-def _stream_contractions(V2, W3, H, T, beta, need_pos, w_side):
-    """Streaming-τ patch-GEMM contractions against the chunked operand.
-
-    Two scans over τ-chunks: the first accumulates the reconstruction
-    ``WH2 = Σ_t Pc(t) @ W2c(t)``, the second forms the per-chunk
-    numerator/denominator contributions from the (fully materialized, but
-    only (N, L_out, C)-sized) cotangents.  Patch chunks are built from
-    ``Tc`` dynamic slices of the padded time-major activation.  W-side
-    outputs stay in the ``(n_chunks, Tc·R, C)`` loop layout — no transposes
-    in the hot loop.
+def _stream_contractions_h(V2, W3, H, T, beta, need_pos):
+    """Streaming-τ H-side contractions against the chunked operand: a
+    reconstruction scan, the elementwise cotangents, then the fold scan
+    (:func:`_stream_h_contract`).  The W side has no unfused streaming
+    form — :func:`_stream_upd_w` applies the MU multiply inside its scan.
     """
     n_chunks, TcR, C = W3.shape
     N, R, L = H.shape
     Tc = TcR // R
     T_pad = n_chunks * Tc
     L_out = L + T - 1
-    patch_chunk = _patch_chunk_fn(H, Tc, T_pad, L_out)
 
     WH2 = _stream_recon(W3, H, T)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
-
-    if w_side:
-        def w_body(carry, t):
-            Pc = patch_chunk(t)
-            outs = tuple(
-                jnp.einsum(
-                    "nlk,nlc->kc", Pc, cot,
-                    preferred_element_type=jnp.float32,
-                )
-                for cot in cots
-            )
-            return carry, outs
-
-        _, stacked = lax.scan(w_body, 0, jnp.arange(n_chunks))
-        # each: (n_chunks, Tc·R, C) — the W3 layout
-        return stacked[0], (stacked[1] if need_pos else None)
-
     return _stream_h_contract(W3, cots, H, Tc, T_pad, L_out, need_pos)
 
 
@@ -485,10 +462,11 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
 
             return contract(neg_cot), (contract(pos_cot) if need_pos else None)
 
-        # 1-D streaming path only (guarded by nmfd_unfold_supported)
-        return _stream_contractions(
-            V2, w, H, kernel[0], beta, need_pos, w_side
-        )
+        # 1-D streaming path only (guarded by nmfd_unfold_supported);
+        # only the H side reaches here — stream-mode upd_W takes the
+        # fused _stream_upd_w
+        assert not w_side
+        return _stream_contractions_h(V2, w, H, kernel[0], beta, need_pos)
 
     def _pos_w_tiled(H, w, mode):
         """Analytic KL denominator for W in ``w``'s layout: the per-rank

@@ -119,7 +119,14 @@ def _normalize_updaters(updaters):
       ``(T·R, C)`` GEMM operand) and ``finish(V, w_state, h_state) ->
       (W, H)`` converts back once at exit.  ``upd_*``/``loss_terms`` then
       operate on the state layout.
+
+    Any other arity is rejected: a prepare without its inverse would leak
+    the internal layout to the caller.
     """
+    assert len(updaters) in (2, 3, 5), (
+        f"updater factory returned {len(updaters)} elements; expected "
+        "(upd_W, upd_H[, loss_terms[, prepare, finish]])"
+    )
     return (tuple(updaters) + (None,) * 5)[:5]
 
 
@@ -384,7 +391,12 @@ def get_sparse_fit(
         )
         if updaters is None:
             updaters = _default_updaters(recon2, beta, gamma, l1_reg, l2_reg)
-        dense_updaters = (updaters[0], updaters[1])
+        upd_W_d, upd_H_d, _, prepare, _ = _normalize_updaters(updaters)
+        assert prepare is None, (
+            "layout-transforming updater factories are not supported by "
+            "the sparse densify path"
+        )
+        dense_updaters = (upd_W_d, upd_H_d)
 
     def fit(V: SparseCOO, W, H):
         V_norm = get_V_norm(V, beta)

@@ -378,8 +378,9 @@ def test_fuzz_parity_random_configs():
 
 
 def test_fuzz_parity_deconv_random_configs():
-    """Same randomized sweep for the 1-D deconvolutional model, spanning
-    both the unrolled and streaming unfold modes."""
+    """Same randomized sweep for the 1-D deconvolutional model (unrolled
+    unfold mode; the streaming mode has its own dedicated parity test,
+    :func:`test_nmfd_streaming_mode_parity`)."""
     rng = np.random.RandomState(888)
     for case in range(5):
         N = int(rng.randint(1, 3))
@@ -402,3 +403,29 @@ def test_fuzz_parity_deconv_random_configs():
         ctx = (case, N, C, T, L_out, R, beta)
         assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
         assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+
+
+@pytest.mark.parametrize("beta, alpha, l1_ratio",
+                         [(1, 0.0, 0.0), (1, 0.2, 0.3), (0.5, 0.0, 0.0),
+                          (2, 0.1, 1.0)])
+def test_nmfd_streaming_mode_parity(beta, alpha, l1_ratio):
+    """Stream-mode NMFD (T·R > the τ-chunk column budget) with BOTH
+    factors trainable: exercises the fused per-chunk W update
+    (``_stream_upd_w``) and the streaming fold against the reference."""
+    from pytorch_nmf_tpu.ops.fast_nmfd import _CHUNK_COLS
+
+    rng = np.random.RandomState(55)
+    C, R, T, L = 6, 64, 80, 300
+    assert T * R > _CHUNK_COLS  # guard: must actually take the stream path
+    V = rng.rand(1, C, L).astype("f")
+    W0 = rng.rand(C, R, T).astype("f") + 0.1
+    H0 = rng.rand(1, R, L - T + 1).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), beta, 0, 5, False, alpha, l1_ratio)
+
+    jm = NMFD(W=W0, H=H0)
+    jm.fit(V, beta, 0, 5, False, alpha, l1_ratio)
+
+    assert _maxdiff(tm.W, jm.W.data) < 2e-5
+    assert _maxdiff(tm.H, jm.H.data) < 2e-5
