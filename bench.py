@@ -186,25 +186,63 @@ def main():
     from pytorch_nmf_tpu.ops.fast_nmfd import resolve_nmfd_updater_factory
 
     nmfd_factory = resolve_nmfd_updater_factory()
-    for R in (8, 88):
+    for R, beta in ((8, 1.0), (88, 1.0), (88, 2.0)):
         N, C, L_out, T = 1, 1025, 5000, 400
         V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
         W = jnp.asarray(rng.rand(C, R, T).astype("f") + 0.1)
         H = jnp.asarray(rng.rand(N, R, L_out - T + 1).astype("f") + 0.1)
 
-        def make_fit(n, _R=R):
+        def make_fit(n, _beta=beta):
             return get_dense_fit(
-                NMFD.reconstruct, 1.0, float("-inf"), n, True, True,
+                NMFD.reconstruct, _beta, float("-inf"), n, True, True,
                 0.0, 0.0, False, nmfd_factory,
             )
 
         ms = _marginal_ms_per_iter(make_fit, (V, W, H))
         grid.append({
-            "metric": f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta1",
+            "metric": f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta{beta:g}",
             "value": round(ms, 5),
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
         })
+
+    # shift-invariant PLCA EM (spectrogram-scale; the unfold speedup
+    # reaches it through the E-step VJP)
+    from pytorch_nmf_tpu.models.plca import SIPLCA
+    from pytorch_nmf_tpu.ops.solver import get_plca_fit
+
+    N, C, L_out, R, T = 1, 513, 3000, 8, 200
+    V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
+    Wp = rng.rand(C, R, T).astype("f")
+    Wp /= Wp.sum(axis=(0, 2), keepdims=True)
+    Hp = rng.rand(N, R, L_out - T + 1).astype("f")
+    Hp /= Hp.sum(axis=(0, 2), keepdims=True)
+    Zp = np.full((R,), 1.0 / R, "f")
+    recon3 = SIPLCA._resolve_fit_recon3()
+
+    def make_fit(n):
+        inner = get_plca_fit(
+            recon3, float("-inf"), n, True, True, True,
+            False, False, False,
+        )
+
+        def fit(V, W, H, Z):
+            return inner(
+                V, W, H, Z,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+            )
+
+        return fit
+
+    ms = _marginal_ms_per_iter(
+        make_fit, (V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp))
+    )
+    grid.append({
+        "metric": f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
 
     out = {
         "metric": headline["metric"],
