@@ -429,3 +429,64 @@ def test_nmfd_streaming_mode_parity(beta, alpha, l1_ratio):
 
     assert _maxdiff(tm.W, jm.W.data) < 2e-5
     assert _maxdiff(tm.H, jm.H.data) < 2e-5
+
+
+def test_fuzz_parity_plca_random_configs():
+    """Randomized EM parity: random shapes, Dirichlet prior strengths and
+    trainability masks for PLCA; random kernel configs for SIPLCA."""
+    rng = np.random.RandomState(999)
+    for case in range(6):
+        M = int(rng.randint(12, 50))
+        K = int(rng.randint(10, 40))
+        R = int(rng.randint(2, 7))
+        alphas = tuple(
+            float(rng.choice([1.0, rng.uniform(0.99, 1.01)]))
+            for _ in range(3)
+        )
+        tW, tH, tZ = (bool(rng.randint(2)) for _ in range(3))
+        if not (tW or tH or tZ):
+            tZ = True
+
+        V = rng.rand(M, K).astype("f")
+        W0 = rng.rand(K, R).astype("f") + 0.1
+        H0 = rng.rand(M, R).astype("f") + 0.1
+        Z0 = rng.rand(R).astype("f") + 0.1
+
+        tm = torchnmf.plca.PLCA(
+            W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0),
+            trainable_W=tW, trainable_H=tH, trainable_Z=tZ,
+        )
+        tm.fit(torch.tensor(V), 0, 5, False, *alphas)
+
+        jm = PLCA(W=W0, H=H0, Z=Z0, trainable_W=tW, trainable_H=tH,
+                  trainable_Z=tZ)
+        jm.fit(V, 0, 5, False, *alphas)
+
+        ctx = (case, M, K, R, alphas, tW, tH, tZ)
+        assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+        assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+        assert _maxdiff(tm.Z, jm.Z.data) < 2e-5, ctx
+
+    for case in range(3):
+        N = int(rng.randint(1, 3))
+        C = int(rng.randint(5, 12))
+        T = int(rng.randint(2, 7))
+        L_out = int(T + rng.randint(8, 25))
+        R = int(rng.randint(2, 5))
+        V = rng.rand(N, C, L_out).astype("f")
+        W0 = rng.rand(C, R, T).astype("f") + 0.1
+        H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+        Z0 = rng.rand(R).astype("f") + 0.1
+
+        tm = torchnmf.plca.SIPLCA(
+            W=torch.tensor(W0), H=torch.tensor(H0), Z=torch.tensor(Z0)
+        )
+        tm.fit(torch.tensor(V), 0, 5)
+
+        jm = SIPLCA(W=W0, H=H0, Z=Z0)
+        jm.fit(V, 0, 5)
+
+        ctx = (case, N, C, T, L_out, R)
+        assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+        assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+        assert _maxdiff(tm.Z, jm.Z.data) < 2e-5, ctx
