@@ -490,3 +490,38 @@ def test_fuzz_parity_plca_random_configs():
         assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
         assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
         assert _maxdiff(tm.Z, jm.Z.data) < 2e-5, ctx
+
+
+def test_betamu_regularizers_parity():
+    """BetaMu with l1/l2/orthogonal penalties active must track the
+    reference's regularized multiplier (reference trainer.py:100-106)."""
+    W0 = RNG.rand(20, 4).astype("f") + 0.1
+    H0 = RNG.rand(50, 4).astype("f") + 0.1
+    target_np = RNG.rand(50, 20).astype("f")
+
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    ttr = torchnmf.trainer.BetaMu(
+        tm.parameters(), beta=1, l1_reg=0.05, l2_reg=0.02, orthogonal=0.1
+    )
+    ttarget = torch.tensor(target_np)
+
+    def tclosure():
+        ttr.zero_grad()
+        return ttarget, tm(None)
+
+    for _ in range(3):
+        ttr.step(tclosure)
+
+    jm = NMF(W=W0, H=H0)
+    jtr = BetaMu(jm.parameters(), beta=1, l1_reg=0.05, l2_reg=0.02,
+                 orthogonal=0.1)
+
+    def jclosure():
+        jtr.zero_grad()
+        return target_np, jm(None)
+
+    for _ in range(3):
+        jtr.step(jclosure)
+
+    assert _maxdiff(tm.W, jm.W.data) < 1e-5
+    assert _maxdiff(tm.H, jm.H.data) < 1e-5
