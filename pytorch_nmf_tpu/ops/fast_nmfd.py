@@ -51,8 +51,8 @@ def nmfd_unfold_supported(V_shape, W_shape) -> bool:
     """Whether the patch tensor for these shapes fits the memory budget.
 
     Accepts any spatial rank: ``V (N, C, *S_out)``, ``W (C, R, *kernel)``.
-    Multi-dimensional kernels additionally require the fully-unrolled form
-    (``K·R ≤ _CHUNK_COLS``) — the streaming τ-chunk path is 1-D only.
+    Large ``K·R`` takes the flat-τ streaming chunk path (any spatial
+    rank); small ``K·R`` unrolls the full patch matrix.
     """
     if len(V_shape) != len(W_shape) or len(V_shape) < 3:
         return False
@@ -63,8 +63,6 @@ def nmfd_unfold_supported(V_shape, W_shape) -> bool:
     for k in kernel:
         K *= k
     if K < 2:  # plain NMF in disguise — the dense engine handles it
-        return False
-    if len(kernel) > 1 and K * R > _CHUNK_COLS:
         return False
     Lp = 1
     for s in V_shape[2:]:
@@ -177,9 +175,9 @@ def _chunk_tc(R: int, T: int):
     return min(Tc, T)
 
 
-def _streaming_dims(R: int, T: int):
-    Tc = _chunk_tc(R, T)
-    n_chunks = -(-T // Tc)
+def _streaming_dims(R: int, K: int):
+    Tc = _chunk_tc(R, K)
+    n_chunks = -(-K // Tc)
     return Tc, n_chunks, n_chunks * Tc
 
 
@@ -189,20 +187,11 @@ def _kernel_dims(V_shape, H_shape):
     return tuple(int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:]))
 
 
-def _w3_from_w(W):
-    """``W (C, R, T)`` → τ-chunked GEMM operand ``(n_chunks, Tc·R, C)``
-    (zero rows for the τ padding)."""
-    C, R, T = W.shape
-    Tc, n_chunks, T_pad = _streaming_dims(R, T)
-    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, T_pad - T)))
-    return jnp.transpose(Wp, (2, 1, 0)).reshape(n_chunks, Tc * R, C)
-
-
-def _w_from_w3(W3, R: int, T: int):
-    """Inverse of :func:`_w3_from_w`."""
-    C = W3.shape[-1]
-    full = W3.reshape(-1, R, C)[:T]
-    return jnp.transpose(full, (2, 1, 0))
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
 
 
 def _w_from_w2(W2, kernel, R: int):
@@ -213,34 +202,75 @@ def _w_from_w2(W2, kernel, R: int):
     return jnp.transpose(full, (1 + d, d) + tuple(range(d)))
 
 
-def _patch_chunk_fn(H, Tc: int, T_pad: int, L_out: int):
-    """Closure building τ-chunk patch matrices from the padded time-major
-    activation: ``Pc(t)[n, l, τl·R + r] = H2[n, l - (t·Tc + τl), r]``."""
-    N, R, L = H.shape
-    H2 = jnp.swapaxes(H, 1, 2)  # (N, L, R)
-    Hp2 = jnp.pad(H2, ((0, 0), (T_pad - 1, L_out - L + T_pad - 1), (0, 0)))
-    # Hp2[n, x, r] = H2[n, x - (T_pad-1), r]
+def _w3_from_w(W):
+    """``W (C, R, *kernel)`` → flat-τ-chunked GEMM operand
+    ``(n_chunks, Tc·R, C)``; rows beyond ``K·R`` are zero padding."""
+    C, R = W.shape[:2]
+    K = _prod(W.shape[2:])
+    Tc, n_chunks, K_pad = _streaming_dims(R, K)
+    W2 = _w2(W)  # (K·R, C), flat-τ-major
+    W2p = jnp.pad(W2, ((0, (K_pad - K) * R), (0, 0)))
+    return W2p.reshape(n_chunks, Tc * R, C)
+
+
+def _w_from_w3(W3, kernel, R: int):
+    """Inverse of :func:`_w3_from_w`."""
+    C = W3.shape[-1]
+    K = _prod(kernel)
+    return _w_from_w2(W3.reshape(-1, C)[: K * R], kernel, R)
+
+
+def _tau_of_flat(f, kernel):
+    """Per-axis τ components of a flat row-major kernel offset.
+
+    ``f`` may be a traced scalar; offsets beyond ``prod(kernel)`` (the
+    chunk padding) WRAP to some in-range τ — their kernel rows are zero,
+    so the wrapped contributions vanish exactly."""
+    taus = []
+    stride = _prod(kernel)
+    for k in kernel:
+        stride //= k
+        taus.append((f // stride) % k)
+    return tuple(taus)
+
+
+def _patch_chunk_fn(H, kernel, Tc: int):
+    """Closure building flat-τ-chunk patch matrices from the full-padded
+    spatial-major activation:
+    ``Pc(t)[n, l_vec, j·R + r] = H2[n, l_vec - τ(t·Tc + j), r]``."""
+    N, R = H.shape[:2]
+    S_out = tuple(s + k - 1 for s, k in zip(H.shape[2:], kernel))
+    Lp = _prod(S_out)
+    H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
+    Hp2 = jnp.pad(
+        H2,
+        ((0, 0),) + tuple((k - 1, k - 1) for k in kernel) + ((0, 0),),
+    )
 
     def patch_chunk(t):
-        base = T_pad - 1 - t * Tc
-        cols = [
-            lax.dynamic_slice_in_dim(Hp2, base - tl, L_out, axis=1)
-            for tl in range(Tc)
-        ]
-        Pc = jnp.stack(cols, axis=2)  # (N, L_out, Tc, R)
-        return Pc.reshape(N, L_out, Tc * R)
+        cols = []
+        for j in range(Tc):
+            taus = _tau_of_flat(t * Tc + j, kernel)
+            starts = (
+                (0,)
+                + tuple(k - 1 - tau for k, tau in zip(kernel, taus))
+                + (0,)
+            )
+            sl = lax.dynamic_slice(Hp2, starts, (N,) + S_out + (R,))
+            cols.append(sl.reshape(N, Lp, R))
+        return jnp.stack(cols, axis=2).reshape(N, Lp, Tc * R)
 
     return patch_chunk
 
 
-def _stream_recon(W3, H, T: int):
-    """Streaming-τ reconstruction ``WH2 (N, L_out, C)`` from the chunked
-    GEMM operand ``W3 (n_chunks, Tc·R, C)``."""
+def _stream_recon(W3, H, kernel):
+    """Streaming-τ reconstruction ``WH2 (N, prod(S_out), C)`` from the
+    chunked GEMM operand ``W3 (n_chunks, Tc·R, C)``."""
     n_chunks, TcR, C = W3.shape
-    N, R, L = H.shape
+    N, R = H.shape[:2]
     Tc = TcR // R
-    L_out = L + T - 1
-    patch_chunk = _patch_chunk_fn(H, Tc, n_chunks * Tc, L_out)
+    Lp = _prod(tuple(s + k - 1 for s, k in zip(H.shape[2:], kernel)))
+    patch_chunk = _patch_chunk_fn(H, kernel, Tc)
 
     def recon_body(acc, inp):
         t, W2c = inp
@@ -248,7 +278,7 @@ def _stream_recon(W3, H, T: int):
 
     WH2, _ = lax.scan(
         recon_body,
-        jnp.zeros((N, L_out, C), jnp.float32),
+        jnp.zeros((N, Lp, C), jnp.float32),
         (jnp.arange(n_chunks), W3),
     )
     return WH2
@@ -257,41 +287,33 @@ def _stream_recon(W3, H, T: int):
 def _chunked_recon(W, H):
     """Streaming-τ reconstruction from the model-layout kernel (used by
     :func:`unfold_deconv`; the MU solvers carry ``W3`` directly)."""
-    return _stream_recon(_w3_from_w(W), H, W.shape[-1])
+    return _stream_recon(_w3_from_w(W), H, W.shape[2:])
 
 
-def _stream_contractions_h(V2, W3, H, T, beta, need_pos):
+def _stream_contractions_h(V2, W3, H, kernel, beta, need_pos):
     """Streaming-τ H-side contractions against the chunked operand: a
     reconstruction scan, the elementwise cotangents, then the fold scan
     (:func:`_stream_h_contract`).  The W side has no unfused streaming
     form — :func:`_stream_upd_w` applies the MU multiply inside its scan.
     """
-    n_chunks, TcR, C = W3.shape
-    N, R, L = H.shape
-    Tc = TcR // R
-    T_pad = n_chunks * Tc
-    L_out = L + T - 1
-
-    WH2 = _stream_recon(W3, H, T)
+    WH2 = _stream_recon(W3, H, kernel)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
-    return _stream_h_contract(W3, cots, H, Tc, T_pad, L_out, need_pos)
+    return _stream_h_contract(W3, cots, H, kernel, need_pos)
 
 
-def _stream_upd_w(V2, W3, H, T, beta, gamma, l1_reg, l2_reg, pos_tiled):
+def _stream_upd_w(V2, W3, H, kernel, beta, gamma, l1_reg, l2_reg, pos_tiled):
     """Fused streaming W update: the per-chunk numerator (and denominator)
     never leave registers — the MU multiply is applied inside the scan, so
     the two W-sized stacks (each the size of the kernel itself) are not
     written to and re-read from HBM.  ``pos_tiled``: the analytic β=1
     denominator tiled to ``(Tc·R, 1)``, or ``None``."""
     n_chunks, TcR, C = W3.shape
-    N, R, L = H.shape
+    R = H.shape[1]
     Tc = TcR // R
-    T_pad = n_chunks * Tc
-    L_out = L + T - 1
-    patch_chunk = _patch_chunk_fn(H, Tc, T_pad, L_out)
+    patch_chunk = _patch_chunk_fn(H, kernel, Tc)
 
-    WH2 = _stream_recon(W3, H, T)
+    WH2 = _stream_recon(W3, H, kernel)
     need_pos = beta != 1
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
@@ -317,37 +339,39 @@ def _stream_upd_w(V2, W3, H, T, beta, gamma, l1_reg, l2_reg, pos_tiled):
     return W3_new
 
 
-def _stream_h_contract(W3, cots, H, Tc, T_pad, L_out, need_pos):
-    """Streaming fold: per-chunk ``cot @ W2cᵀ`` GEMMs overlap-added into the
-    ``(N, L, R)`` accumulators."""
-    N, R, L = H.shape
-    n_chunks = W3.shape[0]
-    T = L_out - L + 1
-    # pad the cotangents ONCE so every fold slice is in-bounds (slice end
-    # max = T_pad - 1 + L = L_out + pad_tail) — padding the per-chunk G
-    # inside the scan would copy the whole chunk every iteration
-    pad_tail = T_pad - T
-    cots = tuple(
-        jnp.pad(cot, ((0, 0), (0, pad_tail), (0, 0))) for cot in cots
-    )
-    Lp = L_out + pad_tail
+def _stream_h_contract(W3, cots, H, kernel, need_pos):
+    """Streaming fold: per-chunk ``cot @ W2cᵀ`` GEMMs overlap-added into
+    the ``(N, *S_in, R)`` accumulators.
+
+    The fold slice for flat offset ``f`` starts at ``τ(f)`` per axis, which
+    wraps in-range for the padded offsets (whose zero kernel rows make the
+    wrapped contribution exactly zero), so every slice is in-bounds with no
+    cotangent padding."""
+    N, R = H.shape[:2]
+    S_in = H.shape[2:]
+    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    n_chunks, TcR, _ = W3.shape
+    Tc = TcR // R
 
     def h_body(acc, inp):
         t, W2c = inp
-        # Gc[n, l, τl·R + r]; fold: out[n, m, r] += Gc[n, m + t·Tc + τl, ...]
         accs = list(acc)
         for i, cot in enumerate(cots):
-            Gc = _dot(cot, W2c.T).reshape(N, Lp, Tc, R)
-            for tl in range(Tc):
-                sl = lax.dynamic_slice_in_dim(
-                    Gc[:, :, tl, :], t * Tc + tl, L, axis=1
+            Gc = _dot(cot, W2c.T).reshape((N,) + S_out + (Tc, R))
+            for j in range(Tc):
+                taus = _tau_of_flat(t * Tc + j, kernel)
+                Gj = Gc[(slice(None),) * (1 + len(kernel)) + (j,)]
+                sl = lax.dynamic_slice(
+                    Gj, (0,) + taus + (0,), (N,) + S_in + (R,)
                 )
                 accs[i] = accs[i] + sl
         return tuple(accs), None
 
-    acc0 = tuple(jnp.zeros((N, L, R), jnp.float32) for _ in cots)
+    acc0 = tuple(
+        jnp.zeros((N,) + S_in + (R,), jnp.float32) for _ in cots
+    )
     accs, _ = lax.scan(h_body, acc0, (jnp.arange(n_chunks), W3))
-    outs = tuple(jnp.swapaxes(a, 1, 2) for a in accs)
+    outs = tuple(jnp.moveaxis(a, -1, 1) for a in accs)
     return outs[0], (outs[1] if need_pos else None)
 
 
@@ -404,8 +428,8 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
             return _w_from_w2(w, _kernel_dims(V.shape, h.shape),
                               int(h.shape[1])), h
         if m == "stream":
-            T = int(V.shape[-1]) - int(h.shape[-1]) + 1
-            return _w_from_w3(w, int(h.shape[1]), T), h
+            return _w_from_w3(w, _kernel_dims(V.shape, h.shape),
+                              int(h.shape[1])), h
         return w, h
 
     def _generic(V, W, H, which):
@@ -462,11 +486,10 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
 
             return contract(neg_cot), (contract(pos_cot) if need_pos else None)
 
-        # 1-D streaming path only (guarded by nmfd_unfold_supported);
-        # only the H side reaches here — stream-mode upd_W takes the
-        # fused _stream_upd_w
+        # flat-τ streaming path (any spatial rank); only the H side
+        # reaches here — stream-mode upd_W takes the fused _stream_upd_w
         assert not w_side
-        return _stream_contractions_h(V2, w, H, kernel[0], beta, need_pos)
+        return _stream_contractions_h(V2, w, H, kernel, beta, need_pos)
 
     def _pos_w_tiled(H, w, mode):
         """Analytic KL denominator for W in ``w``'s layout: the per-rank
@@ -497,7 +520,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
                 else None
             )
             return _stream_upd_w(
-                _v2(V), w, H, _kernel_dims(V.shape, H.shape)[0],
+                _v2(V), w, H, _kernel_dims(V.shape, H.shape),
                 beta, gamma, l1_reg, l2_reg, pos_tiled,
             )
         neg, pos = _contractions(V, w, H, mode, w_side=True)
@@ -535,7 +558,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         if mode == "unrolled":
             WH2 = _dot(unfold_patches_nd(H, kernel), w)
         else:
-            WH2 = _stream_recon(w, H, kernel[0])
+            WH2 = _stream_recon(w, H, kernel)
         return beta_div(WH2, _v2(V), beta)
 
     return upd_W, upd_H, loss_terms, prepare, finish
@@ -548,9 +571,10 @@ def unfold_deconv(H, W):
     transposes = the fold), so differentiating through it — as the PLCA EM
     E-step and the Hoyer solver do — inherits the unfold speedup.
 
-    Long 1-D kernels stream τ-chunks through ``lax.scan`` (the fully
-    unrolled patch matrix at T=400, R=88 compiles for minutes and pages
-    HBM); shapes exceeding the memory budget fall back to the conv
+    Large kernels (any spatial rank) stream flat-τ chunks through
+    ``lax.scan`` (the fully unrolled patch matrix at T=400, R=88 compiles
+    for minutes and pages HBM); shapes exceeding the memory budget fall
+    back to the conv
     formulation (decided from the static shapes at trace time — use the
     per-call model resolvers, not env toggles, to switch paths on cached
     solvers).
@@ -571,7 +595,7 @@ def unfold_deconv(H, W):
     if K * R <= _CHUNK_COLS:
         P = unfold_patches_nd(H, kernel)    # (N, Lp, KR)
         WH2 = _dot(P, _w2(W))               # (N, Lp, C)
-    else:  # 1-D only (nmfd_unfold_supported rejects larger N-D kernels)
+    else:  # flat-τ streaming (any spatial rank)
         WH2 = _chunked_recon(W, H)
     WH = WH2.reshape((N,) + S_out + (W.shape[0],))
     return jnp.moveaxis(WH, -1, 1)          # (N, C, *S_out)

@@ -525,3 +525,26 @@ def test_betamu_regularizers_parity():
 
     assert _maxdiff(tm.W, jm.W.data) < 1e-5
     assert _maxdiff(tm.H, jm.H.data) < 1e-5
+
+
+def test_nmf2d_streaming_mode_parity():
+    """2-D deconv in the flat-τ streaming regime (K·R > the chunk column
+    budget): both factors trainable, trajectories vs the reference."""
+    from pytorch_nmf_tpu.ops.fast_nmfd import _CHUNK_COLS
+
+    rng = np.random.RandomState(66)
+    C, R, ky, kx = 5, 48, 9, 10
+    Y, X = 14, 40
+    assert ky * kx * R > _CHUNK_COLS
+    V = rng.rand(1, C, Y, X).astype("f")
+    W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+    H0 = rng.rand(1, R, Y - ky + 1, X - kx + 1).astype("f") + 0.1
+
+    tm = torchnmf.nmf.NMF2D(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(torch.tensor(V), 1, 0, 5)
+
+    jm = NMF2D(W=W0, H=H0)
+    jm.fit(V, 1, 0, 5)
+
+    assert _maxdiff(tm.W, jm.W.data) < 2e-5
+    assert _maxdiff(tm.H, jm.H.data) < 2e-5
