@@ -166,12 +166,17 @@ def _w2(W):
 
 # max patch-matrix columns before the τ axis is streamed through lax.scan
 _CHUNK_COLS = 4096
+# max τ offsets per chunk: the scan body unrolls one dynamic slice + one
+# fold slice per offset, so an uncapped Tc (= _CHUNK_COLS/R, 512 at R=8)
+# explodes XLA graph size and compile time; 64 keeps the contraction dim
+# ≥ 512 for R ≥ 8 while bounding the unroll
+_CHUNK_TAUS = 64
 
 
 def _chunk_tc(R: int, T: int):
     """τ-chunk length: the largest Tc with Tc·R ≤ _CHUNK_COLS that divides
-    the (padded) T evenly."""
-    Tc = max(_CHUNK_COLS // R, 1)
+    the (padded) T evenly, capped at ``_CHUNK_TAUS`` unrolled offsets."""
+    Tc = max(min(_CHUNK_COLS // R, _CHUNK_TAUS), 1)
     return min(Tc, T)
 
 
