@@ -180,6 +180,40 @@ def main():
     for beta in (0.5, 1.0, 1.5, 2.0):
         sparse_row(5168, 1025, 88, beta)
 
+    # gather-regime sparse (target too large to densify in practice):
+    # dual-ELL fast path at 8192^2, ~1% nnz — no reference baseline exists
+    # at this scale (the reference's sparse path is slower than its dense
+    # one); reported for regression tracking of the beyond-HBM story
+    from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell
+
+    Msp, Ksp, Rsp = 8192, 8192, 64
+    nnz_target = 671_000
+    flat = np.unique(
+        rng.randint(0, Msp * Ksp, int(nnz_target * 1.1)).astype(np.int64)
+    )
+    rng.shuffle(flat)
+    flat = np.sort(flat[:nnz_target])
+    sp_idx = np.stack([(flat // Ksp).astype("i4"), (flat % Ksp).astype("i4")])
+    V_ell = build_ell(
+        SparseCOO(sp_idx, rng.rand(len(flat)).astype("f") + 0.01, (Msp, Ksp))
+    )
+    W = jnp.asarray(rng.rand(Ksp, Rsp).astype("f") + 0.1)
+    H = jnp.asarray(rng.rand(Msp, Rsp).astype("f") + 0.1)
+
+    def make_fit(n):
+        return get_sparse_fit(
+            nmf_sp_pos_neg, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, False, NMF.reconstruct, None, True,
+        )
+
+    ms = _marginal_ms_per_iter(make_fit, (V_ell, W, H))
+    grid.append({
+        "metric": f"nmf_sparse_ell_mu_iter_{Msp}x{Ksp}_r{Rsp}_1pct_beta1",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
+
     # deconvolutional flagship (librosa-shaped NMFD: C=1025, T=400 over
     # ~5k frames; reference examples/librosa_example.py) — unfold-GEMM MU
     from pytorch_nmf_tpu.models.nmf import NMFD

@@ -55,16 +55,22 @@ def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
             raise NotImplementedError(
                 f"{model_cls.__name__} does not support sparse targets"
             )
-        from .ops.sparse import should_densify
+        from .ops.sparse import maybe_ell, should_densify
 
         densify = should_densify(V)
+        ell_obj = None
+        if not densify and model_cls._sp_ell_capable:
+            ell_obj = maybe_ell(V)
         fit = get_sparse_fit(
             model_cls._sp_pos_neg, float(beta), float(tol), int(max_iter),
             update_W, update_H, float(l1_reg), float(l2_reg), False,
             densify, model_cls.reconstruct,
             (model_cls._updater_resolver()
              if densify and model_cls._updater_resolver is not None else None),
+            ell_obj is not None,
         )
+        if ell_obj is not None:
+            V = ell_obj
     else:
         updater_factory = (
             model_cls._updater_resolver()

@@ -151,6 +151,10 @@ class BaseComponent(Module):
 
     # hooks supplied by subclasses that support sparse targets / fast paths
     _sp_pos_neg = None  # staticmethod (V, H, W, beta) -> (pos, neg)
+    # whether the dual-ELL gather-regime fast path applies (the ELL
+    # updaters are specific to the V ~ H W^T layout, like the reference's
+    # sparse support itself, nmf.py:617-638)
+    _sp_ell_capable = False
     # staticmethod (multi_device: bool) -> updater factory | None, resolved
     # per fit() call so env toggles (Pallas on/off/interpret) take effect
     # immediately and land in the solver's compile cache key
@@ -200,9 +204,12 @@ class BaseComponent(Module):
                 raise NotImplementedError(
                     f"{type(self).__name__} does not support sparse targets."
                 )
-            from ..ops.sparse import should_densify
+            from ..ops.sparse import maybe_ell, should_densify
 
             densify = should_densify(V)
+            ell_obj = None
+            if not densify and self._sp_ell_capable:
+                ell_obj = maybe_ell(V)
             fit_fn = _solver.get_sparse_fit(
                 self._sp_pos_neg,
                 float(beta),
@@ -217,7 +224,10 @@ class BaseComponent(Module):
                 type(self).reconstruct,
                 (self._updater_resolver(False)
                  if densify and self._updater_resolver is not None else None),
+                ell_obj is not None,
             )
+            if ell_obj is not None:
+                V = ell_obj
         else:
             try:
                 multi_device = len(V.devices()) > 1
@@ -356,6 +366,7 @@ class NMF(BaseComponent):
         return _recon.linear(H, W)
 
     _sp_pos_neg = staticmethod(nmf_sp_pos_neg)
+    _sp_ell_capable = True
     _updater_resolver = staticmethod(resolve_nmf_updater_factory)
 
     def _sharded_updater_factory(self, V):

@@ -42,7 +42,12 @@ from .mu import (
     renorm,
 )
 from .projection import hoyer_l1_target, proj_columns, proj_columns_explicit
-from .sparse import SparseCOO, get_V_norm
+from .sparse import (
+    SparseCOO,
+    ell_neg_grad,
+    get_V_norm,
+    nmf_ell_pos_grad,
+)
 
 __all__ = [
     "get_dense_fit",
@@ -361,6 +366,7 @@ def get_sparse_fit(
     densify: bool = False,
     recon2: Optional[Callable] = None,
     updater_factory: Optional[Callable] = None,
+    ell: bool = False,
 ):
     """Returns jitted ``fit(V_sparse, W, H) -> (W, H, n_iter)``.
 
@@ -379,6 +385,16 @@ def get_sparse_fit(
     torchnmf tests/test_nmf_sparse.py).  The every-10-iterations loss keeps
     the exact sparse split form ``V_norm + pos - neg`` (reference
     nmf.py:358,398) so convergence decisions match the gather path.
+
+    ``ell=True`` selects the dual-ELL fast path for the gather regime
+    (targets too large to densify): ``fit`` then takes a
+    :class:`~pytorch_nmf_tpu.ops.sparse.SparseELL` and the per-iteration
+    numerators come from :func:`~pytorch_nmf_tpu.ops.sparse.ell_neg_grad`
+    (dense reductions over the padded nnz axis — no scatters), the
+    denominators from closed forms.  Same relu/eps placement as the
+    ``jax.grad`` path; trajectories differ only by f32 summation order.
+    NMF-layout-specific (``V ~ H W^T``), like the reference's sparse
+    support (nmf.py:617-638).
     """
     gamma = gamma_from_beta(beta)
 
@@ -398,14 +414,23 @@ def get_sparse_fit(
         )
         dense_updaters = (upd_W_d, upd_H_d)
 
-    def fit(V: SparseCOO, W, H):
-        V_norm = get_V_norm(V, beta)
-        Vd = V.to_dense() if densify else None
+    def fit(V, W, H):
+        V_coo = V.coo if ell else V
+        V_norm = get_V_norm(V_coo, beta)
+        Vd = V_coo.to_dense() if densify else None
 
         def loss_of(state):
             w, h = state
-            pos, neg = pos_neg(V, h, w, beta)
+            pos, neg = pos_neg(V_coo, h, w, beta)
             return jnp.sqrt(2.0 * (V_norm + pos - neg))
+
+        def ell_update(p, neg_raw, pos_pre, pos_raw):
+            neg = jax.nn.relu(neg_raw) + eps
+            pos = (
+                pos_pre if pos_pre is not None
+                else jax.nn.relu(pos_raw) + eps
+            )
+            return p * mu_multiplier(neg, pos, p, gamma, l1_reg, l2_reg)
 
         def one_iter(state):
             w, h = state
@@ -415,6 +440,24 @@ def get_sparse_fit(
                     w = upd_W(Vd, w, h)
                 if update_H:
                     h = upd_H(Vd, w, h)
+                return w, h
+            if ell:
+                if update_W:
+                    w = ell_update(
+                        w,
+                        ell_neg_grad(V.col_idx, V.col_val, w, h, beta),
+                        kl_pos_W(h) if beta == 1 else None,
+                        None if beta == 1
+                        else nmf_ell_pos_grad(w, h, beta, want_H=False),
+                    )
+                if update_H:
+                    h = ell_update(
+                        h,
+                        ell_neg_grad(V.row_idx, V.row_val, h, w, beta),
+                        kl_pos_H(w) if beta == 1 else None,
+                        None if beta == 1
+                        else nmf_ell_pos_grad(w, h, beta, want_H=True),
+                    )
                 return w, h
             if update_W:
                 pos_pre = kl_pos_W(h) if beta == 1 else None

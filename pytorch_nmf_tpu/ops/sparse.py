@@ -33,10 +33,13 @@ from ..constants import eps
 
 __all__ = [
     "SparseCOO",
+    "SparseELL",
     "sparse_coo_tensor",
     "sparse_from_dense",
     "get_V_norm",
     "should_densify",
+    "build_ell",
+    "maybe_ell",
 ]
 
 
@@ -49,9 +52,20 @@ class SparseCOO:
     (matching the reference, which supports sparse targets for ``NMF`` only).
     """
 
-    __slots__ = ("indices", "values", "shape")
+    __slots__ = ("indices", "values", "shape", "_host")
 
     def __init__(self, indices, values, shape: Tuple[int, ...]):
+        import numpy as np
+
+        # keep host copies when construction starts from host data — the
+        # ELL builder then never fetches the arrays back through the
+        # (slow, relay-attached) device transport
+        self._host = None
+        if isinstance(indices, np.ndarray) and isinstance(values, np.ndarray):
+            self._host = (
+                indices.astype(np.int32, copy=False),
+                values.astype(np.float32, copy=False),
+            )
         self.indices = jnp.asarray(indices, jnp.int32)
         self.values = jnp.asarray(values)
         self.shape = tuple(int(s) for s in shape)
@@ -80,6 +94,7 @@ class SparseCOO:
         obj = object.__new__(cls)
         obj.indices, obj.values = children
         obj.shape = aux
+        obj._host = None
         return obj
 
     def __repr__(self):
@@ -133,6 +148,256 @@ def sparse_from_dense(V, threshold: float = 0.0) -> SparseCOO:
         return SparseCOO(idx, vals, V.shape)
     idx = np.nonzero(V > threshold)
     return SparseCOO(np.stack(idx), V[idx], V.shape)
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseELL:
+    """Dual padded-row (ELL) layout of a 2-D :class:`SparseCOO` target.
+
+    ``row_idx``/``row_val`` hold, for every row ``i`` of V, the column ids
+    and values of its nonzeros padded to the max row degree ``Lr`` (pad
+    entries: id 0, value 0); ``col_idx``/``col_val`` are the transpose-side
+    equivalent over columns.  Both copies exist so *each* factor update
+    reads its numerator contributions contiguously — every nnz access
+    becomes a dense reduction over the padded axis plus one row gather of
+    the *other* factor, and the random scatters that dominate the plain
+    COO gather path on TPU disappear entirely (they were the transpose of
+    the gathers under ``jax.grad``).
+
+    Carries the originating :class:`SparseCOO` so the every-10-iterations
+    cadence loss keeps the exact split form the gather path uses
+    (reference nmf.py:358,398).
+    """
+
+    __slots__ = ("coo", "row_idx", "row_val", "col_idx", "col_val")
+
+    def __init__(self, coo, row_idx, row_val, col_idx, col_val):
+        self.coo = coo
+        self.row_idx = row_idx
+        self.row_val = row_val
+        self.col_idx = col_idx
+        self.col_val = col_val
+
+    @property
+    def shape(self):
+        return self.coo.shape
+
+    def tree_flatten(self):
+        return (
+            self.coo, self.row_idx, self.row_val, self.col_idx, self.col_val
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __repr__(self):
+        return (
+            f"SparseELL(shape={self.shape}, nnz={self.coo.nnz}, "
+            f"Lr={self.row_idx.shape[1]}, Lc={self.col_idx.shape[1]})"
+        )
+
+
+def _ell_side(seg_ids, other_ids, v, n_seg):
+    """Pack one sorted-by-segment COO side into (n_seg, Lmax) padded form."""
+    import numpy as np
+
+    counts = np.bincount(seg_ids, minlength=n_seg)
+    Lmax = max(int(counts.max()) if counts.size else 0, 1)
+    pos = np.arange(len(seg_ids)) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    idx_pad = np.zeros((n_seg, Lmax), np.int32)
+    val_pad = np.zeros((n_seg, Lmax), np.float32)
+    idx_pad[seg_ids, pos] = other_ids
+    val_pad[seg_ids, pos] = v
+    return idx_pad, val_pad
+
+
+def maybe_ell(V: SparseCOO):
+    """The ELL fast path's entry decision: returns a built
+    :class:`SparseELL` when the gather-regime fit should take the dual-ELL
+    updaters (3.5-4x the jax.grad gather path on TPU, measured at 16k^2 x
+    1.5% over beta in {1, 1.5, 2}), else ``None``.
+
+    Env override ``PNT_SPARSE_ELL`` (0 forces the plain gather path, 1
+    forces a build attempt); skewed degree distributions where padding
+    exceeds the :func:`build_ell` budget fall back to ``None``.
+    """
+    import os
+
+    env = os.environ.get("PNT_SPARSE_ELL", "")
+    if env == "0":
+        return None
+    return build_ell(V)
+
+
+def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
+    """Build the dual ELL layout, or ``None`` when the degree distribution
+    is too skewed for padding to pay (padded size > ``max_pad_factor`` x
+    nnz on either side, override ``PNT_SPARSE_ELL_MAX_PAD``).
+
+    Host-side one-time cost at fit entry, O(nnz); indices arrive already
+    row-major sorted (coalesced), the column side is one stable argsort.
+    """
+    import os
+
+    import numpy as np
+
+    if V.ndim != 2:
+        return None
+    max_pad_factor = float(
+        os.environ.get("PNT_SPARSE_ELL_MAX_PAD", max_pad_factor)
+    )
+    M, K = V.shape
+    if V._host is not None:
+        idx_np, vals = V._host
+    else:  # one bulk fetch instead of three per-array syncs
+        idx_np, vals = jax.device_get((V.indices, V.values))
+    ii, jj = idx_np[0], idx_np[1]
+    nnz = max(len(vals), 1)
+    row_counts = np.bincount(ii, minlength=M)
+    col_counts = np.bincount(jj, minlength=K)
+    Lr = max(int(row_counts.max()) if row_counts.size else 0, 1)
+    Lc = max(int(col_counts.max()) if col_counts.size else 0, 1)
+    if M * Lr > max_pad_factor * nnz or K * Lc > max_pad_factor * nnz:
+        return None
+    row_idx, row_val = _ell_side(ii, jj, vals, M)
+    order = np.argsort(jj, kind="stable")
+    col_idx, col_val = _ell_side(jj[order], ii[order], vals[order], K)
+    return SparseELL(
+        V,
+        jnp.asarray(row_idx),
+        jnp.asarray(row_val),
+        jnp.asarray(col_idx),
+        jnp.asarray(col_val),
+    )
+
+
+def _ell_block(L: int, R: int) -> int:
+    """Scan-block rows so the gathered (block, L, R) stage stays around
+    ~24 MB — measured optimum on v5e (77 -> 23 ms/iter at 16k^2 x 1.5%
+    vs a 160 MB block that round-trips HBM between the two einsums)."""
+    budget = 24 * 1024 * 1024 // 4
+    b = budget // max(L * R, 1)
+    block = 8
+    while block * 2 <= min(b, 256):
+        block *= 2
+    return block
+
+
+def ell_neg_grad(idx_pad, val_pad, self_f, other_f, beta: float):
+    """Gradient of the sparse ``neg`` scalar w.r.t. the segment-side factor.
+
+    ``neg = sum_n vals_n * f_beta(WH_n)`` with ``WH_n = <self[seg], other[oth]>``
+    (reference neg terms, nmf.py:622-637); its gradient w.r.t. ``self_f`` is
+    ``sum_l vals * f'(WH) * other[idx]`` — a dense reduction over the padded
+    nnz axis.  Streams segment blocks through a `lax.scan` sized by
+    :func:`_ell_block`; pad entries carry value 0 so they contribute nothing
+    (``f'`` stays finite at WH=0 for every beta the solver admits).
+    """
+    n_seg, L = idx_pad.shape
+    R = self_f.shape[1]
+    block = _ell_block(L, R)
+    nb = -(-n_seg // block)
+    pad = nb * block - n_seg
+    if pad:
+        idx_pad = jnp.pad(idx_pad, ((0, pad), (0, 0)))
+        val_pad = jnp.pad(val_pad, ((0, pad), (0, 0)))
+        self_f = jnp.pad(self_f, ((0, pad), (0, 0)))
+
+    def blk(carry, inp):
+        idx_b, val_b, self_b = inp
+        oth = other_f[idx_b]  # (block, L, R) — stays in VMEM
+        wh = jnp.einsum(
+            "blr,br->bl", oth, self_b, preferred_element_type=jnp.float32
+        )
+        if beta == 2:
+            coef = val_b
+        elif beta == 1:
+            coef = val_b / (wh + eps)
+        else:
+            coef = val_b * (wh + eps) ** (beta - 2)
+        g = jnp.einsum(
+            "bl,blr->br", coef, oth, preferred_element_type=jnp.float32
+        )
+        return carry, g
+
+    _, gs = lax.scan(
+        blk, 0,
+        (
+            idx_pad.reshape(nb, block, L),
+            val_pad.reshape(nb, block, L),
+            self_f.reshape(nb, block, R),
+        ),
+    )
+    return gs.reshape(nb * block, R)[:n_seg]
+
+
+def _pos_grads_generic(Hb_stream, W, beta: float, want_H: bool):
+    """Stream the dense positive term's gradient over row blocks of H.
+
+    ``pos = sum_{i,k} (WH+eps)^beta / beta`` (reference nmf.py:632-637);
+    grad w.r.t. H is ``(WH+eps)^{beta-1} @ W`` per block, grad w.r.t. W
+    accumulates ``((WH+eps)^{beta-1})^T @ H_block``.
+    """
+    def blk_H(carry, hb):
+        wh = lax.dot_general(
+            hb, W, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return carry, ((wh + eps) ** (beta - 1)) @ W
+
+    def blk_W(carry, hb):
+        wh = lax.dot_general(
+            hb, W, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = lax.dot_general(
+            (wh + eps) ** (beta - 1), hb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return carry + g, None
+
+    if want_H:
+        _, gs = lax.scan(blk_H, 0, Hb_stream)
+        return gs
+    z = jnp.zeros(W.shape, jnp.float32)
+    g, _ = lax.scan(blk_W, z, Hb_stream)
+    return g
+
+
+def nmf_ell_pos_grad(W, H, beta: float, want_H: bool):
+    """Closed-form gradient of the sparse ``pos`` scalar for ``V ~ H W^T``
+    w.r.t. W (``want_H=False``) or H (``want_H=True``).
+
+    beta=2 via the Gram identity (no (M, K) array); generic beta streams
+    row blocks (zero pad rows contribute nothing to the W side and are
+    sliced off the H side).  beta=1's analytic shortcut is handled by the
+    solver (kl_pos_*), mirroring the gather path.
+    """
+    if beta == 2:
+        if want_H:
+            G = lax.dot_general(
+                W, W, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return H @ G
+        G = lax.dot_general(
+            H, H, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return W @ G
+
+    M, R = H.shape
+    block = _ell_block(W.shape[0], 1)  # (block, K) stage rows
+    nb = -(-M // block)
+    pad = nb * block - M
+    Hp = jnp.pad(H, ((0, pad), (0, 0))) if pad else H
+    g = _pos_grads_generic(Hp.reshape(nb, block, R), W, beta, want_H)
+    if want_H:
+        return g.reshape(nb * block, R)[:M]
+    return g
 
 
 def should_densify(V: SparseCOO) -> bool:

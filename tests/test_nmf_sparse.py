@@ -104,10 +104,12 @@ def test_densify_fast_path_matches_gather_path(beta):
     b.load_state_dict(a.state_dict())
 
     os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "0"
     try:
         na = a.fit(V_sparse, beta, 1e-4, max_iter)
     finally:
         os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
     os.environ["PNT_SPARSE_DENSIFY"] = "1"
     try:
         nb = b.fit(V_sparse, beta, 1e-4, max_iter)
@@ -117,3 +119,97 @@ def test_densify_fast_path_matches_gather_path(beta):
     assert na == nb  # identical early-stop decisions
     assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
     assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+@pytest.mark.parametrize("beta", [0.5, 1, 1.5, 2, 3])
+def test_ell_path_matches_gather_path(beta):
+    """The dual-ELL gather-regime fast path must reproduce the jax.grad
+    gather path's trajectory (identical relu/eps placement; differences
+    are f32 summation order only)."""
+    import os
+
+    max_iter = 15
+    V_sparse, _ = _make_pair(shape=(120, 90))
+    a = NMF((120, 90), 7)
+    b = NMF((120, 90), 7)
+    b.load_state_dict(a.state_dict())
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "0"
+    try:
+        na = a.fit(V_sparse, beta, 1e-4, max_iter)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    os.environ["PNT_SPARSE_ELL_MAX_PAD"] = "1e9"  # force build at any skew
+    try:
+        nb = b.fit(V_sparse, beta, 1e-4, max_iter)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
+        os.environ.pop("PNT_SPARSE_ELL_MAX_PAD", None)
+
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 1e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 1e-5
+
+
+def test_build_ell_roundtrip_and_skew_fallback():
+    """ELL row/col copies reproduce the target exactly; a degree
+    distribution whose padding would exceed the budget refuses to build."""
+    from pytorch_nmf_tpu.ops.sparse import build_ell
+
+    V_sparse, V_dense = _make_pair(shape=(64, 48))
+    ell = build_ell(V_sparse, max_pad_factor=1e9)
+    assert ell is not None
+
+    M, K = V_sparse.shape
+    row = np.zeros((M, K), "f")
+    ridx = np.asarray(ell.row_idx)
+    rval = np.asarray(ell.row_val)
+    for i in range(M):
+        np.add.at(row[i], ridx[i][rval[i] > 0], rval[i][rval[i] > 0])
+    assert np.abs(row - V_dense).max() < 1e-7
+
+    col = np.zeros((M, K), "f")
+    cidx = np.asarray(ell.col_idx)
+    cval = np.asarray(ell.col_val)
+    for j in range(K):
+        np.add.at(col[:, j], cidx[j][cval[j] > 0], cval[j][cval[j] > 0])
+    assert np.abs(col - V_dense).max() < 1e-7
+
+    # one fully-dense row in an otherwise ~empty 200x200 target: padding
+    # would cost 200x200 slots for ~400 nnz -> refuse
+    skew = np.zeros((200, 200), "f")
+    skew[0, :] = 1.0
+    skew[1:, 0] = 1.0
+    assert build_ell(sparse_from_dense(skew)) is None
+
+
+def test_ell_functional_api():
+    """functional.nmf_fit routes through the ELL path when forced and
+    matches the model-layer result."""
+    import os
+
+    from pytorch_nmf_tpu.functional import nmf_fit
+
+    V_sparse, _ = _make_pair(shape=(80, 60))
+    W0 = RNG.rand(60, 5).astype("f") + 0.1
+    H0 = RNG.rand(80, 5).astype("f") + 0.1
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    os.environ["PNT_SPARSE_ELL_MAX_PAD"] = "1e9"
+    try:
+        W1, H1, n1 = nmf_fit(V_sparse, W0, H0, beta=1, tol=0, max_iter=8)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
+        os.environ.pop("PNT_SPARSE_ELL_MAX_PAD", None)
+    m = NMF(W=W0, H=H0)
+    n2 = m.fit(V_sparse, 1, 0, 8)
+    assert int(n1) == n2
+    assert float(jnp.abs(m.W.data - W1).max()) < 5e-5
+    assert jnp.all(jnp.isfinite(W1)) and jnp.all(jnp.isfinite(H1))
