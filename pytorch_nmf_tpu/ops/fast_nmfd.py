@@ -239,17 +239,36 @@ def _tau_of_flat(f, kernel):
     return tuple(taus)
 
 
-def _patch_chunk_fn(H, kernel, Tc: int):
-    """Closure building flat-τ-chunk patch matrices from the full-padded
-    spatial-major activation:
-    ``Pc(t)[n, l_vec, j·R + r] = H2[n, l_vec - τ(t·Tc + j), r]``."""
+def _pad_s_out(S_in, kernel, pad):
+    """Per-axis output extents: full padding grows by ``k - 1``, VALID
+    (``pad[ax] is False`` — the halo'd trailing axis of the sequence-
+    parallel solvers, whose input already carries ``k - 1`` extra frames)
+    shrinks by it."""
+    return tuple(
+        s + k - 1 if p else s - k + 1
+        for s, k, p in zip(S_in, kernel, pad)
+    )
+
+
+def _patch_chunk_fn(H, kernel, Tc: int, pad=None):
+    """Closure building flat-τ-chunk patch matrices from the spatial-major
+    activation: ``Pc(t)[n, l_vec, j·R + r] = H2[n, l_vec - τ(t·Tc + j), r]``.
+
+    ``pad`` selects full-convolution padding (True, default) or VALID
+    (False) per spatial axis; a VALID axis is consumed un-padded — the
+    slice offsets ``k - 1 - τ`` then index into the halo frames the input
+    already carries (:mod:`pytorch_nmf_tpu.parallel.halo`)."""
     N, R = H.shape[:2]
-    S_out = tuple(s + k - 1 for s, k in zip(H.shape[2:], kernel))
+    if pad is None:
+        pad = (True,) * len(kernel)
+    S_out = _pad_s_out(H.shape[2:], kernel, pad)
     Lp = _prod(S_out)
     H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
     Hp2 = jnp.pad(
         H2,
-        ((0, 0),) + tuple((k - 1, k - 1) for k in kernel) + ((0, 0),),
+        ((0, 0),)
+        + tuple((k - 1, k - 1) if p else (0, 0) for k, p in zip(kernel, pad))
+        + ((0, 0),),
     )
 
     def patch_chunk(t):
@@ -268,14 +287,27 @@ def _patch_chunk_fn(H, kernel, Tc: int):
     return patch_chunk
 
 
-def _stream_recon(W3, H, kernel):
+def _zeros_like_vma(shape, varying_axis):
+    """Zero scan carry, tagged as varying over ``varying_axis`` when the
+    caller runs inside ``shard_map`` (the body accumulates device-varying
+    activations, and the replication checker requires carry-in/out types to
+    agree)."""
+    z = jnp.zeros(shape, jnp.float32)
+    if varying_axis is not None:
+        z = lax.pcast(z, varying_axis, to="varying")
+    return z
+
+
+def _stream_recon(W3, H, kernel, pad=None, varying_axis=None):
     """Streaming-τ reconstruction ``WH2 (N, prod(S_out), C)`` from the
     chunked GEMM operand ``W3 (n_chunks, Tc·R, C)``."""
     n_chunks, TcR, C = W3.shape
     N, R = H.shape[:2]
     Tc = TcR // R
-    Lp = _prod(tuple(s + k - 1 for s, k in zip(H.shape[2:], kernel)))
-    patch_chunk = _patch_chunk_fn(H, kernel, Tc)
+    if pad is None:
+        pad = (True,) * len(kernel)
+    Lp = _prod(_pad_s_out(H.shape[2:], kernel, pad))
+    patch_chunk = _patch_chunk_fn(H, kernel, Tc, pad)
 
     def recon_body(acc, inp):
         t, W2c = inp
@@ -283,7 +315,7 @@ def _stream_recon(W3, H, kernel):
 
     WH2, _ = lax.scan(
         recon_body,
-        jnp.zeros((N, Lp, C), jnp.float32),
+        _zeros_like_vma((N, Lp, C), varying_axis),
         (jnp.arange(n_chunks), W3),
     )
     return WH2
@@ -295,30 +327,40 @@ def _chunked_recon(W, H):
     return _stream_recon(_w3_from_w(W), H, W.shape[2:])
 
 
-def _stream_contractions_h(V2, W3, H, kernel, beta, need_pos):
+def _stream_contractions_h(V2, W3, H, kernel, beta, need_pos, pad=None,
+                           varying_axis=None):
     """Streaming-τ H-side contractions against the chunked operand: a
     reconstruction scan, the elementwise cotangents, then the fold scan
     (:func:`_stream_h_contract`).  The W side has no unfused streaming
     form — :func:`_stream_upd_w` applies the MU multiply inside its scan.
     """
-    WH2 = _stream_recon(W3, H, kernel)
+    WH2 = _stream_recon(W3, H, kernel, pad, varying_axis)
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
     cots = (neg_cot,) + ((pos_cot,) if need_pos else ())
-    return _stream_h_contract(W3, cots, H, kernel, need_pos)
+    return _stream_h_contract(W3, cots, H, kernel, need_pos, pad,
+                              varying_axis)
 
 
-def _stream_upd_w(V2, W3, H, kernel, beta, gamma, l1_reg, l2_reg, pos_tiled):
+def _stream_upd_w(V2, W3, H, kernel, beta, gamma, l1_reg, l2_reg, pos_tiled,
+                  pad=None, psum_axis=None):
+    # (psum_axis doubles as the varying axis for the recon scan carry)
     """Fused streaming W update: the per-chunk numerator (and denominator)
     never leave registers — the MU multiply is applied inside the scan, so
     the two W-sized stacks (each the size of the kernel itself) are not
     written to and re-read from HBM.  ``pos_tiled``: the analytic β=1
-    denominator tiled to ``(Tc·R, 1)``, or ``None``."""
+    denominator tiled to ``(Tc·R, 1)``, or ``None``.
+
+    ``psum_axis``: under the sequence-parallel halo solvers the patch
+    contractions are partial sums over the local chunk — they are
+    ``psum``'d per chunk *before* the relu/eps clamps so the update equals
+    the single-device trajectory (``pos_tiled`` must then arrive already
+    globally summed by the caller)."""
     n_chunks, TcR, C = W3.shape
     R = H.shape[1]
     Tc = TcR // R
-    patch_chunk = _patch_chunk_fn(H, kernel, Tc)
+    patch_chunk = _patch_chunk_fn(H, kernel, Tc, pad)
 
-    WH2 = _stream_recon(W3, H, kernel)
+    WH2 = _stream_recon(W3, H, kernel, pad, varying_axis=psum_axis)
     need_pos = beta != 1
     neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
@@ -327,10 +369,13 @@ def _stream_upd_w(V2, W3, H, kernel, beta, gamma, l1_reg, l2_reg, pos_tiled):
         Pc = patch_chunk(t)
 
         def contract(cot):
-            return jnp.einsum(
+            out = jnp.einsum(
                 "nlk,nlc->kc", Pc, cot,
                 preferred_element_type=jnp.float32,
             )
+            if psum_axis is not None:
+                out = lax.psum(out, psum_axis)
+            return out
 
         neg = jax.nn.relu(contract(neg_cot)) + eps
         pos = (
@@ -344,19 +389,34 @@ def _stream_upd_w(V2, W3, H, kernel, beta, gamma, l1_reg, l2_reg, pos_tiled):
     return W3_new
 
 
-def _stream_h_contract(W3, cots, H, kernel, need_pos):
+def _stream_h_contract(W3, cots, H, kernel, need_pos, pad=None,
+                       varying_axis=None):
     """Streaming fold: per-chunk ``cot @ W2cᵀ`` GEMMs overlap-added into
     the ``(N, *S_in, R)`` accumulators.
 
     The fold slice for flat offset ``f`` starts at ``τ(f)`` per axis, which
     wraps in-range for the padded offsets (whose zero kernel rows make the
     wrapped contribution exactly zero), so every slice is in-bounds with no
-    cotangent padding."""
+    cotangent padding.  On a VALID (halo'd) axis the cotangent is *shorter*
+    than the input; it is zero-padded by ``k - 1`` on both sides so the
+    same ``τ``-start slice places each contribution at offset ``k - 1 - τ``
+    of the halo'd accumulator (whose leading ``k - 1`` frames are the
+    neighbor's — the halo solver ships them back with the reverse
+    ``ppermute``)."""
     N, R = H.shape[:2]
     S_in = H.shape[2:]
-    S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
+    if pad is None:
+        pad = (True,) * len(kernel)
+    S_out = _pad_s_out(S_in, kernel, pad)
     n_chunks, TcR, _ = W3.shape
     Tc = TcR // R
+    g_pads = (
+        ((0, 0),)
+        + tuple(
+            (0, 0) if p else (k - 1, k - 1) for k, p in zip(kernel, pad)
+        )
+        + ((0, 0),)
+    )
 
     def h_body(acc, inp):
         t, W2c = inp
@@ -366,6 +426,8 @@ def _stream_h_contract(W3, cots, H, kernel, need_pos):
             for j in range(Tc):
                 taus = _tau_of_flat(t * Tc + j, kernel)
                 Gj = Gc[(slice(None),) * (1 + len(kernel)) + (j,)]
+                if not all(pad):
+                    Gj = jnp.pad(Gj, g_pads)
                 sl = lax.dynamic_slice(
                     Gj, (0,) + taus + (0,), (N,) + S_in + (R,)
                 )
@@ -373,7 +435,7 @@ def _stream_h_contract(W3, cots, H, kernel, need_pos):
         return tuple(accs), None
 
     acc0 = tuple(
-        jnp.zeros((N,) + S_in + (R,), jnp.float32) for _ in cots
+        _zeros_like_vma((N,) + S_in + (R,), varying_axis) for _ in cots
     )
     accs, _ = lax.scan(h_body, acc0, (jnp.arange(n_chunks), W3))
     outs = tuple(jnp.moveaxis(a, -1, 1) for a in accs)

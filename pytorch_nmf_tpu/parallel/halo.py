@@ -38,13 +38,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import eps
 from ..metrics import beta_div
-from ..ops.fast_nmfd import _CHUNK_COLS, _DEFAULT_MAX_BYTES, _dot, _w2, \
-    unfold_patches_nd
+from ..ops.fast_nmfd import (
+    _CHUNK_COLS,
+    _DEFAULT_MAX_BYTES,
+    _chunk_tc,
+    _dot,
+    _prod,
+    _stream_contractions_h,
+    _stream_recon,
+    _stream_upd_w,
+    _streaming_dims,
+    _w2,
+    _w3_from_w,
+    _w_from_w3,
+    unfold_patches_nd,
+)
 from ..ops.mu import gamma_from_beta, mu_cotangents, mu_multiplier
 from ..ops.solver import _converging_loop
 
 __all__ = [
     "left_halo",
+    "halo_adjoint",
     "sharded_nmfd_fit",
     "sharded_nmf2d_fit",
     "sharded_nmf3d_fit",
@@ -87,27 +101,57 @@ def _unfold_halo_nd(Hh, W, spatial_ndim: int):
     return jnp.moveaxis(WH2.reshape((N,) + S_out + (C,)), -1, 1)
 
 
-def _halo_unfold_ok(n_batch, lead_shapes, chunk, kernel, R) -> bool:
-    """Whether the per-shard patch tensor fits the memory budget (and the
-    kernel is small enough for the fully-unrolled form — the τ-streaming
-    path is not used under ``jax.vjp``, where scan residuals would undo the
-    saving)."""
+def _halo_unfold_mode(n_batch, lead_shapes, chunk, kernel, R) -> str:
+    """Which per-shard reconstruction form the halo solver uses:
+
+    * ``"unrolled"`` — one full patch GEMM under ``jax.vjp`` (small
+      ``K·R``, patch tensor within the memory budget; the vjp keeps the
+      patch matrix as a residual alongside the cotangent GEMM operand, so
+      budget ~2 live copies);
+    * ``"stream"`` — hand-written flat-τ-chunk scans with explicit psum /
+      reverse-``ppermute`` adjoints (long kernels whose unrolled patch
+      matrix would blow the XLA graph or the budget — the reference's
+      flagship T=400 NMFD kernels on small local chunks land here);
+    * ``"conv"`` — the XLA convolution formulation (fallback).
+    """
     if os.environ.get("PNT_HALO_UNFOLD", "") == "0":
-        return False
-    K = 1
-    for k in kernel:
-        K *= k
-    if K < 2 or K * R > _CHUNK_COLS:
-        return False
+        return "conv"
+    K = _prod(kernel)
+    if K < 2:
+        return "conv"
     Lp = chunk
     for s, k in zip(lead_shapes, kernel[:-1]):
         Lp *= s + k - 1
     max_bytes = int(
         os.environ.get("PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES)
     )
-    # the vjp keeps the patch matrix as a residual alongside the cotangent
-    # GEMM operand — budget for ~2 live copies
-    return 4 * n_batch * Lp * K * R * 2 <= max_bytes
+    if K * R <= _CHUNK_COLS:
+        if 4 * n_batch * Lp * K * R * 2 <= max_bytes:
+            return "unrolled"
+        return "conv"
+    Tc = _chunk_tc(R, K)
+    if 4 * n_batch * Lp * Tc * R * 2 <= max_bytes:
+        return "stream"
+    return "conv"
+
+
+def halo_adjoint(g, halo: int, axis_name: str):
+    """Adjoint of :func:`left_halo`: the cotangent of the received-halo
+    frames belongs to the *left* neighbor's trailing frames — zero it on
+    device 0 (whose halo was zeros), reverse-``ppermute`` it, and add it to
+    the local trailing edge.  Identical to the transpose ``jax.vjp``
+    derives for :func:`left_halo`; written out because the streaming-τ MU
+    path is hand-differentiated."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    ghalo = g[..., :halo]
+    gx = g[..., halo:]
+    ghalo = jnp.where(idx == 0, jnp.zeros_like(ghalo), ghalo)
+    send = lax.ppermute(
+        ghalo, axis_name, [(d, (d - 1) % n) for d in range(n)]
+    )
+    L = gx.shape[-1]
+    return gx.at[..., L - halo:].add(send)
 
 
 def _conv_halo_nd(H, W, spatial_ndim: int):
@@ -140,7 +184,7 @@ def _get_sharded_deconv_fit(
     l2_reg: float,
     seq_axis: str,
     loss_offset: float = 0.0,
-    use_unfold: bool = False,
+    mode: str = "conv",
 ):
     gamma = gamma_from_beta(beta)
     halo = T - 1
@@ -149,11 +193,80 @@ def _get_sharded_deconv_fit(
     def _kl_shape(ref_ndim):
         return (1, -1) + (1,) * (ref_ndim - 2)
 
+    def stream_local_fit(V, W, Hp):
+        """Flat-τ streaming MU with hand-written adjoints: the per-shard
+        patch tensor is never materialized (a VMEM-sized τ-chunk at a time;
+        :mod:`pytorch_nmf_tpu.ops.fast_nmfd`), the W contractions psum per
+        chunk before the relu/eps clamps, and the activation cotangent's
+        halo frames ship back through :func:`halo_adjoint` — the explicit
+        form of the same one-ppermute-each-way communication pattern the
+        vjp path uses."""
+        kernel = tuple(int(k) for k in W.shape[2:])
+        C, R = int(W.shape[0]), int(W.shape[1])
+        N = V.shape[0]
+        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
+        pad = (True,) * (nd - 1) + (False,)
+        sum_axes = (0,) + tuple(range(2, 2 + nd))
+        need_pos = beta != 1
+        Tc, _, _ = _streaming_dims(R, _prod(kernel))
+
+        def loss_of(state):
+            w3, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+            part = beta_div(
+                _stream_recon(w3, hh, kernel, pad, varying_axis=seq_axis),
+                V2, beta,
+            )
+            total = lax.psum(part, seq_axis) - loss_offset
+            return jnp.sqrt(2.0 * jnp.maximum(total, 0.0))
+
+        def one_iter(state):
+            w3, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+
+            # ---- W update (fused streaming; globally summed per chunk)
+            if beta == 1:
+                s = lax.psum(jnp.sum(hp, axis=sum_axes), seq_axis)  # (R,)
+                pos_tiled = jnp.tile(s, Tc)[:, None]
+            else:
+                pos_tiled = None
+            w3 = _stream_upd_w(
+                V2, w3, hh, kernel, beta, gamma, l1_reg, l2_reg,
+                pos_tiled, pad=pad, psum_axis=seq_axis,
+            )
+
+            # ---- H update with the new kernel; same (old) halo'd hp
+            negHh, posHh = _stream_contractions_h(
+                V2, w3, hh, kernel, beta, need_pos, pad,
+                varying_axis=seq_axis,
+            )
+            neg = jax.nn.relu(halo_adjoint(negHh, halo, seq_axis)) + eps
+            if beta == 1:
+                s2 = jnp.sum(w3.reshape(-1, R, C), axis=(0, 2))
+                pos = s2.reshape((1, R) + (1,) * nd)
+            else:
+                pos = (
+                    jax.nn.relu(halo_adjoint(posHh, halo, seq_axis)) + eps
+                )
+            hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
+            return w3, hp
+
+        W3 = _w3_from_w(W)
+        kernel_static = tuple(int(k) for k in W.shape[2:])
+        (W3, Hp), k, converged = _converging_loop(
+            one_iter, loss_of, (W3, Hp), tol, max_iter, False
+        )
+        n_iter = jnp.where(converged, k * 10, max_iter)
+        return _w_from_w3(W3, kernel_static, R), Hp, n_iter
+
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
+        if mode == "stream":
+            return stream_local_fit(V, W, Hp)
+
         def recon(hp, w):
             hh = left_halo(hp, halo, seq_axis)
-            if use_unfold:
+            if mode == "unrolled":
                 return _unfold_halo_nd(hh, w, nd)
             return _conv_halo_nd(hh, w, nd)
 
@@ -273,7 +386,7 @@ def _sharded_deconv_fit(
     pad = [(0, 0)] * (H.ndim - 1) + [(0, L_pad - L_in)]
     Hp = jnp.pad(H, pad)
 
-    use_unfold = _halo_unfold_ok(
+    mode = _halo_unfold_mode(
         int(H.shape[0]),
         tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),  # leading spatial
         chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
@@ -282,7 +395,7 @@ def _sharded_deconv_fit(
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
-        loss_offset, use_unfold,
+        loss_offset, mode,
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

@@ -335,7 +335,10 @@ def test_halo_unfold_matches_conv_formulation():
     import os
 
     from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit
-    from pytorch_nmf_tpu.parallel.halo import _halo_unfold_ok, sharded_nmfd_fit
+    from pytorch_nmf_tpu.parallel.halo import (
+        _halo_unfold_mode,
+        sharded_nmfd_fit,
+    )
 
     rng = np.random.RandomState(7)
     N, C, L_out, R, T = 2, 10, 48, 4, 5
@@ -344,11 +347,11 @@ def test_halo_unfold_matches_conv_formulation():
     H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
     mesh = make_mesh({"seq": 8})
 
-    assert _halo_unfold_ok(N, (), 6, (T,), R)
+    assert _halo_unfold_mode(N, (), 6, (T,), R) == "unrolled"
     Wu, Hu, nu = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=10)
     os.environ["PNT_HALO_UNFOLD"] = "0"
     try:
-        assert not _halo_unfold_ok(N, (), 6, (T,), R)
+        assert _halo_unfold_mode(N, (), 6, (T,), R) == "conv"
         Wc, Hc, nc = sharded_nmfd_fit(
             V, W0, H0, mesh, beta=1, tol=0, max_iter=10
         )
@@ -372,3 +375,44 @@ def test_halo_unfold_matches_conv_formulation():
         del os.environ["PNT_HALO_UNFOLD"]
     assert float(jnp.abs(Wu - Wc).max()) < 1e-5
     assert float(jnp.abs(Hu - Hc).max()) < 1e-5
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1, 2, 0.5])
+def test_halo_stream_matches_conv_formulation(beta):
+    """The flat-τ streaming halo path (hand-written adjoints: per-chunk
+    psum'd W contractions, reverse-ppermute fold) must match the conv/vjp
+    formulation.  K·R > _CHUNK_COLS forces stream mode."""
+    import os
+
+    from pytorch_nmf_tpu.ops.fast_nmfd import _CHUNK_COLS
+    from pytorch_nmf_tpu.parallel.halo import (
+        _halo_unfold_mode,
+        sharded_nmfd_fit,
+    )
+
+    rng = np.random.RandomState(11)
+    N, C, L_out, R, T = 1, 6, 64, 512, 9
+    assert T * R > _CHUNK_COLS
+    V = rng.rand(N, C, L_out).astype("f")
+    W0 = rng.rand(C, R, T).astype("f") + 0.1
+    H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    mesh = make_mesh({"seq": 8})
+
+    assert _halo_unfold_mode(N, (), L_out // 8, (T,), R) == "stream"
+    Ws, Hs, ns = sharded_nmfd_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+    )
+    os.environ["PNT_HALO_UNFOLD"] = "0"
+    try:
+        Wc, Hc, nc = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+        )
+    finally:
+        del os.environ["PNT_HALO_UNFOLD"]
+    assert int(ns) == int(nc)
+    # f32 summation-order differences only; R=512 contractions accumulate
+    # slightly more rounding than the small-R cases above
+    assert float(jnp.abs(Ws - Wc).max()) < 5e-5
+    assert float(jnp.abs(Hs - Hc).max()) < 5e-5
+    assert bool(jnp.all(jnp.isfinite(Ws))) and bool(jnp.all(Ws >= 0))
