@@ -334,7 +334,18 @@ def ell_neg_grad(idx_pad, val_pad, self_f, other_f, beta: float):
     return gs.reshape(nb * block, R)[:n_seg]
 
 
-def _pos_grads_generic(Hb_stream, W, beta: float, want_H: bool):
+def _vma_zeros(shape, varying_axis):
+    """Zero scan carry, tagged varying over ``varying_axis`` when running
+    inside ``shard_map`` (the bodies accumulate device-varying data and the
+    replication checker requires carry-in/out types to agree)."""
+    z = jnp.zeros(shape, jnp.float32)
+    if varying_axis is not None:
+        z = lax.pcast(z, varying_axis, to="varying")
+    return z
+
+
+def _pos_grads_generic(Hb_stream, W, beta: float, want_H: bool,
+                       varying_axis=None):
     """Stream the dense positive term's gradient over row blocks of H.
 
     ``pos = sum_{i,k} (WH+eps)^beta / beta`` (reference nmf.py:632-637);
@@ -362,19 +373,20 @@ def _pos_grads_generic(Hb_stream, W, beta: float, want_H: bool):
     if want_H:
         _, gs = lax.scan(blk_H, 0, Hb_stream)
         return gs
-    z = jnp.zeros(W.shape, jnp.float32)
-    g, _ = lax.scan(blk_W, z, Hb_stream)
+    g, _ = lax.scan(blk_W, _vma_zeros(W.shape, varying_axis), Hb_stream)
     return g
 
 
-def nmf_ell_pos_grad(W, H, beta: float, want_H: bool):
+def nmf_ell_pos_grad(W, H, beta: float, want_H: bool, varying_axis=None):
     """Closed-form gradient of the sparse ``pos`` scalar for ``V ~ H W^T``
     w.r.t. W (``want_H=False``) or H (``want_H=True``).
 
     beta=2 via the Gram identity (no (M, K) array); generic beta streams
     row blocks (zero pad rows contribute nothing to the W side and are
     sliced off the H side).  beta=1's analytic shortcut is handled by the
-    solver (kl_pos_*), mirroring the gather path.
+    solver (kl_pos_*), mirroring the gather path.  Under ``shard_map``
+    (row-sharded H) the caller psums the W-side result; ``varying_axis``
+    tags the scan carry for the replication checker.
     """
     if beta == 2:
         if want_H:
@@ -394,10 +406,94 @@ def nmf_ell_pos_grad(W, H, beta: float, want_H: bool):
     nb = -(-M // block)
     pad = nb * block - M
     Hp = jnp.pad(H, ((0, pad), (0, 0))) if pad else H
-    g = _pos_grads_generic(Hp.reshape(nb, block, R), W, beta, want_H)
+    g = _pos_grads_generic(
+        Hp.reshape(nb, block, R), W, beta, want_H, varying_axis
+    )
     if want_H:
         return g.reshape(nb * block, R)[:M]
     return g
+
+
+def ell_neg_scalar(idx_pad, val_pad, self_f, other_f, beta: float,
+                   varying_axis=None):
+    """The sparse ``neg`` loss scalar from one ELL side:
+    ``sum_n vals_n * f_beta(WH_n)`` with the reference's per-beta form
+    (nmf.py:622-637) — pad entries carry value 0 and contribute nothing.
+    Used by the sharded sparse solver, whose shards cannot gather globally.
+    """
+    n_seg, L = idx_pad.shape
+    R = self_f.shape[1]
+    block = _ell_block(L, R)
+    nb = -(-n_seg // block)
+    pad = nb * block - n_seg
+    if pad:
+        idx_pad = jnp.pad(idx_pad, ((0, pad), (0, 0)))
+        val_pad = jnp.pad(val_pad, ((0, pad), (0, 0)))
+        self_f = jnp.pad(self_f, ((0, pad), (0, 0)))
+
+    def blk(carry, inp):
+        idx_b, val_b, self_b = inp
+        oth = other_f[idx_b]
+        wh = jnp.einsum(
+            "blr,br->bl", oth, self_b, preferred_element_type=jnp.float32
+        )
+        if beta == 2:
+            term = wh
+        elif beta == 1:
+            term = jnp.log(wh + eps)
+        else:
+            term = (wh + eps) ** (beta - 1) / (beta - 1)
+        return carry + jnp.sum(val_b * term), None
+
+    out, _ = lax.scan(
+        blk, _vma_zeros((), varying_axis),
+        (
+            idx_pad.reshape(nb, block, L),
+            val_pad.reshape(nb, block, L),
+            self_f.reshape(nb, block, R),
+        ),
+    )
+    return out
+
+
+def nmf_ell_pos_scalar(W, H, beta: float, n_real=None, varying_axis=None):
+    """The sparse ``pos`` loss scalar for ``V ~ H W^T`` over the rows of
+    ``H`` (reference nmf.py:622-637).  ``n_real`` masks trailing padding
+    rows for the generic-beta dense stream (β∈{1, 2} are exact with zero
+    rows already); under ``shard_map`` the caller psums the result.
+    """
+    if beta == 2:
+        G = lax.dot_general(
+            W, W, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0.5 * jnp.vdot(H @ G, H)
+    if beta == 1:
+        return W.sum(0) @ H.sum(0)
+
+    M, R = H.shape
+    block = _ell_block(W.shape[0], 1)
+    nb = -(-M // block)
+    pad = nb * block - M
+    Hp = jnp.pad(H, ((0, pad), (0, 0))) if pad else H
+    if n_real is None:
+        n_real = M
+    valid = (jnp.arange(nb * block) < n_real).reshape(nb, block)
+
+    def blk(carry, inp):
+        hb, mask = inp
+        wh = lax.dot_general(
+            hb, W, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        contrib = jnp.sum(jnp.where(mask[:, None], (wh + eps) ** beta, 0.0))
+        return carry + contrib, None
+
+    out, _ = lax.scan(
+        blk, _vma_zeros((), varying_axis),
+        (Hp.reshape(nb, block, R), valid),
+    )
+    return out / beta
 
 
 def should_densify(V: SparseCOO) -> bool:

@@ -13,6 +13,10 @@ from .halo import (  # noqa: F401
     sharded_nmf2d_fit,
     sharded_nmf3d_fit,
     sharded_nmfd_fit,
+    sharded_siplca2_fit,
+    sharded_siplca3_fit,
+    sharded_siplca_fit,
 )
 from .mesh import make_hybrid_mesh, make_mesh  # noqa: F401
 from .sharded import shard_target, sharded_nmf_fit, sharded_plca_fit  # noqa: F401
+from .sharded_sparse import sharded_sparse_nmf_fit  # noqa: F401
