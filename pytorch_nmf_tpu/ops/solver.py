@@ -684,11 +684,18 @@ def _plca_em_iter(
     recon3, update_W, update_H, update_Z,
     W_alpha_active, H_alpha_active, Z_alpha_active,
     Vn, state, W_alpha, H_alpha, Z_alpha,
+    h_marginal=None,
 ):
     """One EM iteration: a single VJP E-step (cotangent ``Vn/(WZH+eps)``,
     reference plca.py:252-253) + closed-form M-step renormalizations with
     optional Dirichlet MAP (plca.py:255-289).  Pure — shared by the single
-    and batched solvers."""
+    and batched solvers, and by the sequence-parallel SIPLCA solver, whose
+    ``h_marginal`` psums the H marginal over the sharded time axis (the W/Z
+    cotangents arrive already globally summed by shard_map's replication
+    tracking; the H cotangent's halo frames route through the ppermute
+    transpose inside the vjp)."""
+    if h_marginal is None:
+        h_marginal = _plca_marginal_sum
     w, h, z = state
     WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
     gH, gW, gZ = vjp(Vn / (WZH + eps))
@@ -716,13 +723,13 @@ def _plca_em_iter(
     if update_H:
         h = h * jax.nn.relu(gH)
         if Z_prior is None:
-            H_divider = _plca_marginal_sum(h)
+            H_divider = h_marginal(h)
         else:
             H_divider = Z_prior.reshape((-1,) + (1,) * (h.ndim - 2))
         h = h / H_divider
         if H_alpha_active:
             h = _threshold_eps(h + (H_alpha - 1.0))
-            h = h / _plca_marginal_sum(h)
+            h = h / h_marginal(h)
 
     return w, h, z
 

@@ -62,6 +62,9 @@ __all__ = [
     "sharded_nmfd_fit",
     "sharded_nmf2d_fit",
     "sharded_nmf3d_fit",
+    "sharded_siplca_fit",
+    "sharded_siplca2_fit",
+    "sharded_siplca3_fit",
 ]
 
 
@@ -447,4 +450,187 @@ def sharded_nmf3d_fit(
     """Fit NMF3D with the trailing spatial axis sharded over ``mesh``."""
     return _sharded_deconv_fit(
         V, W, H, mesh, 3, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-parallel EM for the shift-invariant PLCA family
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _get_sharded_siplca_fit(
+    mesh: Mesh,
+    spatial_ndim: int,
+    T: int,
+    tol: float,
+    max_iter: int,
+    update_W: bool,
+    update_H: bool,
+    update_Z: bool,
+    W_alpha_active: bool,
+    H_alpha_active: bool,
+    Z_alpha_active: bool,
+    seq_axis: str,
+    use_unfold: bool = False,
+):
+    from ..ops.solver import _plca_em_iter, _plca_marginal_sum
+
+    halo = T - 1
+    nd = spatial_ndim
+
+    def local_fit(V, W, Hp, Z, W_alpha, H_alpha, Z_alpha):
+        # V: (N, C, *sp_loc), W: (C, R, *k) + Z: (R,) replicated,
+        # Hp: (N, R, *sp_loc)
+        norm = lax.psum(jnp.sum(V), seq_axis)
+        Vn = V / norm
+
+        def recon3(hp, w, z):
+            # kernel scaled along rank, like the reference's
+            # conv(H, W.flip * Z.view(-1, 1, ...)) (plca.py:446-606)
+            zr = z.reshape((-1,) + (1,) * nd)
+            hh = left_halo(hp, halo, seq_axis)
+            if use_unfold:
+                return _unfold_halo_nd(hh, w * zr, nd)
+            return _conv_halo_nd(hh, w * zr, nd)
+
+        def h_marginal(h):
+            return lax.psum(_plca_marginal_sum(h), seq_axis)
+
+        def loss_of(state):
+            w, hp, z = state
+            WZH = recon3(hp, w, z)
+            part = beta_div(WZH * norm, Vn * norm, 1)
+            return jnp.sqrt(2.0 * lax.psum(part, seq_axis))
+
+        def one_iter(state):
+            w, hp, z = state
+            # E-step vjp: W/Z cotangents auto-psum'd over seq (replicated
+            # inputs under shard_map); H cotangent's halo frames route
+            # through the ppermute transpose inside the vjp
+            return _plca_em_iter(
+                recon3, update_W, update_H, update_Z,
+                W_alpha_active, H_alpha_active, Z_alpha_active,
+                Vn, (w, hp, z), W_alpha, H_alpha, Z_alpha,
+                h_marginal=h_marginal,
+            )
+
+        (W, Hp, Z), k, conv = _converging_loop(
+            one_iter, loss_of, (W, Hp, Z), tol, max_iter, False
+        )
+        # reference quirk: raw loop index (plca.py:304)
+        n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
+        return W, Hp, Z, n_iter, norm
+
+    sharded_spec = P(*([None] * (1 + nd)), seq_axis)
+    mapped = jax.shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(
+            sharded_spec, P(), sharded_spec, P(), P(), P(), P(),
+        ),
+        out_specs=(P(), sharded_spec, P(), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def _sharded_siplca_fit(
+    V, W, H, Z, mesh, spatial_ndim, tol, max_iter,
+    W_alpha, H_alpha, Z_alpha, update_W, update_H, update_Z, seq_axis,
+):
+    from ..ops.solver import alpha_is_active
+
+    V = jnp.asarray(V)
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    Z = jnp.asarray(Z)
+    T = W.shape[-1]
+    L_out = V.shape[-1]
+    L_in = H.shape[-1]
+    if L_in != L_out - T + 1:
+        raise ValueError("H trailing length must be L_out - T + 1")
+
+    n_dev = mesh.shape[seq_axis]
+    # identical auto-pad rules to the MU deconv solver: zero padding is an
+    # exact EM fixed point (padded H entries multiply by their posterior —
+    # 0 stays 0 — and padded V cells see only padded H), and the KL loss
+    # contribution of an all-zero cell is beta_div(0, 0, 1) = 0 exactly, so
+    # no loss offset is needed
+    chunk = max(-(-L_out // n_dev), T - 1)
+    L_pad = chunk * n_dev
+    pad_v = L_pad - L_out
+    if pad_v:
+        vpad = [(0, 0)] * (V.ndim - 1) + [(0, pad_v)]
+        V = jnp.pad(V, vpad)
+    hpad = [(0, 0)] * (H.ndim - 1) + [(0, L_pad - L_in)]
+    Hp = jnp.pad(H, hpad)
+
+    mode = _halo_unfold_mode(
+        int(H.shape[0]),
+        tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),
+        chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
+    )
+
+    fit = _get_sharded_siplca_fit(
+        mesh, int(spatial_ndim), int(T), float(tol), int(max_iter),
+        bool(update_W), bool(update_H), bool(update_Z),
+        alpha_is_active(W_alpha), alpha_is_active(H_alpha),
+        alpha_is_active(Z_alpha), seq_axis,
+        mode == "unrolled",  # EM runs under jax.vjp: no streaming form
+    )
+    spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
+    V = jax.device_put(V, spec)
+    Hp = jax.device_put(Hp, spec)
+    rep = NamedSharding(mesh, P())
+    W = jax.device_put(W, rep)
+    Z = jax.device_put(Z, rep)
+
+    a = [jnp.float32(W_alpha), jnp.float32(H_alpha), jnp.float32(Z_alpha)]
+    W_out, Hp_out, Z_out, n_iter, norm = fit(V, W, Hp, Z, *a)
+    return W_out, Hp_out[..., :L_in], Z_out, n_iter, norm
+
+
+def sharded_siplca_fit(
+    V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
+    W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
+    update_W: bool = True, update_H: bool = True, update_Z: bool = True,
+    seq_axis: str = "seq",
+):
+    """EM-fit SIPLCA with the convolution time axis sharded over ``mesh``.
+
+    ``V (N, C, L_out)``, ``W (C, R, T)``, ``H (N, R, L_out - T + 1)``,
+    ``Z (R,)`` — all probability-normalized (as the
+    :class:`~pytorch_nmf_tpu.models.plca.SIPLCA` constructor does).  One
+    halo ``ppermute`` each way per EM iteration plus the replicated-kernel
+    psums; trailing lengths auto-pad exactly.  Returns
+    ``(W, H, Z, n_iter, norm)`` matching the single-device trajectories
+    (same raw-loop-index ``n_iter`` quirk, reference plca.py:304).
+    """
+    return _sharded_siplca_fit(
+        V, W, H, Z, mesh, 1, tol, max_iter, W_alpha, H_alpha, Z_alpha,
+        update_W, update_H, update_Z, seq_axis,
+    )
+
+
+def sharded_siplca2_fit(
+    V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
+    W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
+    update_W: bool = True, update_H: bool = True, update_Z: bool = True,
+    seq_axis: str = "seq",
+):
+    """EM-fit SIPLCA2 with the trailing spatial axis sharded."""
+    return _sharded_siplca_fit(
+        V, W, H, Z, mesh, 2, tol, max_iter, W_alpha, H_alpha, Z_alpha,
+        update_W, update_H, update_Z, seq_axis,
+    )
+
+
+def sharded_siplca3_fit(
+    V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
+    W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
+    update_W: bool = True, update_H: bool = True, update_Z: bool = True,
+    seq_axis: str = "seq",
+):
+    """EM-fit SIPLCA3 with the trailing spatial axis sharded."""
+    return _sharded_siplca_fit(
+        V, W, H, Z, mesh, 3, tol, max_iter, W_alpha, H_alpha, Z_alpha,
+        update_W, update_H, update_Z, seq_axis,
     )

@@ -152,8 +152,10 @@ def test_ell_path_matches_gather_path(beta):
         os.environ.pop("PNT_SPARSE_ELL_MAX_PAD", None)
 
     assert na == nb
-    assert float(jnp.abs(a.W.data - b.W.data).max()) < 1e-5
-    assert float(jnp.abs(a.H.data - b.H.data).max()) < 1e-5
+    # 5e-5 like the densify-vs-gather oracle above: identical algebra, f32
+    # summation-order drift amplified over 15 multiplicative iterations
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
 
 
 def test_build_ell_roundtrip_and_skew_fallback():

@@ -416,3 +416,148 @@ def test_halo_stream_matches_conv_formulation(beta):
     assert float(jnp.abs(Ws - Wc).max()) < 5e-5
     assert float(jnp.abs(Hs - Hc).max()) < 5e-5
     assert bool(jnp.all(jnp.isfinite(Ws))) and bool(jnp.all(Ws >= 0))
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+def test_sharded_sparse_matches_single_device_ell(beta):
+    """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
+    updates) must reproduce the single-device ELL trajectory.  M chosen
+    non-divisible by the mesh so the row-padding path is exercised."""
+    import os
+
+    from pytorch_nmf_tpu.functional import nmf_fit
+    from pytorch_nmf_tpu.ops.sparse import sparse_from_dense
+    from pytorch_nmf_tpu.parallel import sharded_sparse_nmf_fit
+
+    rng = np.random.RandomState(23)
+    M, K, R = 109, 70, 6
+    Vd = rng.rand(M, K).astype("f")
+    V_sp = sparse_from_dense(np.where(Vd > 0.9, Vd, 0))
+    W0 = rng.rand(K, R).astype("f") + 0.1
+    H0 = rng.rand(M, R).astype("f") + 0.1
+
+    mesh = make_mesh({"data": 8})
+    Ws, Hs, ns = sharded_sparse_nmf_fit(
+        V_sp, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+    )
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    os.environ["PNT_SPARSE_ELL_MAX_PAD"] = "1e9"
+    try:
+        W1, H1, n1 = nmf_fit(V_sp, W0, H0, beta=beta, tol=0, max_iter=10)
+    finally:
+        for k in ("PNT_SPARSE_DENSIFY", "PNT_SPARSE_ELL",
+                  "PNT_SPARSE_ELL_MAX_PAD"):
+            os.environ.pop(k, None)
+
+    assert int(ns) == int(n1)
+    assert float(jnp.abs(Ws - W1).max()) < 5e-5
+    assert float(jnp.abs(Hs - H1).max()) < 5e-5
+    assert bool(jnp.all(Hs >= 0)) and bool(jnp.all(jnp.isfinite(Ws)))
+
+
+@needs_8
+def test_sharded_sparse_early_stop_and_loss():
+    """The sharded split-form cadence loss drives the same early-stop rule
+    as the single-device solver."""
+    from pytorch_nmf_tpu.ops.sparse import sparse_from_dense
+    from pytorch_nmf_tpu.parallel import sharded_sparse_nmf_fit
+
+    rng = np.random.RandomState(31)
+    M, K, R = 64, 40, 4
+    Vd = rng.rand(M, K).astype("f")
+    V_sp = sparse_from_dense(np.where(Vd > 0.8, Vd, 0))
+    W0 = rng.rand(K, R).astype("f") + 0.1
+    H0 = rng.rand(M, R).astype("f") + 0.1
+    mesh = make_mesh({"data": 8})
+
+    _, _, n_loose = sharded_sparse_nmf_fit(
+        V_sp, W0, H0, mesh, beta=2, tol=0.5, max_iter=200
+    )
+    _, _, n_full = sharded_sparse_nmf_fit(
+        V_sp, W0, H0, mesh, beta=2, tol=0, max_iter=30
+    )
+    assert int(n_loose) < 200  # converged early under a loose tolerance
+    assert int(n_full) == 30
+
+
+@needs_8
+@pytest.mark.parametrize("alphas", [(1.0, 1.0, 1.0), (1.02, 0.99, 1.01)])
+def test_halo_sharded_siplca_matches_single_device(alphas):
+    """Sequence-parallel SIPLCA EM (halo exchange through the vjp E-step,
+    psum'd marginals) must match the single-device trajectories, including
+    Dirichlet-MAP priors and the raw-loop-index n_iter quirk."""
+    from pytorch_nmf_tpu.parallel import sharded_siplca_fit
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    rng = np.random.RandomState(17)
+    N, C, L_out, R, T = 1, 10, 60, 3, 5  # 60 non-divisible by 8: auto-pad
+    V = rng.rand(N, C, L_out).astype("f")
+    m = SIPLCA(V.shape, R, T=T)
+    W0 = np.asarray(m.W.data)
+    H0 = np.asarray(m.H.data)
+    Z0 = np.asarray(m.Z.data)
+    Wa, Ha, Za = alphas
+
+    mesh = make_mesh({"seq": 8})
+    Wd, Hd, Zd, n_d, norm_d = sharded_siplca_fit(
+        V, W0, H0, Z0, mesh, tol=0, max_iter=20,
+        W_alpha=Wa, H_alpha=Ha, Z_alpha=Za,
+    )
+
+    ref = SIPLCA(W=W0, H=H0, Z=Z0)
+    n_ref, norm_ref = ref.fit(
+        V, 0, 20, W_alpha=Wa, H_alpha=Ha, Z_alpha=Za
+    )
+    assert int(n_d) == n_ref
+    assert abs(float(norm_d) - float(norm_ref)) < 1e-3
+    assert Hd.shape == H0.shape
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+    assert float(jnp.abs(Zd - ref.Z.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_sharded_siplca2_matches_single_device():
+    from pytorch_nmf_tpu.parallel import sharded_siplca2_fit
+    from pytorch_nmf_tpu.plca import SIPLCA2
+
+    rng = np.random.RandomState(19)
+    N, C, Y, X, R, ky, kx = 1, 6, 8, 32, 3, 3, 4
+    V = rng.rand(N, C, Y, X).astype("f")
+    m = SIPLCA2(V.shape, R, kernel_size=(ky, kx))
+    W0 = np.asarray(m.W.data)
+    H0 = np.asarray(m.H.data)
+    Z0 = np.asarray(m.Z.data)
+
+    mesh = make_mesh({"seq": 8})
+    Wd, Hd, Zd, n_d, _ = sharded_siplca2_fit(
+        V, W0, H0, Z0, mesh, tol=0, max_iter=15
+    )
+    ref = SIPLCA2(W=W0, H=H0, Z=Z0)
+    n_ref, _ = ref.fit(V, 0, 15)
+    assert int(n_d) == n_ref
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hd - ref.H.data).max()) < 2e-5
+    assert float(jnp.abs(Zd - ref.Z.data).max()) < 2e-5
+
+
+@needs_8
+def test_halo_sharded_siplca_early_stop():
+    from pytorch_nmf_tpu.parallel import sharded_siplca_fit
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    rng = np.random.RandomState(29)
+    N, C, L_out, R, T = 1, 8, 64, 2, 5
+    V = rng.rand(N, C, L_out).astype("f")
+    m = SIPLCA(V.shape, R, T=T)
+    W0, H0, Z0 = (np.asarray(p.data) for p in (m.W, m.H, m.Z))
+    mesh = make_mesh({"seq": 8})
+    _, _, _, n_d, _ = sharded_siplca_fit(
+        V, W0, H0, Z0, mesh, tol=1e-3, max_iter=200
+    )
+    ref = SIPLCA(W=W0, H=H0, Z=Z0)
+    n_ref, _ = ref.fit(V, 1e-3, 200)
+    assert int(n_d) == n_ref
