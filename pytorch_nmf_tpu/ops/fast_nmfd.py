@@ -34,7 +34,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import eps
-from .mu import kl_pos_H, kl_pos_W, mu_cotangents, mu_multiplier
+from .mu import (
+    kl_pos_H,
+    kl_pos_W,
+    mu_cotangents,
+    mu_multiplier,
+    vma_zeros as _zeros_like_vma,
+)
 
 __all__ = [
     "nmfd_unfold_updater_factory",
@@ -285,17 +291,6 @@ def _patch_chunk_fn(H, kernel, Tc: int, pad=None):
         return jnp.stack(cols, axis=2).reshape(N, Lp, Tc * R)
 
     return patch_chunk
-
-
-def _zeros_like_vma(shape, varying_axis):
-    """Zero scan carry, tagged as varying over ``varying_axis`` when the
-    caller runs inside ``shard_map`` (the body accumulates device-varying
-    activations, and the replication checker requires carry-in/out types to
-    agree)."""
-    z = jnp.zeros(shape, jnp.float32)
-    if varying_axis is not None:
-        z = lax.pcast(z, varying_axis, to="varying")
-    return z
 
 
 def _stream_recon(W3, H, kernel, pad=None, varying_axis=None):

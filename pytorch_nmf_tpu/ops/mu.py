@@ -33,6 +33,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import eps
 
@@ -79,6 +80,17 @@ def mu_cotangents(V, WH, beta: float, kl_pos_ones: bool = False):
         # one pow, shared: WH_eps^(β-1) = WH_eps^(β-2) · WH_eps
         p2 = WH_eps ** (beta - 2)
         return p2 * V, p2 * WH_eps
+
+
+def vma_zeros(shape, varying_axis=None):
+    """Zero scan carry, tagged as varying over ``varying_axis`` when the
+    caller runs inside ``shard_map`` — the scan bodies accumulate
+    device-varying data and the replication checker requires carry-in/out
+    types to agree."""
+    z = jnp.zeros(shape, jnp.float32)
+    if varying_axis is not None:
+        z = lax.pcast(z, varying_axis, to="varying")
+    return z
 
 
 def mu_multiplier(neg, pos, p, gamma: float, l1_reg: float, l2_reg: float):

@@ -684,7 +684,7 @@ def _plca_em_iter(
     recon3, update_W, update_H, update_Z,
     W_alpha_active, H_alpha_active, Z_alpha_active,
     Vn, state, W_alpha, H_alpha, Z_alpha,
-    h_marginal=None,
+    h_marginal=None, h_mask=None,
 ):
     """One EM iteration: a single VJP E-step (cotangent ``Vn/(WZH+eps)``,
     reference plca.py:252-253) + closed-form M-step renormalizations with
@@ -693,7 +693,11 @@ def _plca_em_iter(
     ``h_marginal`` psums the H marginal over the sharded time axis (the W/Z
     cotangents arrive already globally summed by shard_map's replication
     tracking; the H cotangent's halo frames route through the ppermute
-    transpose inside the vjp)."""
+    transpose inside the vjp) and ``h_mask`` re-zeroes auto-padded H
+    entries after the Dirichlet-MAP adjustment — zero entries are EM fixed
+    points under the multiplicative update, but ``h + (alpha - 1)`` (and
+    the eps threshold) would inject mass into the padding and corrupt the
+    psum'd marginal."""
     if h_marginal is None:
         h_marginal = _plca_marginal_sum
     w, h, z = state
@@ -729,6 +733,8 @@ def _plca_em_iter(
         h = h / H_divider
         if H_alpha_active:
             h = _threshold_eps(h + (H_alpha - 1.0))
+            if h_mask is not None:
+                h = h * h_mask
             h = h / h_marginal(h)
 
     return w, h, z

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import eps
+from .mu import vma_zeros as _vma_zeros
 
 __all__ = [
     "SparseCOO",
@@ -198,6 +199,29 @@ class SparseELL:
         )
 
 
+def _host_coo_sorted(V: SparseCOO):
+    """Host copies of a 2-D COO's ``(ii, jj, vals)``, row-major sorted.
+
+    The ELL builders' in-segment position formula requires
+    segment-contiguous ids; :func:`sparse_coo_tensor` and
+    :func:`sparse_from_dense` already produce sorted (coalesced) data, but
+    the raw :class:`SparseCOO` constructor accepts any order — those get
+    one stable O(nnz log nnz) sort here rather than a silently corrupted
+    layout."""
+    import numpy as np
+
+    if V._host is not None:
+        idx_np, vals = V._host
+    else:  # one bulk fetch instead of three per-array syncs
+        idx_np, vals = jax.device_get((V.indices, V.values))
+    ii, jj = idx_np[0], idx_np[1]
+    flat = ii.astype(np.int64) * V.shape[1] + jj
+    if np.any(np.diff(flat) < 0):
+        order = np.argsort(flat, kind="stable")
+        ii, jj, vals = ii[order], jj[order], vals[order]
+    return ii, jj, vals
+
+
 def _ell_side(seg_ids, other_ids, v, n_seg):
     """Pack one sorted-by-segment COO side into (n_seg, Lmax) padded form."""
     import numpy as np
@@ -235,10 +259,13 @@ def maybe_ell(V: SparseCOO):
 def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
     """Build the dual ELL layout, or ``None`` when the degree distribution
     is too skewed for padding to pay (padded size > ``max_pad_factor`` x
-    nnz on either side, override ``PNT_SPARSE_ELL_MAX_PAD``).
+    nnz on either side, override ``PNT_SPARSE_ELL_MAX_PAD``) or the padded
+    layout's device bytes exceed the budget
+    (``PNT_SPARSE_ELL_MAX_BYTES``, default 4 GiB — both dual sides
+    together, int32 ids + f32 values, on top of the retained COO).
 
-    Host-side one-time cost at fit entry, O(nnz); indices arrive already
-    row-major sorted (coalesced), the column side is one stable argsort.
+    Host-side one-time cost at fit entry, O(nnz); unsorted indices get one
+    stable sort, coalesced data passes straight through.
     """
     import os
 
@@ -249,18 +276,19 @@ def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
     max_pad_factor = float(
         os.environ.get("PNT_SPARSE_ELL_MAX_PAD", max_pad_factor)
     )
+    max_bytes = int(
+        os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3)
+    )
     M, K = V.shape
-    if V._host is not None:
-        idx_np, vals = V._host
-    else:  # one bulk fetch instead of three per-array syncs
-        idx_np, vals = jax.device_get((V.indices, V.values))
-    ii, jj = idx_np[0], idx_np[1]
+    ii, jj, vals = _host_coo_sorted(V)
     nnz = max(len(vals), 1)
     row_counts = np.bincount(ii, minlength=M)
     col_counts = np.bincount(jj, minlength=K)
     Lr = max(int(row_counts.max()) if row_counts.size else 0, 1)
     Lc = max(int(col_counts.max()) if col_counts.size else 0, 1)
     if M * Lr > max_pad_factor * nnz or K * Lc > max_pad_factor * nnz:
+        return None
+    if 8 * (M * Lr + K * Lc) > max_bytes:
         return None
     row_idx, row_val = _ell_side(ii, jj, vals, M)
     order = np.argsort(jj, kind="stable")
@@ -332,16 +360,6 @@ def ell_neg_grad(idx_pad, val_pad, self_f, other_f, beta: float):
         ),
     )
     return gs.reshape(nb * block, R)[:n_seg]
-
-
-def _vma_zeros(shape, varying_axis):
-    """Zero scan carry, tagged varying over ``varying_axis`` when running
-    inside ``shard_map`` (the bodies accumulate device-varying data and the
-    replication checker requires carry-in/out types to agree)."""
-    z = jnp.zeros(shape, jnp.float32)
-    if varying_axis is not None:
-        z = lax.pcast(z, varying_axis, to="varying")
-    return z
 
 
 def _pos_grads_generic(Hb_stream, W, beta: float, want_H: bool,

@@ -255,12 +255,11 @@ def _get_sharded_deconv_fit(
             return w3, hp
 
         W3 = _w3_from_w(W)
-        kernel_static = tuple(int(k) for k in W.shape[2:])
         (W3, Hp), k, converged = _converging_loop(
             one_iter, loss_of, (W3, Hp), tol, max_iter, False
         )
         n_iter = jnp.where(converged, k * 10, max_iter)
-        return _w_from_w3(W3, kernel_static, R), Hp, n_iter
+        return _w_from_w3(W3, kernel, R), Hp, n_iter
 
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
@@ -471,6 +470,7 @@ def _get_sharded_siplca_fit(
     Z_alpha_active: bool,
     seq_axis: str,
     use_unfold: bool = False,
+    n_pad_h: int = 0,
 ):
     from ..ops.solver import _plca_em_iter, _plca_marginal_sum
 
@@ -495,6 +495,17 @@ def _get_sharded_siplca_fit(
         def h_marginal(h):
             return lax.psum(_plca_marginal_sum(h), seq_axis)
 
+        # auto-padded trailing H entries must stay exactly zero through the
+        # Dirichlet-MAP adjustment (see _plca_em_iter's h_mask)
+        h_mask = None
+        if n_pad_h and H_alpha_active:
+            chunk = Hp.shape[-1]
+            gpos = lax.axis_index(seq_axis) * chunk + jnp.arange(chunk)
+            real = mesh.shape[seq_axis] * chunk - n_pad_h
+            h_mask = (gpos < real).astype(Hp.dtype).reshape(
+                (1, 1) + (1,) * (nd - 1) + (chunk,)
+            )
+
         def loss_of(state):
             w, hp, z = state
             WZH = recon3(hp, w, z)
@@ -510,7 +521,7 @@ def _get_sharded_siplca_fit(
                 recon3, update_W, update_H, update_Z,
                 W_alpha_active, H_alpha_active, Z_alpha_active,
                 Vn, (w, hp, z), W_alpha, H_alpha, Z_alpha,
-                h_marginal=h_marginal,
+                h_marginal=h_marginal, h_mask=h_mask,
             )
 
         (W, Hp, Z), k, conv = _converging_loop(
@@ -575,6 +586,7 @@ def _sharded_siplca_fit(
         alpha_is_active(W_alpha), alpha_is_active(H_alpha),
         alpha_is_active(Z_alpha), seq_axis,
         mode == "unrolled",  # EM runs under jax.vjp: no streaming form
+        int(L_pad - L_in),
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

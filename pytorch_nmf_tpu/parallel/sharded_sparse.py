@@ -64,13 +64,11 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
 
     M, K = V.shape
     M_loc = -(-M // n_dev)
-    if V._host is not None:
-        idx_np, vals = V._host
-    else:
-        idx_np, vals = jax.device_get((V.indices, V.values))
-    ii, jj = idx_np[0], idx_np[1]
+    from ..ops.sparse import _host_coo_sorted
 
-    # coalesced COO is row-major sorted -> shard boundaries by searchsorted
+    ii, jj, vals = _host_coo_sorted(V)
+
+    # row-major sorted (enforced above) -> shard boundaries by searchsorted
     bounds = np.searchsorted(ii, np.arange(1, n_dev + 1) * M_loc)
     starts = np.concatenate([[0], bounds[:-1]])
 

@@ -190,6 +190,29 @@ def test_build_ell_roundtrip_and_skew_fallback():
     assert build_ell(sparse_from_dense(skew)) is None
 
 
+def test_build_ell_sorts_unsorted_coo():
+    """A raw SparseCOO built from UNSORTED (but valid) indices must yield
+    the same ELL layout as the coalesced form — the builder sorts."""
+    from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell
+
+    rng = np.random.RandomState(3)
+    V_sparse, V_dense = _make_pair(shape=(40, 32))
+    idx = np.asarray(V_sparse.indices)
+    vals = np.asarray(V_sparse.values)
+    perm = rng.permutation(len(vals))
+    shuffled = SparseCOO(idx[:, perm], vals[perm], V_sparse.shape)
+
+    ell = build_ell(shuffled, max_pad_factor=1e9)
+    assert ell is not None
+    M, K = V_sparse.shape
+    back = np.zeros((M, K), "f")
+    ridx = np.asarray(ell.row_idx)
+    rval = np.asarray(ell.row_val)
+    for i in range(M):
+        np.add.at(back[i], ridx[i][rval[i] > 0], rval[i][rval[i] > 0])
+    assert np.abs(back - V_dense).max() < 1e-7
+
+
 def test_ell_functional_api():
     """functional.nmf_fit routes through the ELL path when forced and
     matches the model-layer result."""

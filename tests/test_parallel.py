@@ -484,7 +484,13 @@ def test_sharded_sparse_early_stop_and_loss():
 
 
 @needs_8
-@pytest.mark.parametrize("alphas", [(1.0, 1.0, 1.0), (1.02, 0.99, 1.01)])
+@pytest.mark.parametrize(
+    "alphas",
+    # H_alpha > 1 specifically exercises the padded-H Dirichlet-MAP mask:
+    # without it, h + (alpha - 1) injects mass into the auto-padding every
+    # iteration and the psum'd marginals drift far from single-device
+    [(1.0, 1.0, 1.0), (1.02, 0.99, 1.01), (1.0, 1.05, 1.0)],
+)
 def test_halo_sharded_siplca_matches_single_device(alphas):
     """Sequence-parallel SIPLCA EM (halo exchange through the vjp E-step,
     psum'd marginals) must match the single-device trajectories, including
