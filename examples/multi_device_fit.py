@@ -74,6 +74,37 @@ def main():
         float(jnp.abs(m.W.data - ref.W.data).max()),
     )
 
+    # 4. distributed SPARSE target: rows sharded, dual-ELL per shard
+    from pytorch_nmf_tpu.parallel import sharded_sparse_nmf_fit
+
+    dmesh = make_mesh({"data": n})
+    V_sp = pnt.sparse_from_dense(np.where(V > 0.9, V, 0))
+    Wsp, Hsp, n_sp = sharded_sparse_nmf_fit(
+        V_sp, W0, H0, dmesh, beta=1, tol=1e-4, max_iter=200
+    )
+    print(f"sharded sparse fit: {int(n_sp)} iterations")
+
+    # 5. sequence-parallel deconvolution (halo exchange) — MU and EM
+    from pytorch_nmf_tpu.parallel import sharded_nmfd_fit, sharded_siplca_fit
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    seq_mesh = make_mesh({"seq": n})
+    N, C, L_out, T = 1, 32, 16 * n, 6
+    Vc = rng.rand(N, C, L_out).astype("f")
+    Wc = rng.rand(C, R, T).astype("f") + 0.1
+    Hc = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    _, _, n_halo = sharded_nmfd_fit(
+        Vc, Wc, Hc, seq_mesh, beta=1, tol=1e-4, max_iter=200
+    )
+    print(f"halo NMFD fit: {int(n_halo)} iterations")
+
+    sip = SIPLCA(Vc.shape, R, T=T)
+    _, _, _, n_em, _ = sharded_siplca_fit(
+        Vc, np.asarray(sip.W.data), np.asarray(sip.H.data),
+        np.asarray(sip.Z.data), seq_mesh, tol=1e-4, max_iter=200,
+    )
+    print(f"halo SIPLCA EM: {int(n_em) + 1} iterations")
+
 
 if __name__ == "__main__":
     main()

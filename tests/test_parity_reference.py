@@ -323,6 +323,39 @@ def test_sparse_target_fit_parity(beta):
     assert _maxdiff(tm.H, jm.H.data) < 2e-5
 
 
+@pytest.mark.parametrize("beta", [0.5, 1, 2])
+def test_sparse_target_ell_fit_parity(beta):
+    """The dual-ELL gather-regime fast path directly against the torch
+    reference's sparse trajectories (not just against our own gather
+    path)."""
+    import os
+
+    V = RNG.rand(110, 80).astype("f")
+    V[V < 0.88] = 0.0
+    W0 = RNG.rand(80, 5).astype("f") + 0.1
+    H0 = RNG.rand(110, 5).astype("f") + 0.1
+
+    idx = np.nonzero(V)
+    tV = torch.sparse_coo_tensor(
+        torch.tensor(np.stack(idx)), torch.tensor(V[idx]), V.shape
+    )
+    tm = torchnmf.nmf.NMF(W=torch.tensor(W0), H=torch.tensor(H0))
+    tm.fit(tV, beta, 0, 5)
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    os.environ["PNT_SPARSE_ELL_MAX_PAD"] = "1e9"
+    try:
+        jm = NMF(W=W0, H=H0)
+        jm.fit(pnt.sparse_from_dense(V), beta, 0, 5)
+    finally:
+        for k in ("PNT_SPARSE_DENSIFY", "PNT_SPARSE_ELL",
+                  "PNT_SPARSE_ELL_MAX_PAD"):
+            os.environ.pop(k, None)
+    assert _maxdiff(tm.W, jm.W.data) < 2e-5
+    assert _maxdiff(tm.H, jm.H.data) < 2e-5
+
+
 def test_nmfd_hoyer_sparse_fit_parity():
     """sparse_fit on the deconvolutional model (dense target) vs torch."""
     V = RNG.rand(1, 12, 30).astype("f")
