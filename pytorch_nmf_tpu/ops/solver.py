@@ -44,6 +44,7 @@ from .mu import (
 from .projection import hoyer_l1_target, proj_columns, proj_columns_explicit
 from .sparse import (
     SparseCOO,
+    coo_rem_neg_grad,
     ell_neg_grad,
     get_V_norm,
     nmf_ell_pos_grad,
@@ -443,17 +444,27 @@ def get_sparse_fit(
                 return w, h
             if ell:
                 if update_W:
+                    neg_raw = ell_neg_grad(V.col_idx, V.col_val, w, h, beta)
+                    if V.col_rem[2].shape[0]:  # hybrid: over-cap spill
+                        neg_raw = neg_raw + coo_rem_neg_grad(
+                            V.col_rem, w, h, beta
+                        )
                     w = ell_update(
                         w,
-                        ell_neg_grad(V.col_idx, V.col_val, w, h, beta),
+                        neg_raw,
                         kl_pos_W(h) if beta == 1 else None,
                         None if beta == 1
                         else nmf_ell_pos_grad(w, h, beta, want_H=False),
                     )
                 if update_H:
+                    neg_raw = ell_neg_grad(V.row_idx, V.row_val, h, w, beta)
+                    if V.row_rem[2].shape[0]:
+                        neg_raw = neg_raw + coo_rem_neg_grad(
+                            V.row_rem, h, w, beta
+                        )
                     h = ell_update(
                         h,
-                        ell_neg_grad(V.row_idx, V.row_val, h, w, beta),
+                        neg_raw,
                         kl_pos_H(w) if beta == 1 else None,
                         None if beta == 1
                         else nmf_ell_pos_grad(w, h, beta, want_H=True),

@@ -153,31 +153,46 @@ def sparse_from_dense(V, threshold: float = 0.0) -> SparseCOO:
 
 @jax.tree_util.register_pytree_node_class
 class SparseELL:
-    """Dual padded-row (ELL) layout of a 2-D :class:`SparseCOO` target.
+    """Dual padded-row (ELL) layout of a 2-D :class:`SparseCOO` target,
+    with COO remainders for degree-skewed data (classic ELL+COO hybrid).
 
     ``row_idx``/``row_val`` hold, for every row ``i`` of V, the column ids
-    and values of its nonzeros padded to the max row degree ``Lr`` (pad
-    entries: id 0, value 0); ``col_idx``/``col_val`` are the transpose-side
-    equivalent over columns.  Both copies exist so *each* factor update
-    reads its numerator contributions contiguously — every nnz access
-    becomes a dense reduction over the padded axis plus one row gather of
-    the *other* factor, and the random scatters that dominate the plain
-    COO gather path on TPU disappear entirely (they were the transpose of
-    the gathers under ``jax.grad``).
+    and values of its nonzeros padded to the (possibly capped) row width
+    ``Lr`` (pad entries: id 0, value 0); ``col_idx``/``col_val`` are the
+    transpose-side equivalent over columns.  Both copies exist so *each*
+    factor update reads its numerator contributions contiguously — every
+    nnz access becomes a dense reduction over the padded axis plus one row
+    gather of the *other* factor, and the random scatters that dominate
+    the plain COO gather path on TPU disappear entirely (they were the
+    transpose of the gathers under ``jax.grad``).
+
+    When the degree distribution is skewed, padding every segment to the
+    max degree would explode memory; the width is capped and the entries
+    beyond it per segment spill into per-side COO remainders
+    (``row_rem``/``col_rem``: ``(seg_ids, other_ids, vals)`` triples,
+    empty for ~uniform sparsity) handled by the gather-scatter
+    formulation — tiny by construction, since only the over-cap tail
+    spills.
 
     Carries the originating :class:`SparseCOO` so the every-10-iterations
     cadence loss keeps the exact split form the gather path uses
     (reference nmf.py:358,398).
     """
 
-    __slots__ = ("coo", "row_idx", "row_val", "col_idx", "col_val")
+    __slots__ = (
+        "coo", "row_idx", "row_val", "col_idx", "col_val",
+        "row_rem", "col_rem",
+    )
 
-    def __init__(self, coo, row_idx, row_val, col_idx, col_val):
+    def __init__(self, coo, row_idx, row_val, col_idx, col_val,
+                 row_rem, col_rem):
         self.coo = coo
         self.row_idx = row_idx
         self.row_val = row_val
         self.col_idx = col_idx
         self.col_val = col_val
+        self.row_rem = row_rem
+        self.col_rem = col_rem
 
     @property
     def shape(self):
@@ -185,7 +200,8 @@ class SparseELL:
 
     def tree_flatten(self):
         return (
-            self.coo, self.row_idx, self.row_val, self.col_idx, self.col_val
+            self.coo, self.row_idx, self.row_val, self.col_idx,
+            self.col_val, self.row_rem, self.col_rem,
         ), None
 
     @classmethod
@@ -195,7 +211,8 @@ class SparseELL:
     def __repr__(self):
         return (
             f"SparseELL(shape={self.shape}, nnz={self.coo.nnz}, "
-            f"Lr={self.row_idx.shape[1]}, Lc={self.col_idx.shape[1]})"
+            f"Lr={self.row_idx.shape[1]}, Lc={self.col_idx.shape[1]}, "
+            f"rem=({self.row_rem[2].shape[0]}, {self.col_rem[2].shape[0]}))"
         )
 
 
@@ -222,8 +239,14 @@ def _host_coo_sorted(V: SparseCOO):
     return ii, jj, vals
 
 
-def _ell_side(seg_ids, other_ids, v, n_seg):
-    """Pack one sorted-by-segment COO side into (n_seg, Lmax) padded form."""
+def _ell_side(seg_ids, other_ids, v, n_seg, cap=None):
+    """Pack one sorted-by-segment COO side into ``(n_seg, L)`` padded form.
+
+    ``cap`` bounds the padded width: entries at in-segment positions >=
+    ``cap`` spill into a COO remainder ``(seg_ids, other_ids, vals)``
+    (empty arrays when nothing spills).  Returns
+    ``(idx_pad, val_pad, remainder)``.
+    """
     import numpy as np
 
     counts = np.bincount(seg_ids, minlength=n_seg)
@@ -231,11 +254,28 @@ def _ell_side(seg_ids, other_ids, v, n_seg):
     pos = np.arange(len(seg_ids)) - np.repeat(
         np.cumsum(counts) - counts, counts
     )
-    idx_pad = np.zeros((n_seg, Lmax), np.int32)
-    val_pad = np.zeros((n_seg, Lmax), np.float32)
+    if cap is not None and Lmax > cap:
+        L = int(cap)
+        spill = pos >= L
+        rem = (
+            seg_ids[spill].astype(np.int32),
+            other_ids[spill].astype(np.int32),
+            v[spill].astype(np.float32),
+        )
+        seg_ids, other_ids, v, pos = (
+            seg_ids[~spill], other_ids[~spill], v[~spill], pos[~spill]
+        )
+    else:
+        L = Lmax
+        rem = (
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.float32),
+        )
+    idx_pad = np.zeros((n_seg, L), np.int32)
+    val_pad = np.zeros((n_seg, L), np.float32)
     idx_pad[seg_ids, pos] = other_ids
     val_pad[seg_ids, pos] = v
-    return idx_pad, val_pad
+    return idx_pad, val_pad, rem
 
 
 def maybe_ell(V: SparseCOO):
@@ -245,8 +285,8 @@ def maybe_ell(V: SparseCOO):
     1.5% over beta in {1, 1.5, 2}), else ``None``.
 
     Env override ``PNT_SPARSE_ELL`` (0 forces the plain gather path, 1
-    forces a build attempt); skewed degree distributions where padding
-    exceeds the :func:`build_ell` budget fall back to ``None``.
+    forces a build attempt); degree-skewed data builds the hybrid ELL+COO
+    split, and only a blown device-byte budget falls back to ``None``.
     """
     import os
 
@@ -257,12 +297,15 @@ def maybe_ell(V: SparseCOO):
 
 
 def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
-    """Build the dual ELL layout, or ``None`` when the degree distribution
-    is too skewed for padding to pay (padded size > ``max_pad_factor`` x
-    nnz on either side, override ``PNT_SPARSE_ELL_MAX_PAD``) or the padded
-    layout's device bytes exceed the budget
-    (``PNT_SPARSE_ELL_MAX_BYTES``, default 4 GiB — both dual sides
-    together, int32 ids + f32 values, on top of the retained COO).
+    """Build the dual ELL(+COO) layout, or ``None`` when the padded
+    layout's device bytes exceed the budget (``PNT_SPARSE_ELL_MAX_BYTES``,
+    default 4 GiB — both dual sides together, int32 ids + f32 values, on
+    top of the retained COO).
+
+    The padded width per side is capped at ``max_pad_factor`` x the mean
+    degree (override ``PNT_SPARSE_ELL_MAX_PAD``); entries beyond the cap
+    in a segment spill into per-side COO remainders, so degree-skewed
+    data takes the hybrid split rather than refusing to build.
 
     Host-side one-time cost at fit entry, O(nnz); unsorted indices get one
     stable sort, coalesced data passes straight through.
@@ -282,23 +325,31 @@ def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
     M, K = V.shape
     ii, jj, vals = _host_coo_sorted(V)
     nnz = max(len(vals), 1)
-    row_counts = np.bincount(ii, minlength=M)
-    col_counts = np.bincount(jj, minlength=K)
-    Lr = max(int(row_counts.max()) if row_counts.size else 0, 1)
-    Lc = max(int(col_counts.max()) if col_counts.size else 0, 1)
-    if M * Lr > max_pad_factor * nnz or K * Lc > max_pad_factor * nnz:
-        return None
+    cap_r = max(int(np.ceil(max_pad_factor * nnz / M)), 1)
+    cap_c = max(int(np.ceil(max_pad_factor * nnz / K)), 1)
+    Lr = min(
+        max(int(np.bincount(ii, minlength=M).max()) if len(ii) else 0, 1),
+        cap_r,
+    )
+    Lc = min(
+        max(int(np.bincount(jj, minlength=K).max()) if len(jj) else 0, 1),
+        cap_c,
+    )
     if 8 * (M * Lr + K * Lc) > max_bytes:
         return None
-    row_idx, row_val = _ell_side(ii, jj, vals, M)
+    row_idx, row_val, row_rem = _ell_side(ii, jj, vals, M, cap_r)
     order = np.argsort(jj, kind="stable")
-    col_idx, col_val = _ell_side(jj[order], ii[order], vals[order], K)
+    col_idx, col_val, col_rem = _ell_side(
+        jj[order], ii[order], vals[order], K, cap_c
+    )
     return SparseELL(
         V,
         jnp.asarray(row_idx),
         jnp.asarray(row_val),
         jnp.asarray(col_idx),
         jnp.asarray(col_val),
+        tuple(jnp.asarray(r) for r in row_rem),
+        tuple(jnp.asarray(r) for r in col_rem),
     )
 
 
@@ -512,6 +563,45 @@ def nmf_ell_pos_scalar(W, H, beta: float, n_real=None, varying_axis=None):
         (Hp.reshape(nb, block, R), valid),
     )
     return out / beta
+
+
+def coo_rem_neg_grad(rem, self_f, other_f, beta: float):
+    """Neg-gradient contribution of an ELL spill remainder (the over-cap
+    tail of a skewed degree distribution) via the gather-scatter
+    formulation — tiny by construction, so the scatter cost is negligible.
+    Returns a dense ``self_f``-shaped array to add to the ELL-side
+    gradient BEFORE the relu/eps clamps."""
+    seg_ids, oth_ids, vals = rem
+    oth = other_f[oth_ids]
+    wh = jnp.einsum(
+        "nr,nr->n", self_f[seg_ids], oth,
+        preferred_element_type=jnp.float32,
+    )
+    if beta == 2:
+        coef = vals
+    elif beta == 1:
+        coef = vals / (wh + eps)
+    else:
+        coef = vals * (wh + eps) ** (beta - 2)
+    z = jnp.zeros(self_f.shape, jnp.float32)
+    return z.at[seg_ids].add(coef[:, None] * oth)
+
+
+def coo_rem_neg_scalar(rem, self_f, other_f, beta: float):
+    """Neg loss-scalar contribution of an ELL spill remainder (zero-valued
+    padding entries contribute nothing for every admitted beta)."""
+    seg_ids, oth_ids, vals = rem
+    wh = jnp.einsum(
+        "nr,nr->n", self_f[seg_ids], other_f[oth_ids],
+        preferred_element_type=jnp.float32,
+    )
+    if beta == 2:
+        term = wh
+    elif beta == 1:
+        term = jnp.log(wh + eps)
+    else:
+        term = (wh + eps) ** (beta - 1) / (beta - 1)
+    return vals @ term
 
 
 def should_densify(V: SparseCOO) -> bool:

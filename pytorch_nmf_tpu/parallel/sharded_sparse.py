@@ -42,6 +42,8 @@ from ..ops.solver import _converging_loop
 from ..ops.sparse import (
     SparseCOO,
     _ell_side,
+    coo_rem_neg_grad,
+    coo_rem_neg_scalar,
     ell_neg_grad,
     ell_neg_scalar,
     get_V_norm,
@@ -72,17 +74,28 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
     bounds = np.searchsorted(ii, np.arange(1, n_dev + 1) * M_loc)
     starts = np.concatenate([[0], bounds[:-1]])
 
+    import os
+
+    max_pad = float(os.environ.get("PNT_SPARSE_ELL_MAX_PAD", 4.0))
     row_sides, col_sides = [], []
+    row_rems, col_rems = [], []
     for d in range(n_dev):
         s, e = int(starts[d]), int(bounds[d])
         ii_loc = (ii[s:e] - d * M_loc).astype(np.int32)
         jj_d = jj[s:e]
         v_d = vals[s:e]
-        row_sides.append(_ell_side(ii_loc, jj_d, v_d, M_loc))
+        nnz_d = max(e - s, 1)
+        cap_r = max(int(np.ceil(max_pad * nnz_d / M_loc)), 1)
+        cap_c = max(int(np.ceil(max_pad * nnz_d / K)), 1)
+        ri, rv, rrem = _ell_side(ii_loc, jj_d, v_d, M_loc, cap_r)
+        row_sides.append((ri, rv))
+        row_rems.append(rrem)
         order = np.argsort(jj_d, kind="stable")
-        col_sides.append(
-            _ell_side(jj_d[order], ii_loc[order], v_d[order], K)
+        ci, cv, crem = _ell_side(
+            jj_d[order], ii_loc[order], v_d[order], K, cap_c
         )
+        col_sides.append((ci, cv))
+        col_rems.append(crem)
 
     def _stack(sides):
         Lmax = max(s[0].shape[1] for s in sides)
@@ -94,10 +107,26 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
         )
         return idx, val
 
+    def _stack_rems(rems):
+        # (seg, oth, val) triples padded to the cross-shard max length with
+        # zero-valued entries (which contribute nothing to any beta term),
+        # flattened to (n_dev * nr_max,) so they shard over the data axis
+        nr_max = max(r[2].shape[0] for r in rems)
+        out = []
+        for comp in range(3):
+            out.append(np.concatenate([
+                np.pad(r[comp], (0, nr_max - r[comp].shape[0]))
+                for r in rems
+            ]))
+        return tuple(out)
+
     row_idx, row_val = _stack(row_sides)
     col_idx, col_val = _stack(col_sides)
+    row_rem = _stack_rems(row_rems)
+    col_rem = _stack_rems(col_rems)
     n_real = np.clip(M - np.arange(n_dev) * M_loc, 0, M_loc).astype(np.int32)
-    return row_idx, row_val, col_idx, col_val, n_real, M_loc
+    return (row_idx, row_val, col_idx, col_val, row_rem, col_rem,
+            n_real, M_loc)
 
 
 @lru_cache(maxsize=None)
@@ -112,8 +141,11 @@ def _get_sharded_sparse_fit(
 ):
     gamma = gamma_from_beta(beta)
 
-    def local_fit(row_idx, row_val, col_idx, col_val, n_real, V_norm, W, Hp):
+    def local_fit(row_idx, row_val, col_idx, col_val,
+                  row_rem, col_rem, n_real, V_norm, W, Hp):
         nr = n_real[0]
+        has_row_rem = bool(row_rem[2].shape[0])
+        has_col_rem = bool(col_rem[2].shape[0])
 
         def loss_of(state):
             w, h = state
@@ -121,6 +153,8 @@ def _get_sharded_sparse_fit(
             neg_l = ell_neg_scalar(
                 row_idx, row_val, h, w, beta, data_axis
             )
+            if has_row_rem:
+                neg_l = neg_l + coo_rem_neg_scalar(row_rem, h, w, beta)
             total = V_norm + lax.psum(pos_l - neg_l, data_axis)
             return jnp.sqrt(2.0 * total)
 
@@ -128,9 +162,10 @@ def _get_sharded_sparse_fit(
             w, h = state
 
             # ---- W update (old h): psum the per-shard col-side partials
-            neg = jax.nn.relu(lax.psum(
-                ell_neg_grad(col_idx, col_val, w, h, beta), data_axis
-            )) + eps
+            neg_raw = ell_neg_grad(col_idx, col_val, w, h, beta)
+            if has_col_rem:  # hybrid: over-cap spill of skewed columns
+                neg_raw = neg_raw + coo_rem_neg_grad(col_rem, w, h, beta)
+            neg = jax.nn.relu(lax.psum(neg_raw, data_axis)) + eps
             if beta == 1:
                 pos = lax.psum(
                     jnp.sum(h, axis=0, keepdims=True), data_axis
@@ -154,9 +189,10 @@ def _get_sharded_sparse_fit(
             w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
             # ---- H update (new w): fully shard-local
-            neg = jax.nn.relu(
-                ell_neg_grad(row_idx, row_val, h, w, beta)
-            ) + eps
+            neg_raw = ell_neg_grad(row_idx, row_val, h, w, beta)
+            if has_row_rem:
+                neg_raw = neg_raw + coo_rem_neg_grad(row_rem, h, w, beta)
+            neg = jax.nn.relu(neg_raw) + eps
             if beta == 1:
                 pos = jnp.sum(w, axis=0, keepdims=True)
             else:
@@ -179,6 +215,8 @@ def _get_sharded_sparse_fit(
         in_specs=(
             row_spec, row_spec,       # row-ELL (n_dev·M_loc, Lr)
             row_spec, row_spec,       # col-ELL (n_dev·K, Lc)
+            (P(data_axis),) * 3,      # row remainder (seg, oth, val)
+            (P(data_axis),) * 3,      # col remainder
             P(data_axis),             # n_real (n_dev,)
             P(),                      # V_norm scalar
             P(),                      # W replicated
@@ -212,9 +250,8 @@ def sharded_sparse_nmf_fit(
     M, K = V.shape
     n_dev = mesh.shape[data_axis]
 
-    row_idx, row_val, col_idx, col_val, n_real, M_loc = _build_sharded_ell(
-        V, n_dev
-    )
+    (row_idx, row_val, col_idx, col_val, row_rem, col_rem, n_real,
+     M_loc) = _build_sharded_ell(V, n_dev)
     Hp = jnp.pad(H, ((0, n_dev * M_loc - M), (0, 0)))
     V_norm = get_V_norm(V, float(beta))
 
@@ -224,6 +261,16 @@ def sharded_sparse_nmf_fit(
         jax.device_put(jnp.asarray(row_val), row_spec),
         jax.device_put(jnp.asarray(col_idx), row_spec),
         jax.device_put(jnp.asarray(col_val), row_spec),
+        tuple(
+            jax.device_put(
+                jnp.asarray(r), NamedSharding(mesh, P(data_axis))
+            ) for r in row_rem
+        ),
+        tuple(
+            jax.device_put(
+                jnp.asarray(r), NamedSharding(mesh, P(data_axis))
+            ) for r in col_rem
+        ),
         jax.device_put(jnp.asarray(n_real), NamedSharding(mesh, P(data_axis))),
         jax.device_put(
             jnp.asarray(V_norm, jnp.float32), NamedSharding(mesh, P())

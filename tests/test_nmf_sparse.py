@@ -182,12 +182,64 @@ def test_build_ell_roundtrip_and_skew_fallback():
         np.add.at(col[:, j], cidx[j][cval[j] > 0], cval[j][cval[j] > 0])
     assert np.abs(col - V_dense).max() < 1e-7
 
-    # one fully-dense row in an otherwise ~empty 200x200 target: padding
-    # would cost 200x200 slots for ~400 nnz -> refuse
+    # one fully-dense row + column in an otherwise ~empty 200x200 target:
+    # padding to the max degree would cost 200x200 slots for ~400 nnz, so
+    # the width is capped and the tails spill into the COO remainders
+    # (hybrid ELL+COO) — and the hybrid still reproduces the target
     skew = np.zeros((200, 200), "f")
-    skew[0, :] = 1.0
-    skew[1:, 0] = 1.0
-    assert build_ell(sparse_from_dense(skew)) is None
+    skew[0, :] = np.arange(1, 201, dtype="f")
+    skew[1:, 0] = np.arange(1, 200, dtype="f")
+    ell_h = build_ell(sparse_from_dense(skew))
+    assert ell_h is not None
+    assert int(ell_h.row_rem[2].shape[0]) > 0  # the dense row spilled
+    assert int(ell_h.col_rem[2].shape[0]) > 0  # the dense column spilled
+    back = np.zeros((200, 200), "f")
+    ridx = np.asarray(ell_h.row_idx)
+    rval = np.asarray(ell_h.row_val)
+    for i in range(200):
+        np.add.at(back[i], ridx[i][rval[i] > 0], rval[i][rval[i] > 0])
+    rs, ro, rv = (np.asarray(a) for a in ell_h.row_rem)
+    np.add.at(back, (rs, ro), rv)
+    assert np.abs(back - skew).max() < 1e-7
+
+
+def test_ell_hybrid_skewed_matches_gather_path():
+    """Degree-skewed targets take the hybrid ELL+COO split and must still
+    match the jax.grad gather path's trajectory."""
+    import os
+
+    rng = np.random.RandomState(71)
+    M, K = 96, 64
+    Vd = np.where(rng.rand(M, K) > 0.93, rng.rand(M, K), 0).astype("f")
+    Vd[3, :] = rng.rand(K).astype("f") + 0.1   # dense row
+    Vd[:, 5] = rng.rand(M).astype("f") + 0.1   # dense column
+    V_sp = sparse_from_dense(Vd)
+
+    from pytorch_nmf_tpu.ops.sparse import build_ell
+
+    assert build_ell(V_sp).row_rem[2].shape[0] > 0  # hybrid is exercised
+
+    for beta in (0.5, 1, 2):
+        a = NMF((M, K), 6)
+        b = NMF((M, K), 6)
+        b.load_state_dict(a.state_dict())
+        os.environ["PNT_SPARSE_DENSIFY"] = "0"
+        os.environ["PNT_SPARSE_ELL"] = "0"
+        try:
+            na = a.fit(V_sp, beta, 1e-4, 12)
+        finally:
+            os.environ.pop("PNT_SPARSE_DENSIFY", None)
+            os.environ.pop("PNT_SPARSE_ELL", None)
+        os.environ["PNT_SPARSE_DENSIFY"] = "0"
+        os.environ["PNT_SPARSE_ELL"] = "1"
+        try:
+            nb = b.fit(V_sp, beta, 1e-4, 12)
+        finally:
+            os.environ.pop("PNT_SPARSE_DENSIFY", None)
+            os.environ.pop("PNT_SPARSE_ELL", None)
+        assert na == nb, beta
+        assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5, beta
+        assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5, beta
 
 
 def test_build_ell_sorts_unsorted_coo():

@@ -567,3 +567,38 @@ def test_halo_sharded_siplca_early_stop():
     ref = SIPLCA(W=W0, H=H0, Z=Z0)
     n_ref, _ = ref.fit(V, 1e-3, 200)
     assert int(n_d) == n_ref
+
+
+@needs_8
+def test_sharded_sparse_hybrid_skewed():
+    """Degree-skewed sparse targets shard with the hybrid ELL+COO split
+    and match the single-device hybrid trajectory."""
+    import os
+
+    from pytorch_nmf_tpu.functional import nmf_fit
+    from pytorch_nmf_tpu.ops.sparse import sparse_from_dense
+    from pytorch_nmf_tpu.parallel import sharded_sparse_nmf_fit
+
+    rng = np.random.RandomState(41)
+    M, K, R = 80, 56, 5
+    Vd = np.where(rng.rand(M, K) > 0.93, rng.rand(M, K), 0).astype("f")
+    Vd[2, :] = rng.rand(K).astype("f") + 0.1
+    Vd[:, 3] = rng.rand(M).astype("f") + 0.1
+    V_sp = sparse_from_dense(Vd)
+    W0 = rng.rand(K, R).astype("f") + 0.1
+    H0 = rng.rand(M, R).astype("f") + 0.1
+
+    mesh = make_mesh({"data": 8})
+    Ws, Hs, ns = sharded_sparse_nmf_fit(
+        V_sp, W0, H0, mesh, beta=1, tol=0, max_iter=10
+    )
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    try:
+        W1, H1, n1 = nmf_fit(V_sp, W0, H0, beta=1, tol=0, max_iter=10)
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
+    assert int(ns) == int(n1)
+    assert float(jnp.abs(Ws - W1).max()) < 5e-5
+    assert float(jnp.abs(Hs - H1).max()) < 5e-5
