@@ -67,6 +67,47 @@ _CHILD = textwrap.dedent(
         )]
     )
     assert np.abs(H_local - H_ref[rows]).max() < 2e-5
+
+    # ---- distributed SPARSE fit (row-sharded dual-ELL) across processes:
+    # both processes build the full stacked layouts host-side and feed the
+    # rows their devices own
+    from pytorch_nmf_tpu.ops.sparse import get_V_norm, sparse_from_dense
+    from pytorch_nmf_tpu.parallel.sharded_sparse import (
+        _build_sharded_ell, _get_sharded_sparse_fit,
+    )
+
+    V_sp = sparse_from_dense(np.where(V > 0.8, V, 0))
+    (row_idx, row_val, col_idx, col_val, row_rem, col_rem, n_real,
+     M_loc) = _build_sharded_ell(V_sp, 8)
+    Hp = np.pad(H0, ((0, 8 * M_loc - M), (0, 0)))
+
+    def half(a):
+        per = a.shape[0] // 8
+        return a[pid * 4 * per:(pid + 1) * 4 * per]
+
+    def gput(a, spec):
+        sh = NamedSharding(mesh, spec)
+        if spec == P():
+            return jax.make_array_from_process_local_data(sh, np.asarray(a))
+        return jax.make_array_from_process_local_data(sh, half(np.asarray(a)))
+
+    row_spec = P("data", None)
+    args = (
+        gput(row_idx, row_spec), gput(row_val, row_spec),
+        gput(col_idx, row_spec), gput(col_val, row_spec),
+        tuple(gput(r, P("data")) for r in row_rem),
+        tuple(gput(r, P("data")) for r in col_rem),
+        gput(n_real, P("data")),
+        gput(np.float32(get_V_norm(V_sp, 1.0)), P()),
+        gput(W0, P()),
+        gput(Hp, row_spec),
+    )
+    fit_sp = _get_sharded_sparse_fit(mesh, 1.0, 0.0, 5, 0.0, 0.0, "data")
+    W_sp, Hp_sp, n_sp = fit_sp(*args)
+    assert int(n_sp) == 5
+    W_sp_local = np.asarray(W_sp.addressable_data(0))
+    assert np.abs(W_sp_local - data["W_sp_ref"]).max() < 2e-5, \
+        np.abs(W_sp_local - data["W_sp_ref"]).max()
     print("child", pid, "ok", flush=True)
     """
 )
@@ -91,9 +132,25 @@ def test_two_process_sharded_fit(tmp_path):
     W_ref = np.asarray(ref.W.data)
     H_ref = np.asarray(ref.H.data)
 
+    # single-process ELL reference for the distributed sparse leg
+    from pytorch_nmf_tpu.functional import nmf_fit
+    from pytorch_nmf_tpu.ops.sparse import sparse_from_dense
+
+    os.environ["PNT_SPARSE_DENSIFY"] = "0"
+    os.environ["PNT_SPARSE_ELL"] = "1"
+    try:
+        W_sp_ref, _, _ = nmf_fit(
+            sparse_from_dense(np.where(V > 0.8, V, 0)), W0, H0,
+            beta=1, tol=0, max_iter=5,
+        )
+    finally:
+        os.environ.pop("PNT_SPARSE_DENSIFY", None)
+        os.environ.pop("PNT_SPARSE_ELL", None)
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     npz = os.path.join(str(tmp_path), "data.npz")
-    np.savez(npz, V=V, W0=W0, H0=H0, W_ref=W_ref, H_ref=H_ref)
+    np.savez(npz, V=V, W0=W0, H0=H0, W_ref=W_ref, H_ref=H_ref,
+             W_sp_ref=np.asarray(W_sp_ref))
 
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
