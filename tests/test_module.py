@@ -129,3 +129,82 @@ def test_profiling_helpers_smoke(tmp_path):
             m.fit(np.random.RandomState(0).rand(16, 8).astype("f"), 2, 0, 5)
     stats = profiling.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_checkpointed_fit_matches_plain_fit(tmp_path):
+    """Segmented checkpointed_fit must reproduce the uninterrupted
+    trajectory exactly (in-segment early stop disabled, same update
+    sequence)."""
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    rng = np.random.RandomState(7)
+    V = rng.rand(60, 40).astype("f")
+    W0 = rng.rand(40, 5).astype("f") + 0.1
+    H0 = rng.rand(60, 5).astype("f") + 0.1
+
+    a = NMF(W=W0, H=H0)
+    n = checkpointed_fit(
+        a, V, beta=1, tol=float("-inf"), max_iter=15, every=5,
+        directory=str(tmp_path / "ck"),
+    )
+    b = NMF(W=W0, H=H0)
+    b.fit(V, 1, float("-inf"), 15)
+    assert n == 15
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 1e-7
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 1e-7
+    # pruning: at most `keep` checkpoint files remain
+    import os
+
+    files = [f for f in os.listdir(tmp_path / "ck") if f.endswith(".npz")]
+    assert len(files) <= 2
+
+
+def test_checkpointed_fit_resume(tmp_path):
+    """A killed job resumes from the last checkpoint and lands on the
+    uninterrupted trajectory."""
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    rng = np.random.RandomState(11)
+    V = rng.rand(50, 30).astype("f")
+    W0 = rng.rand(30, 4).astype("f") + 0.1
+    H0 = rng.rand(50, 4).astype("f") + 0.1
+    ckdir = str(tmp_path / "ck")
+
+    a = NMF(W=W0, H=H0)
+    checkpointed_fit(a, V, beta=2, tol=float("-inf"), max_iter=10,
+                     every=5, directory=ckdir)
+
+    # "crash": a fresh process would construct a new model and resume
+    c = NMF(V.shape, 4)
+    n = checkpointed_fit(c, V, beta=2, tol=float("-inf"), max_iter=20,
+                         every=5, directory=ckdir)
+    assert n == 20
+
+    b = NMF(W=W0, H=H0)
+    b.fit(V, 2, float("-inf"), 20)
+    assert float(jnp.abs(c.W.data - b.W.data).max()) < 1e-7
+    assert float(jnp.abs(c.H.data - b.H.data).max()) < 1e-7
+
+
+def test_checkpointed_fit_converges_and_sparse(tmp_path):
+    """Loose tolerance stops early at a segment boundary; sparse COO
+    targets use the split-form loss."""
+    import pytorch_nmf_tpu as pnt
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    rng = np.random.RandomState(13)
+    V = rng.rand(40, 24).astype("f")
+    m = NMF(V.shape, 3)
+    n = checkpointed_fit(m, V, beta=1, tol=0.5, max_iter=200, every=10,
+                         directory=str(tmp_path / "c1"))
+    assert n < 200 and n % 10 == 0
+
+    V_sp = pnt.sparse_from_dense(np.where(V > 0.7, V, 0))
+    m2 = NMF(V.shape, 3)
+    n2 = checkpointed_fit(m2, V_sp, beta=1, tol=1e-3, max_iter=60,
+                          every=20, directory=str(tmp_path / "c2"))
+    assert 0 < n2 <= 60
+    assert bool(jnp.all(jnp.isfinite(m2.W.data)))
