@@ -53,7 +53,7 @@ class SparseCOO:
     (matching the reference, which supports sparse targets for ``NMF`` only).
     """
 
-    __slots__ = ("indices", "values", "shape", "_host")
+    __slots__ = ("indices", "values", "shape", "_host", "_ell_cache")
 
     def __init__(self, indices, values, shape: Tuple[int, ...]):
         import numpy as np
@@ -62,6 +62,7 @@ class SparseCOO:
         # ELL builder then never fetches the arrays back through the
         # (slow, relay-attached) device transport
         self._host = None
+        self._ell_cache = None
         if isinstance(indices, np.ndarray) and isinstance(values, np.ndarray):
             self._host = (
                 indices.astype(np.int32, copy=False),
@@ -96,6 +97,7 @@ class SparseCOO:
         obj.indices, obj.values = children
         obj.shape = aux
         obj._host = None
+        obj._ell_cache = None
         return obj
 
     def __repr__(self):
@@ -239,6 +241,23 @@ def _host_coo_sorted(V: SparseCOO):
     return ii, jj, vals
 
 
+def _ell_cap(nnz: int, n_seg: int, max_pad_factor=None) -> int:
+    """Padded-width cap: ``max_pad_factor`` x the mean segment degree
+    (env ``PNT_SPARSE_ELL_MAX_PAD``, default 4.0) — shared by the
+    single-device and sharded ELL builders so the split rule cannot
+    drift."""
+    import os
+
+    if max_pad_factor is None:
+        max_pad_factor = 4.0
+    max_pad_factor = float(
+        os.environ.get("PNT_SPARSE_ELL_MAX_PAD", max_pad_factor)
+    )
+    import numpy as np
+
+    return max(int(np.ceil(max_pad_factor * max(nnz, 1) / n_seg)), 1)
+
+
 def _ell_side(seg_ids, other_ids, v, n_seg, cap=None):
     """Pack one sorted-by-segment COO side into ``(n_seg, L)`` padded form.
 
@@ -287,13 +306,28 @@ def maybe_ell(V: SparseCOO):
     Env override ``PNT_SPARSE_ELL`` (0 forces the plain gather path, 1
     forces a build attempt); degree-skewed data builds the hybrid ELL+COO
     split, and only a blown device-byte budget falls back to ``None``.
+
+    The built layout is cached on the ``SparseCOO`` (keyed by the env
+    configuration), so repeated fits on the same target — e.g. the
+    segments of ``checkpointed_fit`` — pay the host build and device
+    upload once.
     """
     import os
 
     env = os.environ.get("PNT_SPARSE_ELL", "")
     if env == "0":
         return None
-    return build_ell(V)
+    key = (
+        env,
+        os.environ.get("PNT_SPARSE_ELL_MAX_PAD", ""),
+        os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", ""),
+    )
+    cached = V._ell_cache
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    ell = build_ell(V)
+    V._ell_cache = (key, ell)
+    return ell
 
 
 def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
@@ -316,17 +350,14 @@ def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
 
     if V.ndim != 2:
         return None
-    max_pad_factor = float(
-        os.environ.get("PNT_SPARSE_ELL_MAX_PAD", max_pad_factor)
-    )
     max_bytes = int(
         os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3)
     )
     M, K = V.shape
     ii, jj, vals = _host_coo_sorted(V)
     nnz = max(len(vals), 1)
-    cap_r = max(int(np.ceil(max_pad_factor * nnz / M)), 1)
-    cap_c = max(int(np.ceil(max_pad_factor * nnz / K)), 1)
+    cap_r = _ell_cap(nnz, M, max_pad_factor)
+    cap_c = _ell_cap(nnz, K, max_pad_factor)
     Lr = min(
         max(int(np.bincount(ii, minlength=M).max()) if len(ii) else 0, 1),
         cap_r,

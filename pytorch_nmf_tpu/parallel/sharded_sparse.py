@@ -74,9 +74,8 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
     bounds = np.searchsorted(ii, np.arange(1, n_dev + 1) * M_loc)
     starts = np.concatenate([[0], bounds[:-1]])
 
-    import os
+    from ..ops.sparse import _ell_cap
 
-    max_pad = float(os.environ.get("PNT_SPARSE_ELL_MAX_PAD", 4.0))
     row_sides, col_sides = [], []
     row_rems, col_rems = [], []
     for d in range(n_dev):
@@ -85,8 +84,8 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
         jj_d = jj[s:e]
         v_d = vals[s:e]
         nnz_d = max(e - s, 1)
-        cap_r = max(int(np.ceil(max_pad * nnz_d / M_loc)), 1)
-        cap_c = max(int(np.ceil(max_pad * nnz_d / K)), 1)
+        cap_r = _ell_cap(nnz_d, M_loc)
+        cap_c = _ell_cap(nnz_d, K)
         ri, rv, rrem = _ell_side(ii_loc, jj_d, v_d, M_loc, cap_r)
         row_sides.append((ri, rv))
         row_rems.append(rrem)
@@ -124,6 +123,17 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
     col_idx, col_val = _stack(col_sides)
     row_rem = _stack_rems(row_rems)
     col_rem = _stack_rems(col_rems)
+    import os
+
+    max_bytes = int(os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3))
+    per_shard = 8 * (row_idx.shape[0] * row_idx.shape[1]
+                     + col_idx.shape[0] * col_idx.shape[1]) // n_dev
+    if per_shard > max_bytes:
+        raise ValueError(
+            f"sharded dual-ELL layout needs ~{per_shard/2**30:.1f} GiB per "
+            "shard, over the PNT_SPARSE_ELL_MAX_BYTES budget; raise the "
+            "budget, add devices, or lower PNT_SPARSE_ELL_MAX_PAD"
+        )
     n_real = np.clip(M - np.arange(n_dev) * M_loc, 0, M_loc).astype(np.int32)
     return (row_idx, row_val, col_idx, col_val, row_rem, col_rem,
             n_real, M_loc)

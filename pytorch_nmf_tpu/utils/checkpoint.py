@@ -84,9 +84,14 @@ def checkpointed_fit(
     granularity rather than the in-segment 10-iteration cadence (in-fit
     early stop is disabled within segments to keep the cursor exact).
 
-    Works for every β-MU model (``NMF`` and the deconvolutional family),
-    with dense or :class:`~pytorch_nmf_tpu.ops.sparse.SparseCOO` targets.
-    Returns the total number of iterations run across all sessions.
+    Works for every β-MU model (``NMF`` and the deconvolutional family)
+    with dense targets, and for ``NMF`` with
+    :class:`~pytorch_nmf_tpu.ops.sparse.SparseCOO` targets (the only model
+    with sparse support, as in the reference).  The checkpoint records a
+    run identity (model/shape/rank/beta) and a converged flag, so resuming
+    a finished run is a no-op and pointing at another run's directory
+    raises instead of silently continuing it.  Returns the total number of
+    iterations run across all sessions.
     """
     from ..metrics import beta_div
     from ..ops.sparse import SparseCOO, get_V_norm
@@ -97,7 +102,15 @@ def checkpointed_fit(
 
     is_sp = isinstance(V, SparseCOO)
     if is_sp:
+        if type(model)._sp_pos_neg is None:
+            raise NotImplementedError(
+                f"{type(model).__name__} does not support sparse targets."
+            )
         V_norm = get_V_norm(V, float(beta))
+    run_id = (
+        f"{type(model).__name__}|V{tuple(V.shape)}"
+        f"|rank={int(model.rank)}|beta={float(beta)}"
+    )
 
     def current_loss():
         if is_sp:
@@ -113,6 +126,13 @@ def checkpointed_fit(
     files = _ckpt_files(directory) if resume else []
     if files:
         with np.load(files[-1]) as data:
+            stored_id = str(data[_META_PREFIX + "run_id"])
+            if stored_id != run_id:
+                raise ValueError(
+                    f"checkpoint directory {directory!r} belongs to a "
+                    f"different run ({stored_id} != {run_id}); point "
+                    "each fit at its own directory or pass resume=False"
+                )
             state = OrderedDict(
                 (k, jnp.asarray(data[k])) for k in data.files
                 if not k.startswith(_META_PREFIX)
@@ -120,7 +140,10 @@ def checkpointed_fit(
             done = int(data[_META_PREFIX + "iter"])
             loss_init = float(data[_META_PREFIX + "loss_init"])
             prev_loss = float(data[_META_PREFIX + "prev_loss"])
+            converged = bool(data[_META_PREFIX + "converged"])
         model.load_state_dict(state)
+        if converged:  # idempotent resume after a converged run
+            return done
 
     if loss_init is None:
         loss_init = current_loss()
@@ -132,18 +155,24 @@ def checkpointed_fit(
         done += seg
 
         loss = current_loss()
+        conv = (prev_loss - loss) / loss_init < tol
         state = {k: np.asarray(v) for k, v in model.state_dict().items()}
         state[_META_PREFIX + "iter"] = np.int64(done)
         state[_META_PREFIX + "loss_init"] = np.float64(loss_init)
         state[_META_PREFIX + "prev_loss"] = np.float64(loss)
+        state[_META_PREFIX + "converged"] = np.bool_(conv)
+        state[_META_PREFIX + "run_id"] = np.str_(run_id)
         path = os.path.join(directory, f"ckpt_{done:08d}.npz")
-        tmp = path + ".tmp.npz"
+        # the tmp name must NOT match the _ckpt_files pattern, or a crash
+        # mid-write would leave a truncated file that poisons every
+        # subsequent resume
+        tmp = os.path.join(directory, f".tmp_ckpt_{done:08d}.npz")
         np.savez(tmp, **state)
         os.replace(tmp, path)
         for old in _ckpt_files(directory)[:-keep]:
             os.remove(old)
 
-        if (prev_loss - loss) / loss_init < tol:
+        if conv:
             break
         prev_loss = loss
 

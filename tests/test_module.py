@@ -208,3 +208,31 @@ def test_checkpointed_fit_converges_and_sparse(tmp_path):
                           every=20, directory=str(tmp_path / "c2"))
     assert 0 < n2 <= 60
     assert bool(jnp.all(jnp.isfinite(m2.W.data)))
+
+
+def test_checkpointed_fit_converged_resume_is_noop(tmp_path):
+    """Re-entering after a converged run must not keep advancing the
+    factors; a foreign checkpoint directory must raise."""
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    rng = np.random.RandomState(17)
+    V = rng.rand(40, 24).astype("f")
+    ckdir = str(tmp_path / "ck")
+    m = NMF(V.shape, 3)
+    n1 = checkpointed_fit(m, V, beta=1, tol=0.5, max_iter=200, every=10,
+                          directory=ckdir)
+    assert n1 < 200
+    W_done = np.asarray(m.W.data)
+
+    m2 = NMF(V.shape, 3)
+    n2 = checkpointed_fit(m2, V, beta=1, tol=0.5, max_iter=200, every=10,
+                          directory=ckdir)
+    assert n2 == n1  # idempotent
+    assert np.abs(np.asarray(m2.W.data) - W_done).max() == 0.0
+
+    # different run (other beta) pointing at the same directory -> raises
+    m3 = NMF(V.shape, 3)
+    with pytest.raises(ValueError):
+        checkpointed_fit(m3, V, beta=2, tol=0.5, max_iter=50, every=10,
+                         directory=ckdir)
