@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "save", "load", "save_orbax", "load_orbax", "checkpointed_fit",
+    "save", "load", "save_orbax", "load_orbax",
+    "checkpointed_fit", "checkpointed_plca_fit",
 ]
 
 
@@ -120,6 +121,20 @@ def checkpointed_fit(
             return float(jnp.sqrt(2.0 * (V_norm + pos - neg)))
         return float(jnp.sqrt(2.0 * beta_div(model(), V, float(beta))))
 
+    def run_segment(seg):
+        model.fit(V, beta, float("-inf"), seg, **fit_kwargs)
+
+    return _checkpoint_loop(
+        model, run_id, current_loss, run_segment,
+        tol, max_iter, every, directory, resume, keep,
+    )
+
+
+def _checkpoint_loop(model, run_id, current_loss, run_segment,
+                     tol, max_iter, every, directory, resume, keep):
+    """Shared segmented-fit loop: resume (with identity and converged-flag
+    checks), run compiled segments, persist atomically, prune, stop on the
+    reference convergence rule against the original baseline."""
     done = 0
     loss_init = None
     prev_loss = None
@@ -151,7 +166,7 @@ def checkpointed_fit(
 
     while done < max_iter:
         seg = min(every, max_iter - done)
-        model.fit(V, beta, float("-inf"), seg, **fit_kwargs)
+        run_segment(seg)
         done += seg
 
         loss = current_loss()
@@ -177,6 +192,45 @@ def checkpointed_fit(
         prev_loss = loss
 
     return done
+
+
+def checkpointed_plca_fit(
+    model, V, tol: float = 1e-4, max_iter: int = 200,
+    every: int = 50, directory: str = "checkpoints", resume: bool = True,
+    keep: int = 2, **fit_kwargs,
+):
+    """:func:`checkpointed_fit` for the PLCA family's EM ``fit``.
+
+    Same segmented-persistence/resume semantics; the convergence metric is
+    the reference's ``sqrt(2 * kl_div(WZH * norm, V))`` (plca.py:291-301)
+    evaluated at segment boundaries against the original baseline.
+    Returns ``(total_iterations, norm)``.  Re-entering ``fit`` is an exact
+    resume because the factors stay probability-normalized between calls.
+    """
+    from ..metrics import kl_div
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    os.makedirs(directory, exist_ok=True)
+
+    V = jnp.asarray(V)
+    norm = jnp.sum(V)
+    run_id = (
+        f"{type(model).__name__}|V{tuple(V.shape)}"
+        f"|rank={int(model.rank)}|plca"
+    )
+
+    def current_loss():
+        return float(jnp.sqrt(2.0 * kl_div(model() * norm, V)))
+
+    def run_segment(seg):
+        model.fit(V, float("-inf"), seg, **fit_kwargs)
+
+    done = _checkpoint_loop(
+        model, run_id, current_loss, run_segment,
+        tol, max_iter, every, directory, resume, keep,
+    )
+    return done, norm
 
 
 def save_orbax(path: str, obj) -> None:

@@ -236,3 +236,36 @@ def test_checkpointed_fit_converged_resume_is_noop(tmp_path):
     with pytest.raises(ValueError):
         checkpointed_fit(m3, V, beta=2, tol=0.5, max_iter=50, every=10,
                          directory=ckdir)
+
+
+def test_checkpointed_plca_fit_matches_and_resumes(tmp_path):
+    """Segmented PLCA EM matches the uninterrupted trajectory and resumes
+    exactly."""
+    from pytorch_nmf_tpu.plca import PLCA
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_plca_fit
+
+    rng = np.random.RandomState(23)
+    V = rng.rand(40, 24).astype("f")
+    a = PLCA(V.shape, 3)
+    W0, H0, Z0 = (np.asarray(p.data) for p in (a.W, a.H, a.Z))
+    ckdir = str(tmp_path / "ck")
+
+    n, norm = checkpointed_plca_fit(
+        a, V, tol=float("-inf"), max_iter=15, every=5, directory=ckdir,
+    )
+    b = PLCA(W=W0, H=H0, Z=Z0)
+    b.fit(V, float("-inf"), 15)
+    assert n == 15
+    assert abs(float(norm) - float(np.sum(V))) < 1e-3
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 1e-7
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 1e-7
+    assert float(jnp.abs(a.Z.data - b.Z.data).max()) < 1e-7
+
+    # resume from 15 to 25 equals an uninterrupted 25
+    c = PLCA(V.shape, 3)
+    n2, _ = checkpointed_plca_fit(
+        c, V, tol=float("-inf"), max_iter=25, every=5, directory=ckdir,
+    )
+    b.fit(V, float("-inf"), 10)  # reference continues in place
+    assert n2 == 25
+    assert float(jnp.abs(c.W.data - b.W.data).max()) < 1e-7
