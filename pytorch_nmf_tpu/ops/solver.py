@@ -64,17 +64,32 @@ __all__ = [
 # --------------------------------------------------------------------------
 # Progress reporting: solvers emit (chunk_index, loss) through
 # ``jax.debug.callback``; the host fit() installs a handler (e.g. tqdm).
+#
+# The stack is process-global BY DESIGN: the debug callback may fire on a
+# runtime thread, not the thread that entered fit(), so a thread-local
+# lookup would find nothing; and a per-fit identity would have to travel
+# through the compiled program as a traced argument, splitting the solver
+# cache per fit call.  The consequence is purely cosmetic: two fits
+# running verbose CONCURRENTLY (already inadvisable — two device programs
+# queue against each other) would interleave their progress lines into
+# whichever handler is topmost.  Mutation is lock-guarded so concurrent
+# push/pop cannot corrupt the stack itself.
 # --------------------------------------------------------------------------
+import threading as _threading
+
 _PROGRESS_HANDLERS = []
+_PROGRESS_LOCK = _threading.Lock()
 
 
 def push_progress_handler(fn) -> None:
-    _PROGRESS_HANDLERS.append(fn)
+    with _PROGRESS_LOCK:
+        _PROGRESS_HANDLERS.append(fn)
 
 
 def pop_progress_handler() -> None:
-    if _PROGRESS_HANDLERS:
-        _PROGRESS_HANDLERS.pop()
+    with _PROGRESS_LOCK:
+        if _PROGRESS_HANDLERS:
+            _PROGRESS_HANDLERS.pop()
 
 
 def _emit_progress(chunk_idx, loss, extra=None):
