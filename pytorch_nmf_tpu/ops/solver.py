@@ -93,8 +93,10 @@ def pop_progress_handler() -> None:
 
 
 def _emit_progress(chunk_idx, loss, extra=None):
-    if _PROGRESS_HANDLERS:
-        _PROGRESS_HANDLERS[-1](int(chunk_idx), float(loss), extra)
+    with _PROGRESS_LOCK:  # snapshot: the callback thread races pop()
+        handler = _PROGRESS_HANDLERS[-1] if _PROGRESS_HANDLERS else None
+    if handler is not None:
+        handler(int(chunk_idx), float(loss), extra)
 
 
 def _progress(verbose: bool, chunk_idx, loss, extra=None):

@@ -76,6 +76,38 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
 
     from ..ops.sparse import _ell_cap
 
+    # budget check BEFORE any packing: the stacked widths are known from
+    # the per-shard degree maxima alone, and an over-budget layout must
+    # raise the actionable error rather than OOM the host mid-build
+    import os
+
+    caps = []
+    Lr_stack = Lc_stack = 1
+    for d in range(n_dev):
+        s, e = int(starts[d]), int(bounds[d])
+        nnz_d = max(e - s, 1)
+        cap_r = _ell_cap(nnz_d, M_loc)
+        cap_c = _ell_cap(nnz_d, K)
+        caps.append((cap_r, cap_c))
+        if e > s:
+            ii_loc = ii[s:e] - d * M_loc
+            Lr_stack = max(
+                Lr_stack,
+                min(int(np.bincount(ii_loc, minlength=M_loc).max()), cap_r),
+            )
+            Lc_stack = max(
+                Lc_stack,
+                min(int(np.bincount(jj[s:e], minlength=K).max()), cap_c),
+            )
+    max_bytes = int(os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3))
+    per_shard = 8 * (M_loc * Lr_stack + K * Lc_stack)
+    if per_shard > max_bytes:
+        raise ValueError(
+            f"sharded dual-ELL layout needs ~{per_shard/2**30:.1f} GiB per "
+            "shard, over the PNT_SPARSE_ELL_MAX_BYTES budget; raise the "
+            "budget, add devices, or lower PNT_SPARSE_ELL_MAX_PAD"
+        )
+
     row_sides, col_sides = [], []
     row_rems, col_rems = [], []
     for d in range(n_dev):
@@ -83,9 +115,7 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
         ii_loc = (ii[s:e] - d * M_loc).astype(np.int32)
         jj_d = jj[s:e]
         v_d = vals[s:e]
-        nnz_d = max(e - s, 1)
-        cap_r = _ell_cap(nnz_d, M_loc)
-        cap_c = _ell_cap(nnz_d, K)
+        cap_r, cap_c = caps[d]
         ri, rv, rrem = _ell_side(ii_loc, jj_d, v_d, M_loc, cap_r)
         row_sides.append((ri, rv))
         row_rems.append(rrem)
@@ -123,17 +153,6 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
     col_idx, col_val = _stack(col_sides)
     row_rem = _stack_rems(row_rems)
     col_rem = _stack_rems(col_rems)
-    import os
-
-    max_bytes = int(os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3))
-    per_shard = 8 * (row_idx.shape[0] * row_idx.shape[1]
-                     + col_idx.shape[0] * col_idx.shape[1]) // n_dev
-    if per_shard > max_bytes:
-        raise ValueError(
-            f"sharded dual-ELL layout needs ~{per_shard/2**30:.1f} GiB per "
-            "shard, over the PNT_SPARSE_ELL_MAX_BYTES budget; raise the "
-            "budget, add devices, or lower PNT_SPARSE_ELL_MAX_PAD"
-        )
     n_real = np.clip(M - np.arange(n_dev) * M_loc, 0, M_loc).astype(np.int32)
     return (row_idx, row_val, col_idx, col_val, row_rem, col_rem,
             n_real, M_loc)

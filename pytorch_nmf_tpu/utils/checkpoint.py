@@ -53,6 +53,24 @@ def load(path: str, model=None):
 _META_PREFIX = "__ckpt_"
 
 
+def _run_id(model, V, tag: str, fit_kwargs) -> str:
+    """Checkpoint identity: model class, target shape, every factor's
+    shape and trainability, and the full fit configuration — two runs
+    that would follow different trajectories must never pass each other's
+    identity check."""
+    shapes = ";".join(
+        f"{k}{tuple(v.shape)}" for k, v in model.state_dict().items()
+    )
+    trainable = ",".join(
+        str(int(p.requires_grad)) for p in model.parameters()
+    )
+    cfg = ",".join(f"{k}={fit_kwargs[k]!r}" for k in sorted(fit_kwargs))
+    return (
+        f"{type(model).__name__}|V{tuple(V.shape)}|{shapes}"
+        f"|tr={trainable}|{tag}|{cfg}"
+    )
+
+
 def _ckpt_files(directory: str):
     try:
         names = sorted(
@@ -108,10 +126,7 @@ def checkpointed_fit(
                 f"{type(model).__name__} does not support sparse targets."
             )
         V_norm = get_V_norm(V, float(beta))
-    run_id = (
-        f"{type(model).__name__}|V{tuple(V.shape)}"
-        f"|rank={int(model.rank)}|beta={float(beta)}"
-    )
+    run_id = _run_id(model, V, f"beta={float(beta)}", fit_kwargs)
 
     def current_loss():
         if is_sp:
@@ -141,13 +156,17 @@ def _checkpoint_loop(model, run_id, current_loss, run_segment,
     files = _ckpt_files(directory) if resume else []
     if files:
         with np.load(files[-1]) as data:
-            stored_id = str(data[_META_PREFIX + "run_id"])
-            if stored_id != run_id:
-                raise ValueError(
-                    f"checkpoint directory {directory!r} belongs to a "
-                    f"different run ({stored_id} != {run_id}); point "
-                    "each fit at its own directory or pass resume=False"
-                )
+            # meta keys are read defensively so checkpoints from older
+            # layout versions still resume (missing fields just disable
+            # the corresponding check)
+            if _META_PREFIX + "run_id" in data.files:
+                stored_id = str(data[_META_PREFIX + "run_id"])
+                if stored_id != run_id:
+                    raise ValueError(
+                        f"checkpoint directory {directory!r} belongs to a "
+                        f"different run ({stored_id} != {run_id}); point "
+                        "each fit at its own directory or pass resume=False"
+                    )
             state = OrderedDict(
                 (k, jnp.asarray(data[k])) for k in data.files
                 if not k.startswith(_META_PREFIX)
@@ -155,9 +174,16 @@ def _checkpoint_loop(model, run_id, current_loss, run_segment,
             done = int(data[_META_PREFIX + "iter"])
             loss_init = float(data[_META_PREFIX + "loss_init"])
             prev_loss = float(data[_META_PREFIX + "prev_loss"])
-            converged = bool(data[_META_PREFIX + "converged"])
+            converged = bool(
+                data[_META_PREFIX + "converged"]
+            ) if _META_PREFIX + "converged" in data.files else False
+            stored_tol = float(
+                data[_META_PREFIX + "tol"]
+            ) if _META_PREFIX + "tol" in data.files else None
         model.load_state_dict(state)
-        if converged:  # idempotent resume after a converged run
+        # idempotent resume after a converged run — but only for the SAME
+        # tolerance; a tighter tol re-evaluates at the next boundary
+        if converged and stored_tol == tol:
             return done
 
     if loss_init is None:
@@ -176,6 +202,7 @@ def _checkpoint_loop(model, run_id, current_loss, run_segment,
         state[_META_PREFIX + "loss_init"] = np.float64(loss_init)
         state[_META_PREFIX + "prev_loss"] = np.float64(loss)
         state[_META_PREFIX + "converged"] = np.bool_(conv)
+        state[_META_PREFIX + "tol"] = np.float64(tol)
         state[_META_PREFIX + "run_id"] = np.str_(run_id)
         path = os.path.join(directory, f"ckpt_{done:08d}.npz")
         # the tmp name must NOT match the _ckpt_files pattern, or a crash
@@ -215,10 +242,7 @@ def checkpointed_plca_fit(
 
     V = jnp.asarray(V)
     norm = jnp.sum(V)
-    run_id = (
-        f"{type(model).__name__}|V{tuple(V.shape)}"
-        f"|rank={int(model.rank)}|plca"
-    )
+    run_id = _run_id(model, V, "plca", fit_kwargs)
 
     def current_loss():
         return float(jnp.sqrt(2.0 * kl_div(model() * norm, V)))

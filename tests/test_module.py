@@ -269,3 +269,30 @@ def test_checkpointed_plca_fit_matches_and_resumes(tmp_path):
     b.fit(V, float("-inf"), 10)  # reference continues in place
     assert n2 == 25
     assert float(jnp.abs(c.W.data - b.W.data).max()) < 1e-7
+
+
+def test_checkpointed_fit_identity_and_tighter_tol(tmp_path):
+    """run_id covers the fit configuration, and a tighter tol re-enters
+    iteration instead of short-circuiting on the stored converged flag."""
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    rng = np.random.RandomState(29)
+    V = rng.rand(40, 24).astype("f")
+    ckdir = str(tmp_path / "ck")
+    m = NMF(V.shape, 3)
+    n1 = checkpointed_fit(m, V, beta=1, tol=0.5, max_iter=200, every=10,
+                          directory=ckdir)
+    assert n1 < 200
+
+    # same config but extra regularization -> different run -> raises
+    m2 = NMF(V.shape, 3)
+    with pytest.raises(ValueError):
+        checkpointed_fit(m2, V, beta=1, tol=0.5, max_iter=50, every=10,
+                         directory=ckdir, alpha=0.1, l1_ratio=0.5)
+
+    # tighter tol: converged flag must NOT short-circuit; iteration resumes
+    m3 = NMF(V.shape, 3)
+    n3 = checkpointed_fit(m3, V, beta=1, tol=1e-9, max_iter=n1 + 20,
+                          every=10, directory=ckdir)
+    assert n3 > n1
