@@ -94,8 +94,10 @@ def pop_progress_handler() -> None:
 
 def _emit_progress(chunk_idx, loss, extra=None):
     with _PROGRESS_LOCK:  # snapshot: the callback thread races pop()
-        handler = _PROGRESS_HANDLERS[-1] if _PROGRESS_HANDLERS else None
-    if handler is not None:
+        handlers = list(_PROGRESS_HANDLERS)
+    # every registered handler observes the event, so a user-installed
+    # recorder (utils.LossHistory) coexists with the fit's own tqdm bar
+    for handler in handlers:
         handler(int(chunk_idx), float(loss), extra)
 
 

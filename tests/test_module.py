@@ -296,3 +296,26 @@ def test_checkpointed_fit_identity_and_tighter_tol(tmp_path):
     n3 = checkpointed_fit(m3, V, beta=1, tol=1e-9, max_iter=n1 + 20,
                           every=10, directory=ckdir)
     assert n3 > n1
+
+
+def test_loss_history_recorder():
+    """LossHistory records the 10-iteration cadence losses alongside the
+    fit's own progress bar; PLCA's log-posterior rides in extras."""
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.plca import PLCA
+    from pytorch_nmf_tpu.utils import LossHistory
+
+    rng = np.random.RandomState(31)
+    V = rng.rand(50, 30).astype("f")
+    m = NMF(V.shape, 4)
+    with LossHistory() as hist:
+        m.fit(V, 1, 0, 40, verbose=True)
+    assert hist.chunks == [1, 2, 3, 4]
+    assert all(np.isfinite(hist.losses))
+    assert hist.losses[-1] <= hist.losses[0]
+
+    p = PLCA(V.shape, 3)
+    with LossHistory() as hist2:
+        p.fit(V, 0, 30, verbose=True)
+    assert len(hist2.losses) == 3
+    assert all(e is not None for e in hist2.extras)  # log-posterior
