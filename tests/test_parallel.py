@@ -602,3 +602,42 @@ def test_sharded_sparse_hybrid_skewed():
     assert int(ns) == int(n1)
     assert float(jnp.abs(Ws - W1).max()) < 5e-5
     assert float(jnp.abs(Hs - H1).max()) < 5e-5
+
+
+@needs_8
+def test_fuzz_halo_stream_random_configs():
+    """Randomized sweep of the flat-τ streaming halo mode (forced via
+    K·R > _CHUNK_COLS) against the conv/vjp formulation."""
+    import os
+
+    from pytorch_nmf_tpu.ops.fast_nmfd import _CHUNK_COLS
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    rng = np.random.RandomState(97)
+    mesh = make_mesh({"seq": 8})
+    for case in range(3):
+        C = int(rng.randint(3, 8))
+        T = int(rng.randint(6, 12))
+        R = int(-(-(_CHUNK_COLS + 1) // T) + rng.randint(0, 40))
+        assert T * R > _CHUNK_COLS
+        L_out = int(8 * max(T - 1, rng.randint(6, 12)))
+        beta = float(rng.choice([0.5, 1.0, 1.5, 2.0]))
+
+        V = rng.rand(1, C, L_out).astype("f")
+        W0 = rng.rand(C, R, T).astype("f") + 0.1
+        H0 = rng.rand(1, R, L_out - T + 1).astype("f") + 0.1
+
+        Ws, Hs, ns = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=7
+        )
+        os.environ["PNT_HALO_UNFOLD"] = "0"
+        try:
+            Wc, Hc, nc = sharded_nmfd_fit(
+                V, W0, H0, mesh, beta=beta, tol=0, max_iter=7
+            )
+        finally:
+            del os.environ["PNT_HALO_UNFOLD"]
+        ctx = (case, C, T, R, L_out, beta)
+        assert int(ns) == int(nc), ctx
+        assert float(jnp.abs(Ws - Wc).max()) < 5e-5, ctx
+        assert float(jnp.abs(Hs - Hc).max()) < 5e-5, ctx
