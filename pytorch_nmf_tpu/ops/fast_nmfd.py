@@ -668,6 +668,19 @@ def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
 
 
+def nmfd_fft_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """NMFD updaters with the opt-in FFT β=2 path
+    (:mod:`pytorch_nmf_tpu.ops.fft_nmfd`); every other β keeps the
+    unfold-GEMM formulation.  Selected by the per-call resolver when
+    ``PNT_NMFD_FFT=1`` — a distinct module-level factory object, so the
+    env toggle lands in the solver compile-cache key."""
+    if beta == 2:
+        from .fft_nmfd import fft_beta2_updater_factory
+
+        return fft_beta2_updater_factory(gamma, l1_reg, l2_reg)
+    return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
+
+
 def nmf2d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     """Unfold-GEMM updaters for NMF2D."""
     return _deconv_unfold_updater_factory(2, beta, gamma, l1_reg, l2_reg)
@@ -699,4 +712,6 @@ def resolve_nmfd_updater_factory(multi_device: bool = False,
         return None
     if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
         return None
+    if spatial_ndim == 1 and os.environ.get("PNT_NMFD_FFT", "") == "1":
+        return nmfd_fft_updater_factory
     return _FACTORIES[spatial_ndim]

@@ -1,0 +1,211 @@
+r"""FFT-domain MU updaters for 1-D deconvolutional NMF at β = 2.
+
+The β=2 MU contractions for NMFD are all correlations/convolutions along
+the time axis (reference nmf.py:700-779 reaches them through conv1d
+autograd):
+
+    WH            = H *τ W                    (linear convolution)
+    neg_W[c,r,τ]  = Σ_{n,m} H[n,r,m] V[n,c,m+τ]       (correlation)
+    pos_W[c,r,τ]  = Σ_{n,m} H[n,r,m] WH[n,c,m+τ]
+    neg_H[n,r,m]  = Σ_{c,τ} W[c,r,τ] V[n,c,m+τ]
+    pos_H[n,r,m]  = Σ_{c,τ} W[c,r,τ] WH[n,c,m+τ]
+
+In the time domain the patch-GEMM formulation (:mod:`.fast_nmfd`) costs
+``O(L · T·R · C)`` per contraction — at the flagship scale (C=1025, R=88,
+T=400, L=5000) four such GEMMs ≈ 1.4 TFLOP per iteration.  Diagonalizing
+the τ-Toeplitz structure with FFTs collapses every contraction to an
+``O(F · R · C)`` per-frequency product (F ≈ L): ~30 GFLOP of cross-spectra
+plus the transforms — the β=2 analog of the dense Gram re-association,
+where the MXU batches the per-frequency GEMMs and the elementwise β=2
+cotangents (neg ← V, pos ← WH; reference nmf.py:62-63) need no
+time-domain reconstruction at all.
+
+Only β = 2 qualifies: every other β applies a nonlinearity to WH
+elementwise, which has no frequency-domain form.
+
+Numerics: f32 FFTs introduce ~1e-6-relative rounding versus the GEMM
+order; the path therefore ships **opt-in** (``PNT_NMFD_FFT=1``) so the
+default trajectories keep bit-level agreement with the reference-parity
+contract.  Correctness is guarded by its own parity tests against the
+conv/GEMM formulation.
+
+Aliasing: with ``Nfft ≥ L_out + 1`` every lag read below is a pure linear
+correlation — the largest contributing index is ``L_in-1 + T-1 = L_out-1 <
+Nfft`` and negative-lag wraparound would need ``m + τ ≥ Nfft > L_out-1``,
+which cannot occur.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import eps
+from .mu import mu_multiplier
+
+__all__ = ["fft_beta2_updater_factory", "use_fft_beta2"]
+
+
+def use_fft_beta2(beta: float, spatial_ndim: int) -> bool:
+    """Whether the opt-in FFT β=2 path applies (``PNT_NMFD_FFT=1``)."""
+    return (
+        beta == 2
+        and spatial_ndim == 1
+        and os.environ.get("PNT_NMFD_FFT", "") == "1"
+    )
+
+
+def _nfft(L_out: int) -> int:
+    n = 1
+    while n < L_out + 1:
+        n *= 2
+    return n
+
+
+def _spec_h(H, n):
+    return jnp.fft.rfft(H, n=n, axis=-1)  # (N, R, F) complex64
+
+
+def _spec_w(W, n):
+    return jnp.fft.rfft(W, n=n, axis=-1)  # (C, R, F)
+
+
+def _wh_spec(Hf, Wf):
+    # (N, R, F) x (C, R, F) -> (N, C, F)
+    return jnp.einsum("nrf,crf->ncf", Hf, Wf)
+
+
+def _corr_w(Hf, Xf, T):
+    """``out[c,r,τ] = Σ_{n,m} H[n,r,m] X[n,c,m+τ]`` for τ ∈ [0, T)."""
+    F = jnp.einsum("nrf,ncf->crf", jnp.conj(Hf), Xf)
+    n = 2 * (Hf.shape[-1] - 1)
+    return jnp.fft.irfft(F, n=n, axis=-1)[..., :T]
+
+
+def _corr_h(Wf, Xf, L_in):
+    """``out[n,r,m] = Σ_{c,τ} W[c,r,τ] X[n,c,m+τ]`` for m ∈ [0, L_in)."""
+    F = jnp.einsum("crf,ncf->nrf", jnp.conj(Wf), Xf)
+    n = 2 * (Wf.shape[-1] - 1)
+    return jnp.fft.irfft(F, n=n, axis=-1)[..., :L_in]
+
+
+def _c_chunk(C: int, R: int, F: int) -> int:
+    """Channel-chunk size keeping the per-chunk kernel spectrum
+    ``(Cb, R, F)`` complex64 around ~256 MB — the full (C, R, F) spectrum
+    at the flagship scale is ~3 GB and OOMs HBM."""
+    budget = 256 * 1024**2 // 16  # complex64 + one live irfft buffer
+    cb = max(budget // max(R * F, 1), 1)
+    return min(cb, C)
+
+
+def fft_beta2_updater_factory(gamma, l1_reg, l2_reg):
+    """β=2 NMFD updaters in the frequency domain (3-tuple updater
+    protocol — factors stay in model layout).
+
+    The channel axis streams through a ``lax.scan`` so the kernel
+    spectrum never materializes whole: each chunk transforms its
+    ``W[c_blk]``, forms its reconstruction spectrum ``WHf_c`` and
+    cross-spectra against the shared activation/target spectra, and
+    inverse-transforms its own complete ``neg``/``pos`` slices (the
+    multiplier applies per chunk on the W side; the H side accumulates
+    the channel-summed spectra)."""
+    from jax import lax
+
+    def _specs(V, W, H):
+        n = _nfft(V.shape[-1])
+        C, R = W.shape[0], W.shape[1]
+        cb = _c_chunk(C, R, n // 2 + 1)
+        n_ch = -(-C // cb)
+        pad = n_ch * cb - C
+        Wp = jnp.pad(W, ((0, pad), (0, 0), (0, 0))) if pad else W
+        Vp = jnp.pad(V, ((0, 0), (0, pad), (0, 0))) if pad else V
+        Hf = _spec_h(H, n)
+        return n, cb, n_ch, pad, Wp, Vp, Hf
+
+    def upd_W(V, W, H):
+        T = W.shape[-1]
+        n, cb, n_ch, pad, Wp, Vp, Hf = _specs(V, W, H)
+
+        def chunk(carry, inp):
+            Wc, Vc = inp  # (cb, R, T), (N, cb, L_out)
+            Wfc = jnp.fft.rfft(Wc, n=n, axis=-1)
+            Vfc = jnp.fft.rfft(Vc, n=n, axis=-1)
+            WHfc = _wh_spec(Hf, Wfc)  # (N, cb, F)
+            neg = jax.nn.relu(_corr_w(Hf, Vfc, T)) + eps
+            pos = jax.nn.relu(_corr_w(Hf, WHfc, T)) + eps
+            return carry, Wc * mu_multiplier(
+                neg, pos, Wc, gamma, l1_reg, l2_reg
+            )
+
+        _, W_new = lax.scan(
+            chunk, 0,
+            (
+                Wp.reshape(n_ch, cb, *W.shape[1:]),
+                jnp.moveaxis(
+                    Vp.reshape(V.shape[0], n_ch, cb, V.shape[-1]), 0, 1
+                ),
+            ),
+        )
+        out = W_new.reshape(-1, *W.shape[1:])
+        return out[: W.shape[0]] if pad else out
+
+    def upd_H(V, W, H):
+        L_in = H.shape[-1]
+        n, cb, n_ch, pad, Wp, Vp, Hf = _specs(V, W, H)
+        F = n // 2 + 1
+        N, R = H.shape[0], H.shape[1]
+
+        def chunk(carry, inp):
+            negf, posf = carry
+            Wc, Vc = inp
+            Wfc = jnp.fft.rfft(Wc, n=n, axis=-1)
+            Vfc = jnp.fft.rfft(Vc, n=n, axis=-1)
+            WHfc = _wh_spec(Hf, Wfc)
+            negf = negf + jnp.einsum("crf,ncf->nrf", jnp.conj(Wfc), Vfc)
+            posf = posf + jnp.einsum("crf,ncf->nrf", jnp.conj(Wfc), WHfc)
+            return (negf, posf), None
+
+        z = jnp.zeros((N, R, F), jnp.complex64)
+        (negf, posf), _ = lax.scan(
+            chunk, (z, z),
+            (
+                Wp.reshape(n_ch, cb, *W.shape[1:]),
+                jnp.moveaxis(
+                    Vp.reshape(N, n_ch, cb, V.shape[-1]), 0, 1
+                ),
+            ),
+        )
+        neg = jax.nn.relu(
+            jnp.fft.irfft(negf, n=n, axis=-1)[..., :L_in]
+        ) + eps
+        pos = jax.nn.relu(
+            jnp.fft.irfft(posf, n=n, axis=-1)[..., :L_in]
+        ) + eps
+        return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
+
+    def loss_terms(V, W, H):
+        from ..metrics import beta_div
+
+        n, cb, n_ch, pad, Wp, Vp, Hf = _specs(V, W, H)
+        L_out = V.shape[-1]
+
+        def chunk(carry, inp):
+            Wc, Vc = inp
+            Wfc = jnp.fft.rfft(Wc, n=n, axis=-1)
+            WH_c = jnp.fft.irfft(
+                _wh_spec(Hf, Wfc), n=n, axis=-1
+            )[..., :L_out]
+            return carry + beta_div(WH_c, Vc, 2.0), None
+
+        total, _ = lax.scan(
+            chunk, jnp.float32(0.0),
+            (
+                Wp.reshape(n_ch, cb, *W.shape[1:]),
+                jnp.moveaxis(
+                    Vp.reshape(V.shape[0], n_ch, cb, V.shape[-1]), 0, 1
+                ),
+            ),
+        )
+        return total
+
+    return upd_W, upd_H, loss_terms

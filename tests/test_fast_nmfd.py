@@ -161,3 +161,51 @@ def test_frozen_kernel_bit_exact_through_layout_roundtrip(C, R, T, L):
     m = NMFD(W=W0, H=H0, trainable_W=False)
     m.fit(V, 1, 0, 5)
     assert np.array_equal(np.asarray(m.W.data), W0)
+
+
+@pytest.mark.parametrize("shapes", [(1, 8, 50, 3, 6), (2, 5, 40, 4, 9)])
+def test_fft_beta2_matches_unfold_path(shapes):
+    """The opt-in FFT beta=2 NMFD path (PNT_NMFD_FFT=1) must reproduce the
+    unfold-GEMM trajectory (frequency-domain rounding only) and make the
+    same early-stop decisions."""
+    import os
+
+    from pytorch_nmf_tpu.nmf import NMFD
+
+    N, C, L, R, T = shapes
+    rng = np.random.RandomState(77)
+    V = rng.rand(N, C, L).astype("f")
+    a = NMFD(V.shape, R, T=T)
+    b = NMFD(V.shape, R, T=T)
+    b.load_state_dict(a.state_dict())
+
+    na = a.fit(V, 2, 1e-4, 12)
+    os.environ["PNT_NMFD_FFT"] = "1"
+    try:
+        nb = b.fit(V, 2, 1e-4, 12)
+    finally:
+        del os.environ["PNT_NMFD_FFT"]
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+def test_fft_beta2_resolver_dispatch():
+    """PNT_NMFD_FFT selects a distinct factory object (so the toggle lands
+    in the solver compile-cache key) and only reroutes beta=2."""
+    import os
+
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        nmfd_fft_updater_factory,
+        nmfd_unfold_updater_factory,
+        resolve_nmfd_updater_factory,
+    )
+
+    assert resolve_nmfd_updater_factory() is nmfd_unfold_updater_factory
+    os.environ["PNT_NMFD_FFT"] = "1"
+    try:
+        assert resolve_nmfd_updater_factory() is nmfd_fft_updater_factory
+        assert resolve_nmfd_updater_factory(spatial_ndim=2) is not \
+            nmfd_fft_updater_factory
+    finally:
+        del os.environ["PNT_NMFD_FFT"]
