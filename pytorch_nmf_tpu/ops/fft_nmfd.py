@@ -29,13 +29,12 @@ default trajectories keep bit-level agreement with the reference-parity
 contract.  Correctness is guarded by its own parity tests against the
 conv/GEMM formulation.
 
-Aliasing: with ``Nfft ≥ L_out + 1`` every lag read below is a pure linear
-correlation — the largest contributing index is ``L_in-1 + T-1 = L_out-1 <
-Nfft`` and negative-lag wraparound would need ``m + τ ≥ Nfft > L_out-1``,
-which cannot occur.
+Aliasing: with ``Nfft ≥ L_out`` every lag read below is a pure linear
+correlation — the largest contributing circular index is
+``L_in-1 + T-1 = L_out-1 < Nfft``, and negative-lag wraparound at lag τ
+would need a contributor ``m ≥ Nfft - τ`` with ``m ≤ L_in-1``, impossible
+since ``Nfft - τ > L_out-1 - (T-1) = L_in-1``.
 """
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -43,31 +42,18 @@ import jax.numpy as jnp
 from ..constants import eps
 from .mu import mu_multiplier
 
-__all__ = ["fft_beta2_updater_factory", "use_fft_beta2"]
-
-
-def use_fft_beta2(beta: float, spatial_ndim: int) -> bool:
-    """Whether the opt-in FFT β=2 path applies (``PNT_NMFD_FFT=1``)."""
-    return (
-        beta == 2
-        and spatial_ndim == 1
-        and os.environ.get("PNT_NMFD_FFT", "") == "1"
-    )
+__all__ = ["fft_beta2_updater_factory"]
 
 
 def _nfft(L_out: int) -> int:
     n = 1
-    while n < L_out + 1:
+    while n < L_out:
         n *= 2
     return n
 
 
 def _spec_h(H, n):
     return jnp.fft.rfft(H, n=n, axis=-1)  # (N, R, F) complex64
-
-
-def _spec_w(W, n):
-    return jnp.fft.rfft(W, n=n, axis=-1)  # (C, R, F)
 
 
 def _wh_spec(Hf, Wf):
@@ -80,13 +66,6 @@ def _corr_w(Hf, Xf, T):
     F = jnp.einsum("nrf,ncf->crf", jnp.conj(Hf), Xf)
     n = 2 * (Hf.shape[-1] - 1)
     return jnp.fft.irfft(F, n=n, axis=-1)[..., :T]
-
-
-def _corr_h(Wf, Xf, L_in):
-    """``out[n,r,m] = Σ_{c,τ} W[c,r,τ] X[n,c,m+τ]`` for m ∈ [0, L_in)."""
-    F = jnp.einsum("crf,ncf->nrf", jnp.conj(Wf), Xf)
-    n = 2 * (Wf.shape[-1] - 1)
-    return jnp.fft.irfft(F, n=n, axis=-1)[..., :L_in]
 
 
 def _c_chunk(C: int, R: int, F: int) -> int:

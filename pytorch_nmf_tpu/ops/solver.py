@@ -69,11 +69,12 @@ __all__ = [
 # runtime thread, not the thread that entered fit(), so a thread-local
 # lookup would find nothing; and a per-fit identity would have to travel
 # through the compiled program as a traced argument, splitting the solver
-# cache per fit call.  The consequence is purely cosmetic: two fits
-# running verbose CONCURRENTLY (already inadvisable — two device programs
-# queue against each other) would interleave their progress lines into
-# whichever handler is topmost.  Mutation is lock-guarded so concurrent
-# push/pop cannot corrupt the stack itself.
+# cache per fit call.  Every registered handler observes every event (so
+# a user's LossHistory recorder coexists with the fit's tqdm bar); the
+# consequence is purely cosmetic: two fits running verbose CONCURRENTLY
+# (already inadvisable — two device programs queue against each other)
+# would deliver both fits' interleaved events to every handler.  Mutation
+# is lock-guarded so concurrent push/pop cannot corrupt the stack.
 # --------------------------------------------------------------------------
 import threading as _threading
 
