@@ -18,4 +18,5 @@ from .module import Module, Parameter, Sequential, manual_seed  # noqa: F401
 from .ops.sparse import SparseCOO, sparse_coo_tensor, sparse_from_dense  # noqa: F401
 
 name = "pytorch_nmf_tpu"
-__version__ = "0.1.0"
+# Single source of truth for the release string; setup.py parses this line.
+__version__ = "1.0.0"

@@ -44,8 +44,10 @@ def _dot_tn(a, b):
     if a.dtype != b.dtype:
         dt = jnp.promote_types(a.dtype, b.dtype)
         a, b = a.astype(dt), b.astype(dt)
+    from .recon import acc_type
+
     return lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=acc_type(a, b)
     )
 
 

@@ -30,6 +30,17 @@ from ..module import as_array
 __all__ = ["linear", "deconv1d", "deconv2d", "deconv3d", "scaled_kernel"]
 
 
+def acc_type(*xs):
+    """Accumulation dtype: float32 everywhere (bf16 operands still
+    accumulate in f32 on the MXU), EXCEPT when an operand is float64 —
+    the x64-CPU double-precision mode (reference honors input dtype,
+    torchnmf/nmf.py:215) must not truncate its accumulations."""
+    for x in xs:
+        if x.dtype == jnp.float64:
+            return jnp.float64
+    return jnp.float32
+
+
 def linear(H, W, *, precision=None):
     """``H @ W.T`` on the MXU with float32 accumulation."""
     H = as_array(H)
@@ -39,7 +50,7 @@ def linear(H, W, *, precision=None):
         W,
         dimension_numbers=(((H.ndim - 1,), (1,)), ((), ())),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type(H, W),
     )
 
 
@@ -73,7 +84,7 @@ def _deconv1d_patch_gemm(H, W):
     P = P.transpose(0, 2, 1, 3).reshape(n, li + t - 1, r * t)
     return jnp.einsum(
         "nlk,ck->ncl", P, W.reshape(c, r * t),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type(P, W),
     )
 
 
@@ -121,7 +132,7 @@ def _deconv(H, W, spatial_ndim: int):
         window_strides=(1,) * spatial_ndim,
         padding=pads,
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type(H, W),
     )
 
 

@@ -1,11 +1,16 @@
+import re
+
 from setuptools import find_packages, setup
 
 with open("README.md", encoding="utf-8") as f:
     long_description = f.read()
 
+with open("pytorch_nmf_tpu/__init__.py", encoding="utf-8") as f:
+    version = re.search(r'__version__ = "([^"]+)"', f.read()).group(1)
+
 setup(
     name="pytorch_nmf_tpu",
-    version="0.1.0",
+    version=version,
     description=(
         "TPU-native non-negative matrix factorization: NMF/NMFD/NMF2D/NMF3D "
         "and PLCA/SIPLCA families with multiplicative-update and EM solvers, "

@@ -581,3 +581,37 @@ def test_nmf2d_streaming_mode_parity():
 
     assert _maxdiff(tm.W, jm.W.data) < 2e-5
     assert _maxdiff(tm.H, jm.H.data) < 2e-5
+
+
+@pytest.mark.parametrize("beta", [1, 2])
+def test_nmf_fit_parity_float64(beta):
+    """x64 mode: the whole fit runs in double precision and tracks the
+    torch double trajectory to f64 tolerances (reference honors input
+    dtype, torchnmf/nmf.py:215) — 1e-12 is 7 orders below what any
+    f32-contaminated accumulation could reach."""
+    import jax
+
+    rng = np.random.RandomState(31)
+    V = rng.rand(50, 30) + 0.01
+    W0 = rng.rand(30, 6) + 0.1
+    H0 = rng.rand(50, 6) + 0.1
+
+    # the reference allocates parameters with torch.empty (default dtype)
+    # and copies the init in (nmf.py:216-218), so true-double reference
+    # trajectories need the f64 default dtype during construction
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torchnmf.nmf.NMF(
+            W=torch.tensor(W0, dtype=torch.float64),
+            H=torch.tensor(H0, dtype=torch.float64),
+        )
+        tm.fit(torch.tensor(V, dtype=torch.float64), beta, 0, 20)
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        jm = NMF(W=W0, H=H0)
+        jm.fit(V, beta, 0, 20)
+        assert jm.W.data.dtype == np.float64
+        assert _maxdiff(tm.W, jm.W.data) < 1e-12
+        assert _maxdiff(tm.H, jm.H.data) < 1e-12
