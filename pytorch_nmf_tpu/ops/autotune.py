@@ -1,0 +1,246 @@
+r"""One-time per-shape runtime autotune for the deconvolutional MU engine.
+
+Why this exists (VERDICT r2 item 1, ROADMAP "Deconv path selection"): the
+relative cost of the three deconv MU formulations — XLA's conv engine, the
+unfold/patch-GEMM engine (:mod:`.fast_nmfd`), and the FFT cross-spectrum
+engine at β=2 (:mod:`.fft_nmfd`) — is NOT a simple function of shape.
+Measured on TPU v5e:
+
+* flagship (C=1025, R=3-88, T=400, L=5000): unfold beats conv 8-15×
+  (XLA's conv rate collapses with tiny R);
+* mid-scale (C=256, R=32, T=128, L=2000, β=2): conv beats unfold **42×**
+  (0.59 vs 24.8 ms/iter — the slice-op overhead dominates the small GEMMs).
+
+No static heuristic we tried captures both regimes, so the only honest
+selector is empirical: compile each applicable candidate once for the
+actual (shape, β) about to be fitted, time a few iterations of the real
+update pair ON THE REAL DEVICE, and cache the winner next to the solver
+cache.  Problems below a FLOP threshold keep the static heuristic — at
+sub-ms iteration costs the wrong choice loses microseconds while an
+autotune would cost seconds of compilation.
+
+Timing methodology mirrors ``bench.py``: the iteration count is a TRACED
+``fori_loop`` bound, so one compiled program serves both loop lengths, and
+the per-iteration cost is the two-length difference quotient — the fixed
+dispatch+fetch latency of relay-attached TPU runtimes (~35-40 ms) cancels
+exactly.  Sync is on a scalar.
+
+Env knobs:
+
+* ``PNT_NMFD_AUTOTUNE=0`` — disable (static heuristic only);
+  ``=1`` — force, ignoring the FLOP threshold.
+* ``PNT_AUTOTUNE_MIN_FLOPS`` — threshold (default 1e9 conv-MACs/iter).
+* ``PNT_AUTOTUNE_CACHE=/path.json`` — opt-in persistent winner cache
+  (process-local otherwise).
+* The engine kill switches still win: ``PNT_NMFD_UNFOLD=0`` forces conv,
+  ``PNT_NMFD_FFT=1`` forces the FFT β=2 engine.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["resolve_deconv_factory", "autotune_winner", "clear_cache"]
+
+# (platform, spatial_ndim, beta, V_shape, H_shape) -> winner name
+_WINNERS = {}
+_MIN_FLOPS_DEFAULT = 1e9
+
+
+def clear_cache() -> None:
+    _WINNERS.clear()
+
+
+def _persist_path():
+    return os.environ.get("PNT_AUTOTUNE_CACHE", "")
+
+
+def _key_str(key) -> str:
+    platform, nd, beta, vs, hs = key
+    return f"{platform}|{nd}|{beta:g}|{','.join(map(str, vs))}|" \
+           f"{','.join(map(str, hs))}"
+
+
+def _load_persisted(key):
+    path = _persist_path()
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get(_key_str(key))
+    except (OSError, ValueError):
+        return None
+
+
+def _save_persisted(key, winner: str) -> None:
+    path = _persist_path()
+    if not path:
+        return
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[_key_str(key)] = winner
+        with open(path, "w") as f:
+            json.dump(data, f, indent=0, sort_keys=True)
+    except (OSError, ValueError):  # cache is best-effort
+        pass
+
+
+def _conv_macs_per_iter(V_shape, H_shape) -> float:
+    """Rough conv-formulation MACs for ONE MU iteration (the 4 heavy
+    contractions of the W+H update pair share this count)."""
+    N, C = int(V_shape[0]), int(V_shape[1])
+    R = int(H_shape[1])
+    Lp = 1
+    for s in V_shape[2:]:
+        Lp *= int(s)
+    K = 1
+    for v, h in zip(V_shape[2:], H_shape[2:]):
+        K *= int(v) - int(h) + 1
+    return 4.0 * N * Lp * K * R * C
+
+
+def _candidates(beta: float, spatial_ndim: int):
+    """(name, factory_or_None) candidates for this config.  ``None`` is
+    the generic conv/VJP engine (what ``get_dense_fit`` uses when no
+    updater factory is supplied)."""
+    from .fast_nmfd import _FACTORIES, nmfd_fft_updater_factory
+
+    cands = [("unfold", _FACTORIES[spatial_ndim]), ("conv", None)]
+    if spatial_ndim == 1 and beta == 2:
+        cands.append(("fft", nmfd_fft_updater_factory))
+    return cands
+
+
+def _factory_by_name(name: str, beta: float, spatial_ndim: int):
+    for n, f in _candidates(beta, spatial_ndim):
+        if n == name:
+            return f
+    return None
+
+
+def _timing_loop(updaters, recon2, beta, gamma):
+    """Jitted ``run(V, W, H, n) -> scalar`` executing ``n`` full MU
+    iterations (W then H, like the solver) with a TRACED count — one
+    compile serves every loop length."""
+    from .solver import _default_updaters, _normalize_updaters
+
+    if updaters is None:
+        updaters = _default_updaters(recon2, beta, gamma, 0.0, 0.0)
+    upd_W, upd_H, _, prepare, _ = _normalize_updaters(updaters)
+
+    def run(V, W, H, n):
+        state0 = (W, H) if prepare is None else prepare(V, W, H)
+
+        def body(i, s):
+            w, h = s
+            return upd_W(V, w, h), upd_H(V, w, h)
+
+        w, h = lax.fori_loop(0, n, body, state0)
+        return h.ravel()[0]  # scalar sync; fetching h waits for the loop
+
+    return jax.jit(run)
+
+
+def _time_candidate(run, V, W, H, reps: int = 2) -> float:
+    """Marginal seconds/iteration via the two-length difference quotient
+    (fixed dispatch latency cancels; CLAUDE.md TPU-timing discipline)."""
+
+    def timed(n, k=reps):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            float(run(V, W, H, jnp.int32(n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # compile + first-execution warmup (the relay's first run is slow)
+    timed(2, k=2)
+    pilot = timed(16, k=1)
+    per = max((pilot - 0.04) / 16, 1e-5)
+    n_long = int(min(max(0.4 / per, 32), 20000))
+    n_short = max(n_long // 4, 4)
+    t_short = timed(n_short)
+    t_long = timed(n_long)
+    d = t_long - t_short
+    if d <= 0:  # contaminated measurement; bias-high fallback
+        return t_long / n_long
+    return d / (n_long - n_short)
+
+
+def autotune_winner(V, W, H, beta: float, spatial_ndim: int, recon2) -> str:
+    """Time every applicable engine for this (shape, β) on the actual
+    device and return the winner's name, caching it (process-local, plus
+    the opt-in persistent JSON cache)."""
+    from .mu import gamma_from_beta
+
+    key = (
+        jax.devices()[0].platform,
+        spatial_ndim,
+        float(beta),
+        tuple(int(s) for s in V.shape),
+        tuple(int(s) for s in H.shape),
+    )
+    if key in _WINNERS:
+        return _WINNERS[key]
+    persisted = _load_persisted(key)
+    if persisted is not None:
+        _WINNERS[key] = persisted
+        return persisted
+
+    gamma = gamma_from_beta(beta)
+    results = {}
+    for name, factory in _candidates(beta, spatial_ndim):
+        try:
+            updaters = (
+                factory(beta, gamma, 0.0, 0.0) if factory is not None else None
+            )
+            run = _timing_loop(updaters, recon2, beta, gamma)
+            results[name] = _time_candidate(run, V, W, H)
+        except Exception:  # candidate failed to compile/run: never fatal
+            continue
+    if not results:
+        winner = "unfold"  # static-heuristic default
+    else:
+        winner = min(results, key=results.get)
+    _WINNERS[key] = winner
+    _save_persisted(key, winner)
+    return winner
+
+
+def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
+    """Per-fit engine selection for the deconvolutional family.
+
+    Explicit env forces first (identical semantics to the static
+    resolver), then the FLOP threshold, then the measured winner."""
+    from .fast_nmfd import (
+        _FACTORIES,
+        nmfd_fft_updater_factory,
+        resolve_nmfd_updater_factory,
+    )
+
+    if os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
+        return None
+    if spatial_ndim == 1 and os.environ.get("PNT_NMFD_FFT", "") == "1":
+        return nmfd_fft_updater_factory
+    if V.dtype == jnp.float64:  # x64 fits keep the generic conv engine
+        return None
+
+    mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
+    if mode == "0":
+        return resolve_nmfd_updater_factory(False, spatial_ndim)
+    if mode != "1":
+        min_flops = float(
+            os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
+        )
+        if _conv_macs_per_iter(V.shape, H.shape) < min_flops:
+            return resolve_nmfd_updater_factory(False, spatial_ndim)
+
+    winner = autotune_winner(V, W, H, beta, spatial_ndim, recon2)
+    return _factory_by_name(winner, beta, spatial_ndim)

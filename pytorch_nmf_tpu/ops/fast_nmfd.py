@@ -51,6 +51,9 @@ __all__ = [
 ]
 
 _DEFAULT_MAX_BYTES = 2 * 1024**3
+# 2 GiB was tuned on a 16 GB v5e; scale with the real HBM limit when the
+# runtime exposes it (ops/budget.py)
+_UNFOLD_HBM_FRACTION = 0.125
 
 
 def nmfd_unfold_supported(V_shape, W_shape) -> bool:
@@ -73,8 +76,10 @@ def nmfd_unfold_supported(V_shape, W_shape) -> bool:
     Lp = 1
     for s in V_shape[2:]:
         Lp *= s
-    max_bytes = int(
-        os.environ.get("PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES)
+    from .budget import budget_bytes
+
+    max_bytes = budget_bytes(
+        "PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES, _UNFOLD_HBM_FRACTION
     )
     return 4 * N * Lp * K * R <= max_bytes
 
@@ -461,7 +466,12 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
     always agree).
     """
 
-    def _mode(V_shape, H_shape):
+    def _mode(V_shape, H_shape, dtype=None):
+        # x64 double-precision fits keep the generic conv engine (its
+        # accumulations follow the operand dtype; the unfold machinery is
+        # f32-pinned TPU code — see recon.acc_type)
+        if dtype is not None and dtype == jnp.float64:
+            return "none"
         if len(V_shape) != 2 + spatial_ndim:
             return "none"
         kernel = _kernel_dims(V_shape, H_shape)
@@ -477,7 +487,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         return "unrolled" if K * R <= _CHUNK_COLS else "stream"
 
     def prepare(V, W, H):
-        m = _mode(V.shape, H.shape)
+        m = _mode(V.shape, H.shape, V.dtype)
         if m == "unrolled":
             return _w2(W), H
         if m == "stream":
@@ -485,7 +495,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         return W, H
 
     def finish(V, w, h):
-        m = _mode(V.shape, h.shape)
+        m = _mode(V.shape, h.shape, V.dtype)
         if m == "unrolled":
             return _w_from_w2(w, _kernel_dims(V.shape, h.shape),
                               int(h.shape[1])), h
@@ -571,7 +581,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         return s.reshape((R,) + (1,) * spatial_ndim)
 
     def upd_W(V, w, H):
-        mode = _mode(V.shape, H.shape)
+        mode = _mode(V.shape, H.shape, V.dtype)
         if mode == "none":
             return _generic(V, w, H, "W")
         if mode == "stream":
@@ -594,7 +604,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
     def upd_H(V, w, H):
-        mode = _mode(V.shape, H.shape)
+        mode = _mode(V.shape, H.shape, V.dtype)
         if mode == "none":
             return _generic(V, w, H, "H")
         neg, pos = _contractions(V, w, H, mode, w_side=False)
@@ -610,7 +620,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         # conv reconstruction would cost ~1/3 of a whole unfold update
         from ..metrics import beta_div
 
-        mode = _mode(V.shape, H.shape)
+        mode = _mode(V.shape, H.shape, V.dtype)
         if mode == "none":
             from . import recon as _recon
 
@@ -647,7 +657,8 @@ def unfold_deconv(H, W):
     S_in = H.shape[2:]
     S_out = tuple(s + k - 1 for s, k in zip(S_in, kernel))
     V_like = (N, W.shape[0]) + S_out
-    if not nmfd_unfold_supported(V_like, W.shape):
+    f64 = H.dtype == jnp.float64 or W.dtype == jnp.float64
+    if f64 or not nmfd_unfold_supported(V_like, W.shape):
         from . import recon as _recon
 
         return getattr(_recon, f"deconv{d}d")(H, W)

@@ -1,0 +1,129 @@
+"""Per-shape runtime autotune for the deconv engine (ops/autotune.py).
+
+Forces the autotuner on small CPU shapes via PNT_NMFD_AUTOTUNE=1 and
+checks: a winner is measured and cached, fits through the model API match
+the reference-parity trajectory regardless of which engine wins, and the
+env kill switches still take precedence.
+"""
+
+import numpy as np
+import pytest
+
+import pytorch_nmf_tpu as pnt
+from pytorch_nmf_tpu.nmf import NMFD
+from pytorch_nmf_tpu.ops import autotune
+
+RNG = np.random.RandomState(5)
+pnt.manual_seed(5)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    autotune.clear_cache()
+    yield
+    autotune.clear_cache()
+
+
+def _problem(beta=1.0):
+    V = RNG.rand(1, 12, 40).astype("f")
+    W0 = RNG.rand(12, 4, 6).astype("f") + 0.1
+    H0 = RNG.rand(1, 4, 35).astype("f") + 0.1
+    return V, W0, H0
+
+
+def test_autotune_measures_and_caches(monkeypatch):
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    V, W0, H0 = _problem()
+    m = NMFD(W=W0, H=H0)
+    m.fit(V, beta=1, tol=-np.inf, max_iter=5)
+    assert len(autotune._WINNERS) == 1
+    (key, winner), = autotune._WINNERS.items()
+    assert winner in ("unfold", "conv")
+    assert key[1] == 1 and key[2] == 1.0  # spatial_ndim, beta
+
+    # second fit at the same (shape, beta): cache hit, no re-timing
+    calls = []
+    monkeypatch.setattr(
+        autotune, "_time_candidate",
+        lambda *a, **k: calls.append(1) or 1.0,
+    )
+    m2 = NMFD(W=W0, H=H0)
+    m2.fit(V, beta=1, tol=-np.inf, max_iter=5)
+    assert not calls
+
+
+def test_autotune_fft_candidate_at_beta2(monkeypatch):
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    V, W0, H0 = _problem()
+    import jax.numpy as jnp
+
+    winner = autotune.autotune_winner(
+        jnp.asarray(V), jnp.asarray(W0), jnp.asarray(H0), 2.0, 1,
+        NMFD.reconstruct,
+    )
+    assert winner in ("unfold", "conv", "fft")
+
+
+@pytest.mark.parametrize("forced_winner", ["unfold", "conv", "fft"])
+def test_fit_matches_parity_for_any_winner(monkeypatch, forced_winner):
+    """Whatever engine the autotuner picks, the model-API trajectory stays
+    within the f32-rounding parity envelope of the default path."""
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    V, W0, H0 = _problem()
+
+    ref = NMFD(W=W0, H=H0)
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "0")
+    ref.fit(V, beta=2, tol=-np.inf, max_iter=5)
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    monkeypatch.setattr(
+        autotune, "autotune_winner", lambda *a, **k: forced_winner
+    )
+    m = NMFD(W=W0, H=H0)
+    m.fit(V, beta=2, tol=-np.inf, max_iter=5)
+
+    assert float(np.abs(np.asarray(m.W.data) - np.asarray(ref.W.data)).max()) < 5e-5
+    assert float(np.abs(np.asarray(m.H.data) - np.asarray(ref.H.data)).max()) < 5e-5
+
+
+def test_env_kill_switches_beat_autotune(monkeypatch):
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    monkeypatch.setenv("PNT_NMFD_UNFOLD", "0")
+    V, W0, H0 = _problem()
+    import jax.numpy as jnp
+
+    out = autotune.resolve_deconv_factory(
+        jnp.asarray(V), jnp.asarray(W0), jnp.asarray(H0), 1.0, 1,
+        NMFD.reconstruct,
+    )
+    assert out is None  # conv engine, no timing ran
+    assert not autotune._WINNERS
+
+
+def test_threshold_skips_small_problems(monkeypatch):
+    monkeypatch.delenv("PNT_NMFD_AUTOTUNE", raising=False)
+    V, W0, H0 = _problem()
+    m = NMFD(W=W0, H=H0)
+    m.fit(V, beta=1, tol=-np.inf, max_iter=3)
+    assert not autotune._WINNERS  # below PNT_AUTOTUNE_MIN_FLOPS
+
+
+def test_persistent_cache_roundtrip(monkeypatch, tmp_path):
+    cache = tmp_path / "autotune.json"
+    monkeypatch.setenv("PNT_AUTOTUNE_CACHE", str(cache))
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    V, W0, H0 = _problem()
+    m = NMFD(W=W0, H=H0)
+    m.fit(V, beta=1, tol=-np.inf, max_iter=3)
+    assert cache.exists()
+    saved = cache.read_text()
+    assert "unfold" in saved or "conv" in saved
+
+    # a fresh process-level cache reloads the winner without timing
+    autotune.clear_cache()
+    monkeypatch.setattr(
+        autotune, "_time_candidate",
+        lambda *a, **k: pytest.fail("timed despite persisted winner"),
+    )
+    m2 = NMFD(W=W0, H=H0)
+    m2.fit(V, beta=1, tol=-np.inf, max_iter=3)
