@@ -30,6 +30,7 @@ from ._common import (
     single,
     to_f32,
     triple,
+    validate_target,
 )
 from .nmf import _progress_scope
 
@@ -197,13 +198,28 @@ class BaseComponent(Module):
         original units.
         """
         V = to_f32(V)
-        assert bool(jnp.all(V >= 0)), "Target should be non-negative."
+        # single fused min-reduction guard (see models/_common.py)
+        validate_target(V, 1)
 
         W, H, Z = (
             self._parameters["W"],
             self._parameters["H"],
             self._parameters["Z"],
         )
+
+        try:
+            multi_device = len(V.devices()) > 1
+        except (AttributeError, TypeError):
+            multi_device = False
+        if multi_device and not verbose:
+            routed = self._try_halo_fit(
+                V, W, H, Z, float(tol), int(max_iter),
+                W_alpha, H_alpha, Z_alpha,
+            )
+            if routed is not None:
+                W_new, H_new, Z_new, n_iter, norm = routed
+                W.data, H.data, Z.data = W_new, H_new, Z_new
+                return int(n_iter), norm
 
         fit_fn = _solver.get_plca_fit(
             type(self)._resolve_fit_recon3(),
@@ -230,6 +246,44 @@ class BaseComponent(Module):
         W.data, H.data, Z.data = W_new, H_new, Z_new
         return int(n_iter), norm
 
+    def _try_halo_fit(
+        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha
+    ):
+        """Hook: multi-device EM through a purpose-built shard_map solver,
+        or ``None`` to decline (→ GSPMD).  The shift-invariant family
+        overrides this (see :class:`_SIPLCABase`)."""
+        return None
+
+
+class _SIPLCABase(BaseComponent):
+    """Shared shift-invariant behavior: trailing-axis halo auto-routing
+    (mirrors the NMFD family; VERDICT r2 item 3)."""
+
+    _spatial_ndim = 1
+
+    def _try_halo_fit(
+        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha
+    ):
+        from jax.sharding import NamedSharding
+
+        sh = getattr(V, "sharding", None)
+        if not isinstance(sh, NamedSharding):
+            return None
+        spec = tuple(sh.spec)
+        if len(spec) != V.ndim or not isinstance(spec[-1], str):
+            return None
+        if any(s is not None for s in spec[:-1]):
+            return None
+        if sh.mesh.shape[spec[-1]] < 2:
+            return None
+        from ..parallel.halo import _sharded_siplca_fit
+
+        return _sharded_siplca_fit(
+            V, W.data, H.data, Z.data, sh.mesh, self._spatial_ndim,
+            tol, max_iter, W_alpha, H_alpha, Z_alpha,
+            W.requires_grad, H.requires_grad, Z.requires_grad, spec[-1],
+        )
+
 
 class PLCA(BaseComponent):
     r"""Probabilistic Latent Component Analysis:
@@ -251,7 +305,7 @@ class PLCA(BaseComponent):
         return _recon.linear(H, W * Z)
 
 
-class SIPLCA(BaseComponent):
+class SIPLCA(_SIPLCABase):
     r"""Shift-Invariant PLCA, 1-D (Smaragdis & Raj 2007;
     reference plca.py:376-449)."""
 
@@ -281,9 +335,11 @@ class SIPLCA(BaseComponent):
         return unfold_deconv(H, _recon.scaled_kernel(W, Z, 1))
 
 
-class SIPLCA2(BaseComponent):
+class SIPLCA2(_SIPLCABase):
     r"""Shift-Invariant PLCA across 2 dimensions
     (reference plca.py:452-525)."""
+
+    _spatial_ndim = 2
 
     def __init__(
         self,
@@ -312,9 +368,11 @@ class SIPLCA2(BaseComponent):
         return unfold_deconv(H, _recon.scaled_kernel(W, Z, 2))
 
 
-class SIPLCA3(BaseComponent):
+class SIPLCA3(_SIPLCABase):
     r"""Shift-Invariant PLCA across 3 dimensions
     (reference plca.py:528-606)."""
+
+    _spatial_ndim = 3
 
     def __init__(
         self,

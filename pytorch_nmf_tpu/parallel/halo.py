@@ -125,8 +125,11 @@ def _halo_unfold_mode(n_batch, lead_shapes, chunk, kernel, R) -> str:
     Lp = chunk
     for s, k in zip(lead_shapes, kernel[:-1]):
         Lp *= s + k - 1
-    max_bytes = int(
-        os.environ.get("PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES)
+    from ..ops.budget import budget_bytes
+    from ..ops.fast_nmfd import _UNFOLD_HBM_FRACTION
+
+    max_bytes = budget_bytes(
+        "PNT_NMFD_UNFOLD_MAX_BYTES", _DEFAULT_MAX_BYTES, _UNFOLD_HBM_FRACTION
     )
     if K * R <= _CHUNK_COLS:
         if 4 * n_batch * Lp * K * R * 2 <= max_bytes:
@@ -188,6 +191,8 @@ def _get_sharded_deconv_fit(
     seq_axis: str,
     loss_offset: float = 0.0,
     mode: str = "conv",
+    update_W: bool = True,
+    update_H: bool = True,
 ):
     gamma = gamma_from_beta(beta)
     halo = T - 1
@@ -228,30 +233,35 @@ def _get_sharded_deconv_fit(
             hh = left_halo(hp, halo, seq_axis)
 
             # ---- W update (fused streaming; globally summed per chunk)
-            if beta == 1:
-                s = lax.psum(jnp.sum(hp, axis=sum_axes), seq_axis)  # (R,)
-                pos_tiled = jnp.tile(s, Tc)[:, None]
-            else:
-                pos_tiled = None
-            w3 = _stream_upd_w(
-                V2, w3, hh, kernel, beta, gamma, l1_reg, l2_reg,
-                pos_tiled, pad=pad, psum_axis=seq_axis,
-            )
+            if update_W:
+                if beta == 1:
+                    s = lax.psum(jnp.sum(hp, axis=sum_axes), seq_axis)
+                    pos_tiled = jnp.tile(s, Tc)[:, None]
+                else:
+                    pos_tiled = None
+                w3 = _stream_upd_w(
+                    V2, w3, hh, kernel, beta, gamma, l1_reg, l2_reg,
+                    pos_tiled, pad=pad, psum_axis=seq_axis,
+                )
 
             # ---- H update with the new kernel; same (old) halo'd hp
-            negHh, posHh = _stream_contractions_h(
-                V2, w3, hh, kernel, beta, need_pos, pad,
-                varying_axis=seq_axis,
-            )
-            neg = jax.nn.relu(halo_adjoint(negHh, halo, seq_axis)) + eps
-            if beta == 1:
-                s2 = jnp.sum(w3.reshape(-1, R, C), axis=(0, 2))
-                pos = s2.reshape((1, R) + (1,) * nd)
-            else:
-                pos = (
-                    jax.nn.relu(halo_adjoint(posHh, halo, seq_axis)) + eps
+            if update_H:
+                negHh, posHh = _stream_contractions_h(
+                    V2, w3, hh, kernel, beta, need_pos, pad,
+                    varying_axis=seq_axis,
                 )
-            hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
+                neg = jax.nn.relu(halo_adjoint(negHh, halo, seq_axis)) + eps
+                if beta == 1:
+                    s2 = jnp.sum(w3.reshape(-1, R, C), axis=(0, 2))
+                    pos = s2.reshape((1, R) + (1,) * nd)
+                else:
+                    pos = (
+                        jax.nn.relu(halo_adjoint(posHh, halo, seq_axis))
+                        + eps
+                    )
+                hp = hp * mu_multiplier(
+                    neg, pos, hp, gamma, l1_reg, l2_reg
+                )
             return w3, hp
 
         W3 = _w3_from_w(W)
@@ -288,35 +298,37 @@ def _get_sharded_deconv_fit(
         def one_iter(state):
             w, hp = state
 
-            # ---- W update: adjoint wrt the replicated kernel.  NOTE: no
-            # explicit psum — shard_map's replication tracking transposes
-            # the cotangent of the replicated ``w`` with an automatic psum
-            # over the sequence axis; adding one would multiply by the
-            # axis size.
-            WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
-            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
-            neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
-            if beta == 1:
-                # analytic KL denominator: sum of H over all non-rank dims
-                # (device-varying partial -> explicit psum)
-                pos = lax.psum(
-                    jnp.sum(hp, axis=sum_axes, keepdims=True), seq_axis
-                ).reshape(_kl_shape(w.ndim))
-            else:
-                pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
-            w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
+            if update_W:
+                # ---- W update: adjoint wrt the replicated kernel.  NOTE:
+                # no explicit psum — shard_map's replication tracking
+                # transposes the cotangent of the replicated ``w`` with an
+                # automatic psum over the sequence axis; adding one would
+                # multiply by the axis size.
+                WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
+                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
+                neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
+                if beta == 1:
+                    # analytic KL denominator: sum of H over all non-rank
+                    # dims (device-varying partial -> explicit psum)
+                    pos = lax.psum(
+                        jnp.sum(hp, axis=sum_axes, keepdims=True), seq_axis
+                    ).reshape(_kl_shape(w.ndim))
+                else:
+                    pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
+                w = w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
-            # ---- H update: adjoint THROUGH the halo exchange -------------
-            WH, vjp = jax.vjp(lambda hh: recon(hh, w), hp)
-            neg_cot, pos_cot = mu_cotangents(V, WH, beta)
-            neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
-            if beta == 1:
-                pos = jnp.sum(w, axis=sum_axes, keepdims=True).reshape(
-                    _kl_shape(hp.ndim)
-                )
-            else:
-                pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
-            hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
+            if update_H:
+                # ---- H update: adjoint THROUGH the halo exchange ---------
+                WH, vjp = jax.vjp(lambda hh: recon(hh, w), hp)
+                neg_cot, pos_cot = mu_cotangents(V, WH, beta)
+                neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
+                if beta == 1:
+                    pos = jnp.sum(w, axis=sum_axes, keepdims=True).reshape(
+                        _kl_shape(hp.ndim)
+                    )
+                else:
+                    pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
+                hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
             return w, hp
 
         (W, Hp), k, conv = _converging_loop(
@@ -337,7 +349,7 @@ def _get_sharded_deconv_fit(
 
 def _sharded_deconv_fit(
     V, W, H, mesh, spatial_ndim, beta, tol, max_iter, l1_reg, l2_reg,
-    seq_axis,
+    seq_axis, update_W=True, update_H=True,
 ):
     V = jnp.asarray(V)
     W = jnp.asarray(W)
@@ -397,7 +409,7 @@ def _sharded_deconv_fit(
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
-        loss_offset, mode,
+        loss_offset, mode, bool(update_W), bool(update_H),
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)
@@ -412,6 +424,7 @@ def sharded_nmfd_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
+ update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMFD with the convolution time axis sharded over ``mesh``.
 
@@ -424,7 +437,8 @@ def sharded_nmfd_fit(
     trajectories.
     """
     return _sharded_deconv_fit(
-        V, W, H, mesh, 1, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+        V, W, H, mesh, 1, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
+        update_W, update_H,
     )
 
 
@@ -432,12 +446,14 @@ def sharded_nmf2d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
+ update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMF2D with the trailing spatial axis sharded over ``mesh``
     (the leading spatial axis stays local; same halo/divisibility rules
     on the trailing axis)."""
     return _sharded_deconv_fit(
-        V, W, H, mesh, 2, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+        V, W, H, mesh, 2, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
+        update_W, update_H,
     )
 
 
@@ -445,10 +461,12 @@ def sharded_nmf3d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
+ update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMF3D with the trailing spatial axis sharded over ``mesh``."""
     return _sharded_deconv_fit(
-        V, W, H, mesh, 3, beta, tol, max_iter, l1_reg, l2_reg, seq_axis
+        V, W, H, mesh, 3, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
+        update_W, update_H,
     )
 
 

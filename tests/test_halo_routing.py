@@ -1,0 +1,165 @@
+"""Model-API auto-routing of sharded deconv fits to the halo solvers.
+
+VERDICT r2 item 3: ``NMFD().fit(V_sharded)`` (and the SIPLCA family) must
+land on the purpose-built sequence-parallel solver when the target is
+sharded along the trailing (time) axis — matching the direct
+``sharded_nmfd_fit`` call bit-for-bit, since routing dispatches to the
+same function — and fall back to GSPMD for any other layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import pytorch_nmf_tpu as pnt
+from pytorch_nmf_tpu.nmf import NMFD
+from pytorch_nmf_tpu.parallel import make_mesh
+from pytorch_nmf_tpu.plca import SIPLCA
+
+RNG = np.random.RandomState(21)
+pnt.manual_seed(21)
+
+needs_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _nmfd_problem():
+    N, C, L_out, R, T = 2, 12, 64, 4, 5
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    return V, W0, H0
+
+
+def _shard_trailing(V, mesh, axis="seq"):
+    spec = NamedSharding(mesh, P(*([None] * (V.ndim - 1)), axis))
+    return jax.device_put(jnp.asarray(V), spec)
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1, 2])
+def test_nmfd_model_api_routes_to_halo(beta):
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+
+    Wd, Hd, n_d = sharded_nmfd_fit(
+        V, W0, H0, mesh, beta=beta, tol=1e-3, max_iter=50
+    )
+
+    m = NMFD(W=W0, H=H0)
+    n_m = m.fit(_shard_trailing(V, mesh), beta, 1e-3, 50)
+
+    # same function underneath => bit-for-bit identical trajectories
+    assert n_m == int(n_d)
+    assert np.array_equal(np.asarray(m.W.data), np.asarray(Wd))
+    assert np.array_equal(np.asarray(m.H.data), np.asarray(Hd))
+
+
+@needs_8
+def test_nmfd_routing_actually_taken(monkeypatch):
+    from pytorch_nmf_tpu.parallel import halo
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+    calls = []
+    orig = halo._sharded_deconv_fit
+    monkeypatch.setattr(
+        halo, "_sharded_deconv_fit",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
+    m = NMFD(W=W0, H=H0)
+    m.fit(_shard_trailing(V, mesh), 1, 0, 10)
+    assert calls  # the halo path ran, not GSPMD
+
+
+@needs_8
+def test_nmfd_frozen_factor_routes_and_matches():
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+
+    ref = NMFD(W=W0, H=H0, trainable_W=False)
+    ref.fit(V, 1, 0, 10)
+    assert np.array_equal(np.asarray(ref.W.data), W0)
+
+    m = NMFD(W=W0, H=H0, trainable_W=False)
+    m.fit(_shard_trailing(V, mesh), 1, 0, 10)
+    assert np.array_equal(np.asarray(m.W.data), W0)
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_nmfd_non_trailing_sharding_falls_back(monkeypatch):
+    """A channel-axis sharding is not halo material: GSPMD handles it and
+    the result still matches single-device."""
+    from pytorch_nmf_tpu.parallel import halo
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 4})
+    spec = NamedSharding(mesh, P(None, "seq", None))
+    Vs = jax.device_put(jnp.asarray(V), spec)
+
+    monkeypatch.setattr(
+        halo, "_sharded_deconv_fit",
+        lambda *a, **k: pytest.fail("halo route taken for channel sharding"),
+    )
+    ref = NMFD(W=W0, H=H0)
+    ref.fit(V, 1, 0, 10)
+    m = NMFD(W=W0, H=H0)
+    m.fit(Vs, 1, 0, 10)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+
+
+@needs_8
+def test_siplca_model_api_routes_to_halo():
+    from pytorch_nmf_tpu.parallel.halo import sharded_siplca_fit
+
+    N, C, L_out, R, T = 1, 8, 48, 3, 5
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    Z0 = np.full((R,), 1.0 / R, "f")
+    mesh = make_mesh({"seq": 8})
+
+    m = SIPLCA(W=W0, H=H0, Z=Z0)
+    # the constructor prob-normalizes; use the normalized values as the
+    # oracle's inputs so both starts are identical
+    Wn = np.asarray(m.W.data)
+    Hn = np.asarray(m.H.data)
+    Zn = np.asarray(m.Z.data)
+
+    Wd, Hd, Zd, n_d, norm_d = sharded_siplca_fit(
+        V, Wn, Hn, Zn, mesh, tol=1e-3, max_iter=50
+    )
+    n_m, norm_m = m.fit(_shard_trailing(V, mesh), 1e-3, 50)
+
+    assert n_m == int(n_d)
+    assert float(norm_m) == float(norm_d)
+    assert np.array_equal(np.asarray(m.W.data), np.asarray(Wd))
+    assert np.array_equal(np.asarray(m.H.data), np.asarray(Hd))
+    assert np.array_equal(np.asarray(m.Z.data), np.asarray(Zd))
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1, 2])
+def test_halo_update_flags_match_single_device(beta):
+    """The new trainability statics of the halo solver reproduce the
+    single-device frozen-factor trajectories."""
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+
+    Wd, Hd, _ = sharded_nmfd_fit(
+        V, W0, H0, mesh, beta=beta, tol=0, max_iter=10,
+        update_W=True, update_H=False,
+    )
+    ref = NMFD(W=W0, H=H0, trainable_H=False)
+    ref.fit(V, beta, 0, 10)
+    assert np.array_equal(np.asarray(Hd), H0)
+    assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
