@@ -70,9 +70,14 @@ def _corr_w(Hf, Xf, T):
 
 def _c_chunk(C: int, R: int, F: int) -> int:
     """Channel-chunk size keeping the per-chunk kernel spectrum
-    ``(Cb, R, F)`` complex64 around ~256 MB — the full (C, R, F) spectrum
-    at the flagship scale is ~3 GB and OOMs HBM."""
-    budget = 256 * 1024**2 // 16  # complex64 + one live irfft buffer
+    ``(Cb, R, F)`` complex64 around ~``PNT_FFT_CHUNK_MB`` (default 256 MB)
+    — the full (C, R, F) spectrum at the flagship scale is ~3 GB and OOMs
+    HBM, and the chunk size also bounds the batched-FFT program the remote
+    compiler must lower per scan body."""
+    import os
+
+    mb = int(os.environ.get("PNT_FFT_CHUNK_MB", 256))
+    budget = mb * 1024**2 // 16  # complex64 + one live irfft buffer
     cb = max(budget // max(R * F, 1), 1)
     return min(cb, C)
 

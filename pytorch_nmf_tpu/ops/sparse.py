@@ -350,9 +350,9 @@ def build_ell(V: SparseCOO, max_pad_factor: float = 4.0):
 
     if V.ndim != 2:
         return None
-    max_bytes = int(
-        os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3)
-    )
+    from .budget import budget_bytes
+
+    max_bytes = budget_bytes("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3, 0.25)
     M, K = V.shape
     ii, jj, vals = _host_coo_sorted(V)
     nnz = max(len(vals), 1)
@@ -655,8 +655,11 @@ def should_densify(V: SparseCOO) -> bool:
         return False
     if env == "1":
         return True
-    max_bytes = int(
-        os.environ.get("PNT_SPARSE_DENSIFY_MAX_BYTES", 4 * 1024**3)
+    from .budget import budget_bytes
+
+    # 4 GiB = 1/4 of a 16 GB v5e; scale with the real HBM limit when known
+    max_bytes = budget_bytes(
+        "PNT_SPARSE_DENSIFY_MAX_BYTES", 4 * 1024**3, 0.25
     )
     size = 4
     for s in V.shape:
