@@ -148,9 +148,14 @@ def _timing_loop(updaters, recon2, beta, gamma):
     return jax.jit(run)
 
 
-def _time_candidate(run, V, W, H, reps: int = 2) -> float:
+def _time_candidate(run, V, W, H, reps: int = 2, reject_above=None) -> float:
     """Marginal seconds/iteration via the two-length difference quotient
-    (fixed dispatch latency cancels; CLAUDE.md TPU-timing discipline)."""
+    (fixed dispatch latency cancels; CLAUDE.md TPU-timing discipline).
+
+    ``reject_above``: when the PILOT estimate already exceeds this (a
+    multiple of the best candidate so far), skip the full two-length
+    measurement — the pilot's ±dispatch-latency error cannot flip a
+    multiple-times-slower loser into a winner."""
 
     def timed(n, k=reps):
         best = float("inf")
@@ -164,7 +169,9 @@ def _time_candidate(run, V, W, H, reps: int = 2) -> float:
     timed(2, k=2)
     pilot = timed(16, k=1)
     per = max((pilot - 0.04) / 16, 1e-5)
-    n_long = int(min(max(0.4 / per, 32), 20000))
+    if reject_above is not None and per > reject_above:
+        return per
+    n_long = int(min(max(0.3 / per, 24), 20000))
     n_short = max(n_long // 4, 4)
     t_short = timed(n_short)
     t_long = timed(n_long)
@@ -202,7 +209,11 @@ def autotune_winner(V, W, H, beta: float, spatial_ndim: int, recon2) -> str:
                 factory(beta, gamma, 0.0, 0.0) if factory is not None else None
             )
             run = _timing_loop(updaters, recon2, beta, gamma)
-            results[name] = _time_candidate(run, V, W, H)
+            best = min(results.values()) if results else None
+            results[name] = _time_candidate(
+                run, V, W, H,
+                reject_above=(3.0 * best if best is not None else None),
+            )
         except Exception:  # candidate failed to compile/run: never fatal
             continue
     if not results:
