@@ -18,9 +18,19 @@ with its own baseline comparison.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# seed the deconv engine autotuner from the checked-in winner cache
+# (measured on TPU v5e; re-tunes and updates the file for unseen shapes)
+os.environ.setdefault(
+    "PNT_AUTOTUNE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "autotune_cache.json"),
+)
 
 # torchnmf CUDA (RTX 3070) ms/iter from BASELINE.md; sklearn-CPU ms/iter for
 # the sparse 10x-sklearn north-star target.
@@ -131,10 +141,32 @@ def main():
         grid.append(row)
         return row
 
+    def sklearn_ms_per_iter(V_csr, R, beta):
+        """Live sklearn-MU oracle (reference benchmark.ipynb cell 4 runs
+        sklearn side-by-side; enabled with --with-sklearn)."""
+        from sklearn.decomposition import NMF as SkNMF
+
+        def timed(iters):
+            m = SkNMF(
+                n_components=R, solver="mu", beta_loss=float(beta),
+                init="random", random_state=0, max_iter=iters, tol=0.0,
+            )
+            t0 = time.perf_counter()
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                m.fit(V_csr)
+            return time.perf_counter() - t0
+
+        t_short, t_long = timed(5), timed(25)
+        return max((t_long - t_short) / 20 * 1000.0, 1e-9)
+
     def sparse_row(M, K, R, beta):
         Vd = rng.rand(M, K).astype("f")
         thr = float(np.quantile(Vd, 0.98))
-        V_sp = sparse_from_dense(np.where(Vd > thr, Vd, 0))
+        V_np = np.where(Vd > thr, Vd, 0)
+        V_sp = sparse_from_dense(V_np)
         W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
         H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
 
@@ -162,6 +194,17 @@ def main():
                 BASELINE_SKLEARN_MS[("sparse", float(beta))] / ms, 2
             ),
         }
+        if "--with-sklearn" in sys.argv:
+            try:
+                from scipy import sparse as _sps
+
+                sk_ms = sklearn_ms_per_iter(
+                    _sps.csr_matrix(V_np), R, beta
+                )
+                row["sklearn_live_ms"] = round(sk_ms, 3)
+                row["vs_sklearn_live"] = round(sk_ms / ms, 2)
+            except ImportError:
+                pass
         grid.append(row)
         return row
 
@@ -214,22 +257,33 @@ def main():
         "iters_per_sec": round(1000.0 / ms, 1),
     })
 
-    # deconvolutional flagship (librosa-shaped NMFD: C=1025, T=400 over
-    # ~5k frames; reference examples/librosa_example.py) — unfold-GEMM MU
+    # deconvolutional rows (librosa-shaped NMFD flagship + the measured
+    # mid-scale path-inversion shape) — the engine per row comes from the
+    # per-shape runtime autotuner exactly as a model-API fit would
+    # (ops/autotune.py; winners persisted in autotune_cache.json)
     from pytorch_nmf_tpu.models.nmf import NMFD
-    from pytorch_nmf_tpu.ops.fast_nmfd import resolve_nmfd_updater_factory
+    from pytorch_nmf_tpu.ops.autotune import resolve_deconv_factory
 
-    nmfd_factory = resolve_nmfd_updater_factory()
-    for R, beta in ((8, 1.0), (88, 1.0), (88, 2.0)):
-        N, C, L_out, T = 1, 1025, 5000, 400
+    nmfd_cases = [
+        # (C, L_out, R, T, beta) — flagship grid
+        (1025, 5000, 8, 400, 1.0),
+        (1025, 5000, 88, 400, 1.0),
+        (1025, 5000, 88, 400, 2.0),
+        # the round-2 42x inversion shape (ROADMAP "Deconv path
+        # selection"): autotune must land on the conv engine here
+        (256, 2000, 32, 128, 2.0),
+    ]
+    for C, L_out, R, T, beta in nmfd_cases:
+        N = 1
         V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
         W = jnp.asarray(rng.rand(C, R, T).astype("f") + 0.1)
         H = jnp.asarray(rng.rand(N, R, L_out - T + 1).astype("f") + 0.1)
+        factory_d = resolve_deconv_factory(V, W, H, beta, 1, NMFD.reconstruct)
 
-        def make_fit(n, _beta=beta):
+        def make_fit(n, _beta=beta, _f=factory_d):
             return get_dense_fit(
                 NMFD.reconstruct, _beta, float("-inf"), n, True, True,
-                0.0, 0.0, False, nmfd_factory,
+                0.0, 0.0, False, _f,
             )
 
         ms = _marginal_ms_per_iter(make_fit, (V, W, H))
@@ -239,6 +293,87 @@ def main():
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
         })
+
+    # NMF2D (2-D deconv): spectrogram-patch scale
+    from pytorch_nmf_tpu.models.nmf import NMF2D
+
+    N, C, Hs, Ws_, R2, kh, kw = 1, 64, 128, 128, 16, 8, 8
+    V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
+    W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
+    H2d = jnp.asarray(
+        rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
+    )
+    fac2d = resolve_deconv_factory(V2d, W2d, H2d, 1.0, 2, NMF2D.reconstruct)
+
+    def make_fit_2d(n):
+        return get_dense_fit(
+            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac2d,
+        )
+
+    ms = _marginal_ms_per_iter(make_fit_2d, (V2d, W2d, H2d))
+    grid.append({
+        "metric": f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}_beta1",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
+
+    # Hoyer sparseness-constrained fit (projected gradient + line search)
+    from pytorch_nmf_tpu.ops.solver import get_hoyer_fit
+
+    M, K, R = 5168, 1025, 88
+    Vh = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
+    Wh = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
+    Hh = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
+
+    def make_fit_hoyer(n):
+        return get_hoyer_fit(
+            NMF.reconstruct, None, 2.0, n, True, True, 0.5, None, K, M,
+        )
+
+    ms = _marginal_ms_per_iter(make_fit_hoyer, (Vh, Wh, Hh))
+    grid.append({
+        "metric": f"nmf_hoyer_iter_{M}x{K}_r{R}_sW0.5_beta2",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
+
+    # BetaMu composed-model trainer (the reference's generic-MU headline,
+    # torchnmf/trainer.py): a 3-layer chain, one compiled sweep per step
+    import pytorch_nmf_tpu as pnt
+    from pytorch_nmf_tpu.trainer import BetaMu
+
+    pnt.manual_seed(0)
+    chain = pnt.Sequential(
+        NMF((2048, 256), rank=128),
+        NMF(W=(512, 256)),
+        NMF(W=(2048, 512)),
+    )
+    target = jnp.asarray(rng.rand(2048, 2048).astype("f"))
+    trainer = BetaMu(chain.parameters(), 1)
+
+    def closure():
+        trainer.zero_grad()
+        return target, chain(None)
+
+    params = list(chain.parameters())
+    for _ in range(3):  # compile + relay warmup
+        trainer.step(closure)
+    float(params[0].data.ravel()[0])  # drain pending work (scalar sync)
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.step(closure)
+    float(params[0].data.ravel()[0])
+    ms = (time.perf_counter() - t0) / n_steps * 1000.0
+    grid.append({
+        "metric": "betamu_chain_step_2048x2048_r128_256_512_beta1",
+        "value": round(ms, 5),
+        "unit": "ms/step",
+        "note": "includes per-step host dispatch",
+    })
 
     # shift-invariant PLCA EM (spectrogram-scale; the unfold speedup
     # reaches it through the E-step VJP)

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Multi-chip solver-path benchmark: shard_map overhead + weak scaling.
+
+The environment exposes ONE real TPU chip, so true multi-chip numbers are
+unavailable; what CAN be measured — and regression-tracked — is the cost
+of the explicit-collectives programs themselves: every `sharded_*` solver
+runs on an n-device mesh (n = all visible devices; n=1 today) against the
+same problem fitted by the plain single-device solver.  At n=1 the
+collectives are self-copies, so the ratio isolates the shard_map/halo
+machinery's overhead — the fixed tax the multi-chip fast path pays before
+ICI scaling buys anything.  On a real pod the same script reports weak
+scaling (per-device problem size held constant as n grows).
+
+Prints ONE JSON line: headline = the NMF shard overhead ratio at the
+measured device count; grid carries every row.
+
+Run on CPU instead (8 virtual devices) with:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 PNT_FORCE_CPU=1 \\
+      python bench_multichip.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+if os.environ.get("PNT_FORCE_CPU", "") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _marginal_ms_per_iter(make_fit, args, reps=4):
+    """Two-loop-length difference quotient (same methodology as bench.py:
+    fixed relay dispatch latency cancels; sync on the scalar n_iter)."""
+    FIXED_S = 0.035
+    TARGET_S = 1.5
+
+    def timed(iters, n_reps=reps):
+        fit = make_fit(iters)
+        for _ in range(2):
+            out = fit(*args)
+            np.asarray(out[-1])
+        times = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            out = fit(*args)
+            np.asarray(out[-1])
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    iters_long = 400
+    t_pilot = timed(iters_long, n_reps=2)
+    compute = max(t_pilot - FIXED_S, 0.004)
+    if compute < TARGET_S:
+        iters_long = min(int(iters_long * TARGET_S / compute), 100_000)
+    elif compute > 1.5 * TARGET_S:
+        iters_long = max(int(iters_long * TARGET_S / compute), 200)
+    iters_short = max(iters_long // 8, 25)
+
+    for _ in range(2):
+        t_short = timed(iters_short)
+        t_long = timed(iters_long)
+        ms = (t_long - t_short) / (iters_long - iters_short) * 1000.0
+        if ms > 0:
+            return ms
+    return t_long / iters_long * 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nmf_tpu.models.nmf import NMF, NMFD
+    from pytorch_nmf_tpu.ops.fast_nmf import resolve_nmf_updater_factory
+    from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
+    from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell, nmf_sp_pos_neg
+    from pytorch_nmf_tpu.parallel import make_mesh
+    from pytorch_nmf_tpu.parallel.halo import _sharded_deconv_fit
+    from pytorch_nmf_tpu.parallel.sharded import _get_sharded_nmf_fit, shard_target
+    from pytorch_nmf_tpu.parallel.sharded_sparse import sharded_sparse_nmf_fit
+
+    n_dev = jax.device_count()
+    mesh = make_mesh({"data": n_dev})
+    rng = np.random.RandomState(0)
+    grid = []
+
+    # ---- dense NMF: per-device 5168x1025 r88 (weak scaling over rows) ----
+    M_loc, K, R = 5168, 1025, 88
+    M = M_loc * n_dev
+    V = rng.rand(M, K).astype("f") + 1e-3
+    W0 = rng.rand(K, R).astype("f") + 0.1
+    H0 = rng.rand(M, R).astype("f") + 0.1
+    factory = resolve_nmf_updater_factory()
+
+    def make_plain(n):
+        return get_dense_fit(
+            NMF.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, factory,
+        )
+
+    plain_args = (jnp.asarray(V), jnp.asarray(W0), jnp.asarray(H0))
+    ms_plain = _marginal_ms_per_iter(make_plain, plain_args)
+
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_nmf_tpu.ops.pallas_mu import _interpret_mode, pallas_supported
+
+    Vs = shard_target(V, mesh, P("data"))
+    Ws = shard_target(W0, mesh, P())
+    Hs = shard_target(H0, mesh, P("data", None))
+
+    def make_sharded(n):
+        return _get_sharded_nmf_fit(
+            mesh, 1.0, float("-inf"), n, 0.0, 0.0, "data", None,
+            pallas_supported(), _interpret_mode(),
+        )
+
+    ms_shard = _marginal_ms_per_iter(make_sharded, (Vs, Ws, Hs))
+    nmf_overhead = ms_shard / ms_plain
+    grid.append({
+        "metric": f"nmf_shard_overhead_n{n_dev}_{M_loc}x{K}_r{R}_beta1",
+        "value": round(nmf_overhead, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain, 5),
+        "ms_sharded": round(ms_shard, 5),
+    })
+
+    # ---- NMFD halo: per-device ~1250 frames of the r8 flagship ----------
+    N, C, R, T = 1, 1025, 8, 400
+    L_loc = 1250
+    L = L_loc * n_dev
+    Vd = rng.rand(N, C, L).astype("f")
+    Wd0 = rng.rand(C, R, T).astype("f") + 0.1
+    Hd0 = rng.rand(N, R, L - T + 1).astype("f") + 0.1
+
+    from pytorch_nmf_tpu.ops.fast_nmfd import resolve_nmfd_updater_factory
+
+    nmfd_factory = resolve_nmfd_updater_factory()
+
+    def make_plain_nmfd(n):
+        return get_dense_fit(
+            NMFD.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, nmfd_factory,
+        )
+
+    ms_plain_d = _marginal_ms_per_iter(
+        make_plain_nmfd,
+        (jnp.asarray(Vd), jnp.asarray(Wd0), jnp.asarray(Hd0)),
+    )
+
+    seq_mesh = make_mesh({"seq": n_dev})
+
+    def make_halo(n):
+        def fit(V, W, H):
+            return _sharded_deconv_fit(
+                V, W, H, seq_mesh, 1, 1.0, float("-inf"), n, 0.0, 0.0,
+                "seq",
+            )
+        return fit
+
+    ms_halo = _marginal_ms_per_iter(
+        make_halo, (jnp.asarray(Vd), jnp.asarray(Wd0), jnp.asarray(Hd0))
+    )
+    grid.append({
+        "metric": f"nmfd_halo_overhead_n{n_dev}_{C}x{L_loc}loc_r{R}_T{T}_beta1",
+        "value": round(ms_halo / ms_plain_d, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_d, 5),
+        "ms_sharded": round(ms_halo, 5),
+    })
+
+    # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
+    Msp_loc, Ksp, Rsp = 8192, 8192, 64
+    Msp = Msp_loc * n_dev
+    nnz = 671_000 * n_dev
+    flat = np.unique(
+        rng.randint(0, Msp * Ksp, int(nnz * 1.1)).astype(np.int64)
+    )
+    rng.shuffle(flat)
+    flat = np.sort(flat[:nnz])
+    idx = np.stack([(flat // Ksp).astype("i4"), (flat % Ksp).astype("i4")])
+    V_coo = SparseCOO(idx, rng.rand(len(flat)).astype("f") + 0.01, (Msp, Ksp))
+    Wsp = rng.rand(Ksp, Rsp).astype("f") + 0.1
+    Hsp = rng.rand(Msp, Rsp).astype("f") + 0.1
+
+    V_ell = build_ell(V_coo)
+    def make_plain_sp(n):
+        return get_sparse_fit(
+            nmf_sp_pos_neg, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, False, NMF.reconstruct, None, True,
+        )
+
+    ms_plain_sp = _marginal_ms_per_iter(
+        make_plain_sp, (V_ell, jnp.asarray(Wsp), jnp.asarray(Hsp))
+    )
+
+    def make_sharded_sp(n):
+        def fit(V, W, H):
+            return sharded_sparse_nmf_fit(
+                V, W, H, mesh, beta=1.0, tol=float("-inf"), max_iter=n
+            )
+        return fit
+
+    ms_shard_sp = _marginal_ms_per_iter(
+        make_sharded_sp, (V_coo, Wsp, Hsp)
+    )
+    grid.append({
+        "metric": f"sparse_ell_shard_overhead_n{n_dev}_{Msp_loc}loc_x{Ksp}_r{Rsp}_beta1",
+        "value": round(ms_shard_sp / ms_plain_sp, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_sp, 5),
+        "ms_sharded": round(ms_shard_sp, 5),
+    })
+
+    out = {
+        "metric": f"nmf_shard_overhead_n{n_dev}",
+        "value": round(nmf_overhead, 4),
+        "unit": "x_plain",
+        "n_devices": n_dev,
+        "grid": grid,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
