@@ -180,6 +180,18 @@ class BaseComponent(Module):
             return cls.reconstruct
         return cls._fit_reconstruct
 
+    def _resolve_fit_recon3_shaped(self, V, W, H, Z):
+        """Shape-aware EM reconstruction selection: large shift-invariant
+        problems consult the runtime autotuner (the E-step's conv-vs-
+        unfold balance inverts with shape exactly like the deconv MU
+        engine); everything else keeps the static resolution."""
+        cls = type(self)
+        if cls._fit_reconstruct is None:
+            return cls.reconstruct
+        from ..ops.autotune import resolve_plca_recon3
+
+        return resolve_plca_recon3(cls, V, W, H, Z)
+
     def fit(
         self,
         V,
@@ -222,7 +234,7 @@ class BaseComponent(Module):
                 return int(n_iter), norm
 
         fit_fn = _solver.get_plca_fit(
-            type(self)._resolve_fit_recon3(),
+            self._resolve_fit_recon3_shaped(V, W.data, H.data, Z.data),
             float(tol),
             int(max_iter),
             W.requires_grad,

@@ -225,6 +225,86 @@ def autotune_winner(V, W, H, beta: float, spatial_ndim: int, recon2) -> str:
     return winner
 
 
+def _plca_timing_loop(recon3):
+    """Jitted ``run(V, W, H, Z, n) -> scalar``: ``n`` full EM iterations
+    through the given reconstruction (the E-step VJP dominates)."""
+    from .solver import _plca_em_iter
+
+    def run(V, W, H, Z, n):
+        norm = jnp.sum(V)
+        Vn = V / norm
+
+        def body(i, s):
+            return _plca_em_iter(
+                recon3, True, True, True, False, False, False,
+                Vn, s, 1.0, 1.0, 1.0,
+            )
+
+        w, h, z = lax.fori_loop(0, n, body, (W, H, Z))
+        return h.ravel()[0]
+
+    return jax.jit(run)
+
+
+def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3) -> str:
+    """Winner ('conv' | 'unfold') for the shift-invariant PLCA EM
+    reconstruction — the E-step differentiates through it, so it has the
+    same conv-vs-unfold inversion surface as the deconv MU engine."""
+    key = (
+        jax.devices()[0].platform,
+        "plca-em",
+        0.0,
+        tuple(int(s) for s in V.shape),
+        tuple(int(s) for s in H.shape),
+    )
+    if key in _WINNERS:
+        return _WINNERS[key]
+    persisted = _load_persisted(key)
+    if persisted is not None:
+        _WINNERS[key] = persisted
+        return persisted
+
+    results = {}
+    for name, recon3 in (("conv", conv_recon3), ("unfold", unfold_recon3)):
+        try:
+            run = _plca_timing_loop(recon3)
+            best = min(results.values()) if results else None
+
+            def wrapped(V_, W_, H_, n, _r=run, _Z=Z):
+                return _r(V_, W_, H_, _Z, n)
+
+            results[name] = _time_candidate(
+                wrapped, V, W, H,
+                reject_above=(3.0 * best if best is not None else None),
+            )
+        except Exception:
+            continue
+    winner = min(results, key=results.get) if results else "unfold"
+    _WINNERS[key] = winner
+    _save_persisted(key, winner)
+    return winner
+
+
+def resolve_plca_recon3(cls, V, W, H, Z):
+    """Per-fit EM reconstruction selection for the SIPLCA family: env
+    forces → FLOP threshold (static heuristic) → measured winner."""
+    conv = cls.reconstruct
+    unfold = cls._fit_reconstruct
+    if unfold is None or os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
+        return conv
+    mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
+    if mode == "0":
+        return cls._resolve_fit_recon3()
+    if mode != "1":
+        min_flops = float(
+            os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
+        )
+        if _conv_macs_per_iter(V.shape, H.shape) < min_flops:
+            return cls._resolve_fit_recon3()
+    winner = autotune_plca_recon3(V, W, H, Z, conv, unfold)
+    return conv if winner == "conv" else unfold
+
+
 def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
     """Per-fit engine selection for the deconvolutional family.
 

@@ -127,3 +127,25 @@ def test_persistent_cache_roundtrip(monkeypatch, tmp_path):
     )
     m2 = NMFD(W=W0, H=H0)
     m2.fit(V, beta=1, tol=-np.inf, max_iter=3)
+
+
+def test_plca_em_autotune(monkeypatch):
+    """SIPLCA EM consults the autotuner for its E-step reconstruction;
+    either winner reproduces the static-path trajectory to f32 rounding."""
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    V = RNG.rand(1, 10, 36).astype("f")
+    W0 = RNG.rand(10, 3, 5).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 32).astype("f") + 0.1
+    Z0 = np.full((3,), 1 / 3, "f")
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "0")
+    ref = SIPLCA(W=W0, H=H0, Z=Z0)
+    ref.fit(V, tol=-np.inf, max_iter=8)
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    m = SIPLCA(W=W0, H=H0, Z=Z0)
+    m.fit(V, tol=-np.inf, max_iter=8)
+    assert any(k[1] == "plca-em" for k in autotune._WINNERS)
+    assert float(np.abs(np.asarray(m.W.data) - np.asarray(ref.W.data)).max()) < 5e-6
+    assert float(np.abs(np.asarray(m.H.data) - np.asarray(ref.H.data)).max()) < 5e-6

@@ -209,3 +209,19 @@ def test_fft_beta2_resolver_dispatch():
             nmfd_fft_updater_factory
     finally:
         del os.environ["PNT_NMFD_FFT"]
+
+
+def test_fft_chunk_compile_cap(monkeypatch):
+    """Per-dispatch FFT batches are capped at 2^24 elements regardless of
+    the byte budget — the bound that keeps the remote TPU compiler from
+    stalling on large-batch FFT lowerings (measured: 4048 transforms at
+    Nfft=8192 wedged it; <=2024 compile)."""
+    from pytorch_nmf_tpu.ops.fft_nmfd import _c_chunk
+
+    monkeypatch.setenv("PNT_FFT_CHUNK_MB", "100000")  # absurd byte budget
+    C, R, F = 1025, 88, 4097
+    n = 2 * (F - 1)
+    cb = _c_chunk(C, R, F)
+    assert cb * R * n <= 1 << 24
+    # small problems are not restricted below one chunk
+    assert _c_chunk(4, 2, 65) == 4
