@@ -93,10 +93,23 @@ def main():
     Vc = rng.rand(N, C, L_out).astype("f")
     Wc = rng.rand(C, R, T).astype("f") + 0.1
     Hc = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
-    _, _, n_halo = sharded_nmfd_fit(
+    Wd, Hd, n_halo = sharded_nmfd_fit(
         Vc, Wc, Hc, seq_mesh, beta=1, tol=1e-4, max_iter=200
     )
     print(f"halo NMFD fit: {int(n_halo)} iterations")
+
+    # ...or, equivalently, through the MODEL API: a trailing-axis
+    # NamedSharding on the target auto-routes fit() to the same halo
+    # solver (nothing else to change — the multi-chip analog of the
+    # reference's single .cuda() call)
+    from pytorch_nmf_tpu.nmf import NMFD
+
+    md = NMFD(W=Wc, H=Hc)
+    md.fit(shard_target(Vc, seq_mesh, P(None, None, "seq")), 1, 1e-4, 200)
+    print(
+        "model-API halo route matches sharded_nmfd_fit:",
+        bool(jnp.all(md.W.data == Wd)),
+    )
 
     sip = SIPLCA(Vc.shape, R, T=T)
     _, _, _, n_em, _ = sharded_siplca_fit(
@@ -107,4 +120,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # honor JAX_PLATFORMS=cpu even where a site plugin (axon) registers
+    # another backend at interpreter start — the config call wins
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()
