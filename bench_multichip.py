@@ -35,7 +35,7 @@ def _marginal_ms_per_iter(make_fit, args, reps=4):
     """Two-loop-length difference quotient (same methodology as bench.py:
     fixed relay dispatch latency cancels; sync on the scalar n_iter)."""
     FIXED_S = 0.035
-    TARGET_S = 1.5
+    TARGET_S = 0.1 if os.environ.get("PNT_BENCH_TINY", "") == "1" else 1.5
 
     def timed(iters, n_reps=reps):
         fit = make_fit(iters)
@@ -72,6 +72,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    tiny = os.environ.get("PNT_BENCH_TINY", "") == "1"  # CI smoke mode
+
     from pytorch_nmf_tpu.models.nmf import NMF, NMFD
     from pytorch_nmf_tpu.ops.fast_nmf import resolve_nmf_updater_factory
     from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
@@ -87,7 +89,7 @@ def main():
     grid = []
 
     # ---- dense NMF: per-device 5168x1025 r88 (weak scaling over rows) ----
-    M_loc, K, R = 5168, 1025, 88
+    M_loc, K, R = (64, 48, 4) if tiny else (5168, 1025, 88)
     M = M_loc * n_dev
     V = rng.rand(M, K).astype("f") + 1e-3
     W0 = rng.rand(K, R).astype("f") + 0.1
@@ -128,8 +130,8 @@ def main():
     })
 
     # ---- NMFD halo: per-device ~1250 frames of the r8 flagship ----------
-    N, C, R, T = 1, 1025, 8, 400
-    L_loc = 1250
+    N, C, R, T = (1, 12, 3, 5) if tiny else (1, 1025, 8, 400)
+    L_loc = 16 if tiny else 1250
     L = L_loc * n_dev
     Vd = rng.rand(N, C, L).astype("f")
     Wd0 = rng.rand(C, R, T).astype("f") + 0.1
@@ -172,9 +174,9 @@ def main():
     })
 
     # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
-    Msp_loc, Ksp, Rsp = 8192, 8192, 64
+    Msp_loc, Ksp, Rsp = (64, 64, 4) if tiny else (8192, 8192, 64)
     Msp = Msp_loc * n_dev
-    nnz = 671_000 * n_dev
+    nnz = (400 if tiny else 671_000) * n_dev
     flat = np.unique(
         rng.randint(0, Msp * Ksp, int(nnz * 1.1)).astype(np.int64)
     )
