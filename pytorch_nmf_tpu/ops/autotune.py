@@ -285,6 +285,109 @@ def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3) -> str:
     return winner
 
 
+def autotune_halo_mode(
+    n_batch: int, C: int, lead_shapes, chunk: int, kernel, R: int,
+    beta: float, heuristic_mode: str,
+) -> str:
+    """Measured per-shard mode for the halo-exchange deconv solvers.
+
+    The halo solvers' per-device work is an ordinary MU iteration through
+    either the conv or the patch-GEMM reconstruction on the LOCAL (chunk +
+    halo) shapes — the collectives are identical across modes — so a
+    single-device timing of exactly that iteration is a faithful proxy,
+    and timing inside ``shard_map`` is never needed.  Only the
+    ``"unrolled"``-vs-``"conv"`` decision is tuned (``"stream"`` exists
+    only where unrolled is impossible); below the FLOP threshold or with
+    autotune disabled the memory-based heuristic stands."""
+    if heuristic_mode != "unrolled":
+        return heuristic_mode
+    mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
+    if mode == "0":
+        return heuristic_mode
+    kernel = tuple(int(k) for k in kernel)
+    lead_shapes = tuple(int(s) for s in lead_shapes)
+    lead_out = tuple(s + k - 1 for s, k in zip(lead_shapes, kernel[:-1]))
+    T = kernel[-1]
+    v_local = (n_batch, C) + lead_out + (chunk,)
+    h_local = (n_batch, R) + lead_shapes + (chunk - T + 1,)
+    if mode != "1":
+        min_flops = float(
+            os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
+        )
+        if _conv_macs_per_iter(v_local, h_local) < min_flops:
+            return heuristic_mode
+
+    nd = len(kernel)
+    key = (
+        jax.devices()[0].platform,
+        f"halo{nd}",
+        float(beta),
+        v_local,
+        (R,) + kernel,
+    )
+    if key in _WINNERS:
+        return _WINNERS[key]
+    persisted = _load_persisted(key)
+    if persisted is not None:
+        _WINNERS[key] = persisted
+        return persisted
+
+    import numpy as np
+
+    from .mu import gamma_from_beta, mu_update
+
+    gamma = gamma_from_beta(beta)
+    # local halo'd activation: VALID trailing axis carrying T-1 extra
+    # frames (what left_halo supplies inside the solver)
+    rng = np.random.RandomState(0)
+    Vl = jnp.asarray(rng.rand(*v_local).astype("f") + 0.01)
+    Hh = jnp.asarray(
+        rng.rand(*((n_batch, R) + lead_shapes + (chunk + T - 1,)))
+        .astype("f") + 0.1
+    )
+    Wl = jnp.asarray(
+        rng.rand(*((C, R) + kernel)).astype("f") + 0.1
+    )
+
+    def _recons():
+        from ..parallel.halo import _conv_halo_nd, _unfold_halo_nd
+
+        return {
+            "conv": lambda hh, w: _conv_halo_nd(hh, w, nd),
+            "unrolled": lambda hh, w: _unfold_halo_nd(hh, w, nd),
+        }
+
+    results = {}
+    for name, recon in _recons().items():
+        try:
+            def run(V_, W_, H_, n, _recon=recon):
+                def body(i, s):
+                    w, hh = s
+                    w = mu_update(
+                        lambda ww: _recon(hh, ww), V_, w, beta, gamma
+                    )
+                    hh = mu_update(
+                        lambda h2: _recon(h2, w), V_, hh, beta, gamma
+                    )
+                    return w, hh
+
+                w, hh = lax.fori_loop(0, n, body, (W_, H_))
+                return hh.ravel()[0]
+
+            best = min(results.values()) if results else None
+            results[name] = _time_candidate(
+                jax.jit(run), Vl, Wl, Hh,
+                reject_above=(3.0 * best if best is not None else None),
+            )
+        except Exception:
+            continue
+    winner = min(results, key=results.get) if results else heuristic_mode
+    winner = "unrolled" if winner == "unrolled" else "conv"
+    _WINNERS[key] = winner
+    _save_persisted(key, winner)
+    return winner
+
+
 def resolve_plca_recon3(cls, V, W, H, Z):
     """Per-fit EM reconstruction selection for the SIPLCA family: env
     forces → FLOP threshold (static heuristic) → measured winner."""

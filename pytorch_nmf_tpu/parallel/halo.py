@@ -405,6 +405,18 @@ def _sharded_deconv_fit(
         tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),  # leading spatial
         chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
     )
+    from ..ops.autotune import autotune_halo_mode
+
+    # measured per-shard conv-vs-unfold decision above the FLOP threshold
+    # (same inversion surface as the single-device engine; timed on one
+    # device with the LOCAL chunk+halo shapes — collectives are identical
+    # across modes, so no in-mesh timing is needed)
+    mode = autotune_halo_mode(
+        int(H.shape[0]), int(V.shape[1]),
+        tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),
+        chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
+        float(beta), mode,
+    )
 
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
@@ -596,6 +608,14 @@ def _sharded_siplca_fit(
         int(H.shape[0]),
         tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),
         chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
+    )
+    from ..ops.autotune import autotune_halo_mode
+
+    mode = autotune_halo_mode(
+        int(H.shape[0]), int(V.shape[1]),
+        tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),
+        chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
+        1.0, mode,  # EM E-step cotangents are KL-shaped
     )
 
     fit = _get_sharded_siplca_fit(

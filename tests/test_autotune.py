@@ -149,3 +149,30 @@ def test_plca_em_autotune(monkeypatch):
     assert any(k[1] == "plca-em" for k in autotune._WINNERS)
     assert float(np.abs(np.asarray(m.W.data) - np.asarray(ref.W.data)).max()) < 5e-6
     assert float(np.abs(np.asarray(m.H.data) - np.asarray(ref.H.data)).max()) < 5e-6
+
+
+def test_halo_mode_autotune(monkeypatch):
+    """The halo solvers consult a single-device proxy autotune for their
+    per-shard conv-vs-unrolled decision; either winner matches the
+    single-device trajectory (the mode changes only the formulation)."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs a multi-device mesh")
+    from pytorch_nmf_tpu.parallel import make_mesh
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    V = RNG.rand(1, 10, 32).astype("f")
+    W0 = RNG.rand(10, 3, 5).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 28).astype("f") + 0.1
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "0")
+    Wr, Hr, _ = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=6)
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    autotune.clear_cache()
+    Wa, Ha, _ = sharded_nmfd_fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=6)
+    assert any(str(k[1]).startswith("halo") for k in autotune._WINNERS)
+    assert float(np.abs(np.asarray(Wa) - np.asarray(Wr)).max()) < 5e-6
+    assert float(np.abs(np.asarray(Ha) - np.asarray(Hr)).max()) < 5e-6
