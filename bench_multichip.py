@@ -72,6 +72,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pytorch_nmf_tpu.ops.autotune import enable_compile_cache
+
+    enable_compile_cache(
+        os.environ.get(
+            "PNT_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+    )
+
     tiny = os.environ.get("PNT_BENCH_TINY", "") == "1"  # CI smoke mode
 
     from pytorch_nmf_tpu.models.nmf import NMF, NMFD
