@@ -53,19 +53,20 @@ BASELINE_SKLEARN_MS = {
 }
 
 
-def _marginal_ms_per_iter(make_fit, args, reps=4):
+def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=2.0):
     """Two-loop-length difference quotient, min over reps.
 
     The relay runtime's run-to-run variance is ~±100 ms even on mins, so a
-    pilot run first rescales the loop lengths until the long run costs ~2 s
-    of device time — the difference then dwarfs the noise floor for every
-    grid row, fast and slow alike.  If a session still produces a
-    non-positive difference, retry once, then fall back to the total rate of
-    the long run — biased high by the amortized dispatch cost, never
-    negative.
+    pilot run first rescales the loop lengths until the long run costs
+    ~``target_s`` of device time — the difference then dwarfs the noise
+    floor for every grid row, fast and slow alike.  If a session still
+    produces a non-positive difference, retry once, then fall back to the
+    total rate of the long run — biased high by the amortized dispatch
+    cost, never negative.  (Shared with ``bench_multichip.py`` — one
+    timing discipline, one implementation.)
     """
     FIXED_S = 0.035  # typical relay dispatch+fetch latency
-    TARGET_S = 2.0
+    TARGET_S = target_s
 
     def timed(iters, n_reps=reps):
         fit = make_fit(iters)

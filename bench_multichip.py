@@ -21,7 +21,7 @@ Run on CPU instead (8 virtual devices) with:
 
 import json
 import os
-import time
+import sys
 
 import numpy as np
 
@@ -30,42 +30,18 @@ if os.environ.get("PNT_FORCE_CPU", "") == "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench import _marginal_ms_per_iter as _bench_marginal  # noqa: E402
+
 
 def _marginal_ms_per_iter(make_fit, args, reps=4):
-    """Two-loop-length difference quotient (same methodology as bench.py:
-    fixed relay dispatch latency cancels; sync on the scalar n_iter)."""
-    FIXED_S = 0.035
-    TARGET_S = 0.1 if os.environ.get("PNT_BENCH_TINY", "") == "1" else 1.5
-
-    def timed(iters, n_reps=reps):
-        fit = make_fit(iters)
-        for _ in range(2):
-            out = fit(*args)
-            np.asarray(out[-1])
-        times = []
-        for _ in range(n_reps):
-            t0 = time.perf_counter()
-            out = fit(*args)
-            np.asarray(out[-1])
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    iters_long = 400
-    t_pilot = timed(iters_long, n_reps=2)
-    compute = max(t_pilot - FIXED_S, 0.004)
-    if compute < TARGET_S:
-        iters_long = min(int(iters_long * TARGET_S / compute), 100_000)
-    elif compute > 1.5 * TARGET_S:
-        iters_long = max(int(iters_long * TARGET_S / compute), 200)
-    iters_short = max(iters_long // 8, 25)
-
-    for _ in range(2):
-        t_short = timed(iters_short)
-        t_long = timed(iters_long)
-        ms = (t_long - t_short) / (iters_long - iters_short) * 1000.0
-        if ms > 0:
-            return ms
-    return t_long / iters_long * 1000.0
+    """bench.py's two-length difference-quotient helper (one timing
+    discipline, one implementation), with a shorter device-time target —
+    and a tiny one in CI smoke mode."""
+    tiny = os.environ.get("PNT_BENCH_TINY", "") == "1"
+    return _bench_marginal(
+        make_fit, args, reps=reps, target_s=(0.1 if tiny else 1.5)
+    )
 
 
 def main():

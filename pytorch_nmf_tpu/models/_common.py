@@ -130,6 +130,30 @@ _BETA_ZERO_MSG = (
 )
 
 
+def trailing_seq_axis(V):
+    """The mesh-axis name when ``V`` is halo-routable: a NamedSharding
+    that shards ONLY the trailing (time) axis over >= 2 devices — the
+    layout the sequence-parallel halo solvers are built for.  ``None``
+    declines (-> GSPMD fallback).  float64 targets always decline: the
+    x64 posture keeps doubles on the generic engine (the halo kernels
+    pin f32 accumulation)."""
+    from jax.sharding import NamedSharding
+
+    sh = getattr(V, "sharding", None)
+    if not isinstance(sh, NamedSharding):
+        return None
+    if V.dtype == jnp.float64:
+        return None
+    spec = tuple(sh.spec)
+    if len(spec) != V.ndim or not isinstance(spec[-1], str):
+        return None
+    if any(s is not None for s in spec[:-1]):
+        return None
+    if sh.mesh.shape[spec[-1]] < 2:
+        return None
+    return spec[-1]
+
+
 def _ntuple(n):
     def parse(x):
         if isinstance(x, Iterabc):

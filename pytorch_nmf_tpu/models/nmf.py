@@ -40,6 +40,7 @@ from ._common import (
     rand_abs_normal,
     single,
     to_f32,
+    trailing_seq_axis,
     triple,
     validate_target,
 )
@@ -256,6 +257,12 @@ class BaseComponent(Module):
             with _progress_scope(verbose, max_iter):
                 try:
                     W_new, H_new, n_iter = fit_fn(V_arg, W.data, H.data)
+                    # async dispatch defers execution errors to the first
+                    # blocking sync — force it INSIDE the try so a
+                    # deferred OOM still takes the fallback
+                    import jax
+
+                    jax.block_until_ready((W_new, H_new, n_iter))
                 except Exception as e:  # OOM once -> ELL/gather fallback
                     if not densify or "RESOURCE_EXHAUSTED" not in str(e):
                         raise
@@ -459,28 +466,21 @@ class _DeconvBase(BaseComponent):
         Routes when the target carries a NamedSharding that shards ONLY
         the trailing (time) axis — exactly the layout
         :func:`~pytorch_nmf_tpu.parallel.halo.sharded_nmfd_fit` is built
-        for; trajectories are the same function, hence bit-identical.
-        Declines (→ GSPMD fallback) for any other layout or for verbose
-        fits (per-shard debug callbacks would fire once per device)."""
-        from jax.sharding import NamedSharding
-
+        for (:func:`~pytorch_nmf_tpu.models._common.trailing_seq_axis`);
+        trajectories are the same function, hence bit-identical.
+        Declines (→ GSPMD fallback) for any other layout, for float64
+        targets, and for verbose fits (per-shard debug callbacks would
+        fire once per device)."""
         if verbose:
             return None
-        sh = getattr(V, "sharding", None)
-        if not isinstance(sh, NamedSharding):
-            return None
-        spec = tuple(sh.spec)
-        if len(spec) != V.ndim or not isinstance(spec[-1], str):
-            return None
-        if any(s is not None for s in spec[:-1]):
-            return None
-        if sh.mesh.shape[spec[-1]] < 2:
+        axis = trailing_seq_axis(V)
+        if axis is None:
             return None
         from ..parallel.halo import _sharded_deconv_fit
 
         return _sharded_deconv_fit(
-            V, W.data, H.data, sh.mesh, self._spatial_ndim, beta, tol,
-            max_iter, l1_reg, l2_reg, spec[-1],
+            V, W.data, H.data, V.sharding.mesh, self._spatial_ndim, beta,
+            tol, max_iter, l1_reg, l2_reg, axis,
             W.requires_grad, H.requires_grad,
         )
 

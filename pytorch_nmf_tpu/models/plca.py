@@ -276,24 +276,17 @@ class _SIPLCABase(BaseComponent):
     def _try_halo_fit(
         self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha
     ):
-        from jax.sharding import NamedSharding
+        from ._common import trailing_seq_axis
 
-        sh = getattr(V, "sharding", None)
-        if not isinstance(sh, NamedSharding):
-            return None
-        spec = tuple(sh.spec)
-        if len(spec) != V.ndim or not isinstance(spec[-1], str):
-            return None
-        if any(s is not None for s in spec[:-1]):
-            return None
-        if sh.mesh.shape[spec[-1]] < 2:
+        axis = trailing_seq_axis(V)
+        if axis is None:
             return None
         from ..parallel.halo import _sharded_siplca_fit
 
         return _sharded_siplca_fit(
-            V, W.data, H.data, Z.data, sh.mesh, self._spatial_ndim,
+            V, W.data, H.data, Z.data, V.sharding.mesh, self._spatial_ndim,
             tol, max_iter, W_alpha, H_alpha, Z_alpha,
-            W.requires_grad, H.requires_grad, Z.requires_grad, spec[-1],
+            W.requires_grad, H.requires_grad, Z.requires_grad, axis,
         )
 
 

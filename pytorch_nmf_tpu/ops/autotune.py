@@ -127,11 +127,22 @@ def _conv_macs_per_iter(V_shape, H_shape) -> float:
 def _candidates(beta: float, spatial_ndim: int):
     """(name, factory_or_None) candidates for this config.  ``None`` is
     the generic conv/VJP engine (what ``get_dense_fit`` uses when no
-    updater factory is supplied)."""
+    updater factory is supplied).
+
+    The FFT β=2 engine joins the candidate set only under
+    ``PNT_NMFD_FFT=auto``: its f32 FFT rounding is outside the default
+    bit-level parity posture (fft_nmfd.py), so default fits must never
+    silently adopt it even where it would win the timing — the conv and
+    unfold candidates are numerically interchangeable (same contractions,
+    different summation order), FFT is not."""
     from .fast_nmfd import _FACTORIES, nmfd_fft_updater_factory
 
     cands = [("unfold", _FACTORIES[spatial_ndim]), ("conv", None)]
-    if spatial_ndim == 1 and beta == 2:
+    if (
+        spatial_ndim == 1
+        and beta == 2
+        and os.environ.get("PNT_NMFD_FFT", "") == "auto"
+    ):
         cands.append(("fft", nmfd_fft_updater_factory))
     return cands
 

@@ -436,7 +436,7 @@ def sharded_nmfd_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
- update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMFD with the convolution time axis sharded over ``mesh``.
 
@@ -458,7 +458,7 @@ def sharded_nmf2d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
- update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMF2D with the trailing spatial axis sharded over ``mesh``
     (the leading spatial axis stays local; same halo/divisibility rules
@@ -473,7 +473,7 @@ def sharded_nmf3d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
- update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True,
 ):
     """Fit NMF3D with the trailing spatial axis sharded over ``mesh``."""
     return _sharded_deconv_fit(

@@ -163,3 +163,27 @@ def test_halo_update_flags_match_single_device(beta):
     ref.fit(V, beta, 0, 10)
     assert np.array_equal(np.asarray(Hd), H0)
     assert float(jnp.abs(Wd - ref.W.data).max()) < 2e-5
+
+
+@needs_8
+def test_f64_target_declines_halo_route(monkeypatch):
+    """x64 doubles stay on the generic GSPMD engine (the halo kernels pin
+    f32 accumulation); routing them used to crash the vjp with a dtype
+    mismatch."""
+    from pytorch_nmf_tpu.parallel import halo
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+    monkeypatch.setattr(
+        halo, "_sharded_deconv_fit",
+        lambda *a, **k: pytest.fail("halo route taken for float64"),
+    )
+    with jax.enable_x64(True):
+        m = NMFD(W=W0.astype(np.float64), H=H0.astype(np.float64))
+        Vs = jax.device_put(
+            jnp.asarray(V, dtype=jnp.float64),
+            NamedSharding(mesh, P(None, None, "seq")),
+        )
+        n = m.fit(Vs, 1, 0, 5)
+        assert n == 5
+        assert m.W.data.dtype == jnp.float64

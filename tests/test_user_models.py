@@ -78,9 +78,18 @@ def test_custom_subclass_betamu(beta):
 
 def test_custom_subclass_hoyer():
     """sparse_fit's projected-gradient steps differentiate through the
-    user's reconstruct too (reference nmf.py:411-599 is model-generic)."""
-    V = RNG.rand(30, 20).astype("f") + 0.01
-    m = QuadraticNMF(V.shape, rank=4)
+    user's reconstruct too (reference nmf.py:411-599 is model-generic).
+
+    Explicit modest inits: the quartic parametrization's gradients grow
+    with the 4th power of the factor scale, and the reference's line
+    search keeps the last candidate even when worse (nmf.py:515-535), so
+    wild random inits can faithfully diverge — that's the reference's
+    semantics, not the subject under test."""
+    rng = np.random.RandomState(123)
+    V = rng.rand(30, 20).astype("f") + 0.01
+    W0 = (0.2 + 0.3 * rng.rand(20, 4)).astype("f")
+    H0 = (0.2 + 0.3 * rng.rand(30, 4)).astype("f")
+    m = QuadraticNMF(W=W0, H=H0)
     n_iter = m.sparse_fit(V, beta=2, max_iter=20, sW=0.6)
     assert n_iter == 20
     assert bool(jnp.all(m.W.data >= 0)) and bool(jnp.all(m.H.data >= 0))
@@ -131,7 +140,8 @@ def test_validate_target_guards():
 def test_validate_target_skip_env(monkeypatch):
     monkeypatch.setenv("PNT_SKIP_VALIDATE", "1")
     m = NMF((10, 8), rank=2)
-    V0 = RNG.rand(10, 8).astype("f")
+    V0 = RNG.rand(10, 8).astype("f") + 0.5
     V0[0, 0] = 0.0
-    # guard skipped: the (normally rejected) beta=0-with-zeros fit runs
-    assert m.fit(V0, beta=0.5, max_iter=1) >= 0
+    # guard skipped: the normally-rejected beta=0-with-zeros fit runs
+    # (one iteration on a single zero cell cannot diverge)
+    assert m.fit(V0, beta=0, max_iter=1) >= 0
