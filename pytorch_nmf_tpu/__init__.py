@@ -15,7 +15,12 @@ paths use fused Pallas kernels; training loops live on-device as
 from . import functional, metrics, nmf, plca, trainer  # noqa: F401
 from . import models, native, ops, parallel, utils  # noqa: F401
 from .module import Module, Parameter, Sequential, manual_seed  # noqa: F401
-from .ops.sparse import SparseCOO, sparse_coo_tensor, sparse_from_dense  # noqa: F401
+from .ops.sparse import (  # noqa: F401
+    SparseCOO,
+    from_torch_sparse,
+    sparse_coo_tensor,
+    sparse_from_dense,
+)
 
 name = "pytorch_nmf_tpu"
 # Single source of truth for the release string; setup.py parses this line.

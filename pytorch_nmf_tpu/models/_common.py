@@ -59,6 +59,8 @@ def to_f32(x):
         if x.dtype == jnp.float64:  # pragma: no cover - needs stale x64 array
             warnings.warn(_F64_WARNING, UserWarning, stacklevel=3)
         return x.astype(jnp.float32)
+    if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch duck-type
+        x = x.detach().cpu().numpy()
     x = np.asarray(x)
     if x.dtype == jnp.bfloat16:
         return jnp.asarray(x)

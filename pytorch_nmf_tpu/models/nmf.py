@@ -214,6 +214,13 @@ class BaseComponent(Module):
         target.  Returns the total number of iterations run.
         """
         is_sp = isinstance(V, SparseCOO)
+        if not is_sp and getattr(V, "is_sparse", False):
+            # torch sparse COO — the reference's sparse input type
+            # (nmf.py:351-356) is accepted directly for migration
+            from ..ops.sparse import from_torch_sparse
+
+            V = from_torch_sparse(V)
+            is_sp = True
         if not is_sp:
             V = to_f32(V)
         validate_target(V, beta)
@@ -323,6 +330,11 @@ class BaseComponent(Module):
         exactly ``max_iter`` iterations (no tolerance-based stop).
         """
         is_sp = isinstance(V, SparseCOO)
+        if not is_sp and getattr(V, "is_sparse", False):
+            from ..ops.sparse import from_torch_sparse
+
+            V = from_torch_sparse(V)
+            is_sp = True
         if not is_sp:
             V = to_f32(V)
         validate_target(V, beta)

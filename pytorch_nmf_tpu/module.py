@@ -206,9 +206,15 @@ class Parameter:
 
 
 def as_array(x):
-    """Convert Parameter / numpy / jax inputs to a ``jax.Array``."""
+    """Convert Parameter / numpy / jax / torch inputs to a ``jax.Array``.
+
+    torch tensors (duck-typed via ``detach``/``cpu``) are accepted so
+    reference-shaped code can hand its existing data over unchanged —
+    including tensors that require grad (detached first)."""
     if isinstance(x, Parameter):
         return x.value
+    if hasattr(x, "detach") and hasattr(x, "cpu"):  # torch duck-type
+        x = x.detach().cpu().numpy()
     return jnp.asarray(x)
 
 

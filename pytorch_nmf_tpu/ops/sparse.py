@@ -37,6 +37,7 @@ __all__ = [
     "SparseELL",
     "sparse_coo_tensor",
     "sparse_from_dense",
+    "from_torch_sparse",
     "get_V_norm",
     "should_densify",
     "build_ell",
@@ -131,6 +132,22 @@ def sparse_coo_tensor(indices, values, shape) -> SparseCOO:
         np.add.at(summed, inv, vals)
     coal_idx = np.stack(np.unravel_index(uniq, shape_t))
     return SparseCOO(coal_idx, summed, shape_t)
+
+
+def from_torch_sparse(t) -> SparseCOO:
+    """Convert a ``torch.sparse_coo_tensor`` — the reference's sparse
+    input type (reference nmf.py:351-353) — to a :class:`SparseCOO`.
+
+    Coalesces first (like the reference's fit preamble, nmf.py:356) and
+    moves the data host-side once; reference-shaped code can then call
+    ``model.fit(torch_sparse)`` directly — the model layer routes through
+    this converter automatically."""
+    t = t.coalesce()
+    return sparse_coo_tensor(
+        t.indices().detach().cpu().numpy(),
+        t.values().detach().cpu().numpy(),
+        tuple(t.shape),
+    )
 
 
 def sparse_from_dense(V, threshold: float = 0.0) -> SparseCOO:
