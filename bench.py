@@ -24,6 +24,15 @@ import time
 
 import numpy as np
 
+# CI smoke mode: tiny shapes + short timing targets so the driver-facing
+# script is exercised end-to-end on the CPU mesh by the test suite
+# (tests/test_bench_scripts.py) and cannot rot between TPU bench runs
+TINY = os.environ.get("PNT_BENCH_TINY", "") == "1"
+if os.environ.get("PNT_FORCE_CPU", "") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 # seed the deconv engine autotuner from the checked-in winner cache
 # (measured on TPU v5e; re-tunes and updates the file for unseen shapes)
 os.environ.setdefault(
@@ -53,7 +62,7 @@ BASELINE_SKLEARN_MS = {
 }
 
 
-def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=2.0):
+def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=None):
     """Two-loop-length difference quotient, min over reps.
 
     The relay runtime's run-to-run variance is ~±100 ms even on mins, so a
@@ -66,7 +75,7 @@ def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=2.0):
     timing discipline, one implementation.)
     """
     FIXED_S = 0.035  # typical relay dispatch+fetch latency
-    TARGET_S = target_s
+    TARGET_S = target_s if target_s is not None else (0.05 if TINY else 2.0)
 
     def timed(iters, n_reps=reps):
         fit = make_fit(iters)
@@ -85,7 +94,7 @@ def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=2.0):
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    iters_long = 500
+    iters_long = 100 if TINY else 500
     t_pilot = timed(iters_long, n_reps=2)
     compute = max(t_pilot - FIXED_S, 0.004)
     if compute < TARGET_S:
@@ -149,7 +158,7 @@ def main():
             "iters_per_sec": round(1000.0 / ms, 1),
         }
         base = BASELINE_CUDA_MS.get(("dense", float(beta)))
-        if tag == "ref" and base is not None:
+        if tag == "ref" and base is not None and not TINY:
             row["vs_baseline"] = round(base / ms, 2)
         grid.append(row)
         return row
@@ -200,13 +209,14 @@ def main():
             "value": round(ms, 5),
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
-            "vs_baseline": round(
-                BASELINE_CUDA_MS[("sparse", float(beta))] / ms, 2
-            ),
-            "vs_sklearn_cpu": round(
-                BASELINE_SKLEARN_MS[("sparse", float(beta))] / ms, 2
-            ),
         }
+        if not TINY:
+            row["vs_baseline"] = round(
+                BASELINE_CUDA_MS[("sparse", float(beta))] / ms, 2
+            )
+            row["vs_sklearn_cpu"] = round(
+                BASELINE_SKLEARN_MS[("sparse", float(beta))] / ms, 2
+            )
         if "--with-sklearn" in sys.argv:
             try:
                 from scipy import sparse as _sps
@@ -221,20 +231,23 @@ def main():
         grid.append(row)
         return row
 
+    REF_M, REF_K, REF_R = (96, 48, 8) if TINY else (5168, 1025, 88)
+    NS_M, NS_K, NS_R = (64, 64, 8) if TINY else (4096, 4096, 256)
+
     # reference benchmark scale (5168x1025 r88) — dense beta grid
     headline = None
     for beta in (0.0, 0.5, 1.0, 1.5, 2.0):
-        row = dense_row(5168, 1025, 88, beta, tag="ref")
+        row = dense_row(REF_M, REF_K, REF_R, beta, tag="ref")
         if beta == 1.0:
             headline = row
 
     # north-star scale (BASELINE.md "Targets": 4096x4096 rank-256)
     for beta in (1.0, 2.0):
-        dense_row(4096, 4096, 256, beta, tag="northstar")
+        dense_row(NS_M, NS_K, NS_R, beta, tag="northstar")
 
     # sparse top-2% COO grid
     for beta in (0.5, 1.0, 1.5, 2.0):
-        sparse_row(5168, 1025, 88, beta)
+        sparse_row(REF_M, REF_K, REF_R, beta)
 
     # gather-regime sparse (target too large to densify in practice):
     # dual-ELL fast path at 8192^2, ~1% nnz — no reference baseline exists
@@ -242,8 +255,8 @@ def main():
     # one); reported for regression tracking of the beyond-HBM story
     from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell
 
-    Msp, Ksp, Rsp = 8192, 8192, 64
-    nnz_target = 671_000
+    Msp, Ksp, Rsp = (256, 256, 8) if TINY else (8192, 8192, 64)
+    nnz_target = 2_000 if TINY else 671_000
     flat = np.unique(
         rng.randint(0, Msp * Ksp, int(nnz_target * 1.1)).astype(np.int64)
     )
@@ -285,6 +298,9 @@ def main():
         # the round-2 42x inversion shape (ROADMAP "Deconv path
         # selection"): autotune must land on the conv engine here
         (256, 2000, 32, 128, 2.0),
+    ] if not TINY else [
+        (16, 120, 3, 10, 1.0),
+        (16, 120, 3, 10, 2.0),
     ]
     for C, L_out, R, T, beta in nmfd_cases:
         N = 1
@@ -310,7 +326,9 @@ def main():
     # NMF2D (2-D deconv): spectrogram-patch scale
     from pytorch_nmf_tpu.models.nmf import NMF2D
 
-    N, C, Hs, Ws_, R2, kh, kw = 1, 64, 128, 128, 16, 8, 8
+    N, C, Hs, Ws_, R2, kh, kw = (
+        (1, 8, 24, 24, 4, 3, 3) if TINY else (1, 64, 128, 128, 16, 8, 8)
+    )
     V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
     W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
     H2d = jnp.asarray(
@@ -335,7 +353,7 @@ def main():
     # Hoyer sparseness-constrained fit (projected gradient + line search)
     from pytorch_nmf_tpu.ops.solver import get_hoyer_fit
 
-    M, K, R = 5168, 1025, 88
+    M, K, R = REF_M, REF_K, REF_R
     Vh = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
     Wh = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
     Hh = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
@@ -359,12 +377,20 @@ def main():
     from pytorch_nmf_tpu.trainer import BetaMu
 
     pnt.manual_seed(0)
-    chain = pnt.Sequential(
-        NMF((2048, 256), rank=128),
-        NMF(W=(512, 256)),
-        NMF(W=(2048, 512)),
-    )
-    target = jnp.asarray(rng.rand(2048, 2048).astype("f"))
+    if TINY:
+        chain = pnt.Sequential(
+            NMF((64, 16), rank=8),
+            NMF(W=(32, 16)),
+            NMF(W=(64, 32)),
+        )
+        target = jnp.asarray(rng.rand(64, 64).astype("f"))
+    else:
+        chain = pnt.Sequential(
+            NMF((2048, 256), rank=128),
+            NMF(W=(512, 256)),
+            NMF(W=(2048, 512)),
+        )
+        target = jnp.asarray(rng.rand(2048, 2048).astype("f"))
     trainer = BetaMu(chain.parameters(), 1)
 
     def closure():
@@ -375,17 +401,36 @@ def main():
     for _ in range(3):  # compile + relay warmup
         trainer.step(closure)
     float(params[0].data.ravel()[0])  # drain pending work (scalar sync)
-    n_steps = 30
+    n_steps = 5 if TINY else 30
+    chain_tag = "64x64_r8_16_32" if TINY else "2048x2048_r128_256_512"
     t0 = time.perf_counter()
     for _ in range(n_steps):
         trainer.step(closure)
     float(params[0].data.ravel()[0])
     ms = (time.perf_counter() - t0) / n_steps * 1000.0
     grid.append({
-        "metric": "betamu_chain_step_2048x2048_r128_256_512_beta1",
+        "metric": f"betamu_chain_step_{chain_tag}_beta1",
         "value": round(ms, 5),
         "unit": "ms/step",
         "note": "includes per-step host dispatch",
+    })
+
+    # same chain through the compiled multi-step driver (trainer.run):
+    # one dispatch for the whole while_loop of sweeps — the marginal rate
+    # is pure device compute
+    def make_run(n):
+        def fit(*_):
+            trainer.run(closure, n)
+            return (params[0].data[0, 0],)
+
+        return fit
+
+    ms_run = _marginal_ms_per_iter(make_run, ())
+    grid.append({
+        "metric": f"betamu_chain_run_{chain_tag}_beta1",
+        "value": round(ms_run, 5),
+        "unit": "ms/step",
+        "note": "compiled while_loop over sweeps (trainer.run)",
     })
 
     # shift-invariant PLCA EM (spectrogram-scale; the unfold speedup
@@ -393,7 +438,9 @@ def main():
     from pytorch_nmf_tpu.models.plca import SIPLCA
     from pytorch_nmf_tpu.ops.solver import get_plca_fit
 
-    N, C, L_out, R, T = 1, 513, 3000, 8, 200
+    N, C, L_out, R, T = (
+        (1, 24, 200, 3, 10) if TINY else (1, 513, 3000, 8, 200)
+    )
     V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
     Wp = rng.rand(C, R, T).astype("f")
     Wp /= Wp.sum(axis=(0, 2), keepdims=True)
@@ -430,7 +477,7 @@ def main():
         "metric": headline["metric"],
         "value": headline["value"],
         "unit": "ms/iter",
-        "vs_baseline": headline["vs_baseline"],
+        "vs_baseline": headline.get("vs_baseline", 0.0),
         "grid": grid,
     }
     print(json.dumps(out))

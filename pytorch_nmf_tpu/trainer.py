@@ -256,12 +256,13 @@ class BetaMu(_Optimizer):
                 ))
         return params, hypers
 
-    def _build_step(self, closure, params, hypers):
+    def _build_sweep(self, closure, params, hypers):
         """Trace the closure once to derive the per-parameter dependence
-        mask, then compile the FULL coordinate-wise sweep as one XLA
-        program.  Everything the closure captures besides the optimizer's
-        parameters is baked in as compile-time constants — sound because
-        the cache key pins the identity of every captured object."""
+        mask, then express the FULL coordinate-wise sweep as one traceable
+        function ``sweep(vals) -> (updated_masked, grads_masked)``.
+        Everything the closure captures besides the optimizer's parameters
+        is baked in as compile-time constants — sound because the cache key
+        pins the identity of every captured object."""
         vals0 = [p.data for p in params]
 
         def probe(vals):
@@ -325,7 +326,45 @@ class BetaMu(_Optimizer):
             out_grads = [grads[i] for i in range(len(cur)) if mask[i]]
             return updated, out_grads
 
+        return sweep, mask
+
+    def _build_step(self, closure, params, hypers):
+        sweep, mask = self._build_sweep(closure, params, hypers)
         return jax.jit(sweep), mask
+
+    def _build_run(self, closure, params, hypers):
+        """Compile ``n`` coordinate-wise sweeps as ONE on-device loop.
+
+        A ``lax.while_loop`` carries the full parameter list (plus the
+        final sweep's gradients), so the step count is a *dynamic* scalar —
+        one compilation serves every ``steps`` value.  Each loop iteration
+        is the exact jaxpr :meth:`_build_step` compiles, so ``run(c, n)``
+        reproduces ``n`` ``step(c)`` calls without ``n`` host dispatches.
+        """
+        sweep, mask = self._build_sweep(closure, params, hypers)
+        mask_idx = [i for i, m in enumerate(mask) if m]
+
+        def run_fn(vals, n):
+            def merge(cur, updated):
+                out = list(cur)
+                for j, i in enumerate(mask_idx):
+                    out[i] = updated[j]
+                return out
+
+            init_grads = [jnp.zeros_like(vals[i]) for i in mask_idx]
+
+            def body(state):
+                k, cur, _ = state
+                updated, grads = sweep(cur)
+                return k + 1, merge(cur, updated), grads
+
+            _, final, grads = jax.lax.while_loop(
+                lambda s: s[0] < n, body,
+                (jnp.int32(0), list(vals), init_grads),
+            )
+            return [final[i] for i in mask_idx], grads
+
+        return jax.jit(run_fn), mask
 
     def _step_compiled(self, closure, key, refs):
         params, hypers = self._all_params_and_hypers()
@@ -351,6 +390,31 @@ class BetaMu(_Optimizer):
                 p.grad = grads[j]
         return None
 
+    def _run_compiled(self, closure, steps, key, refs):
+        params, hypers = self._all_params_and_hypers()
+        full_key = ("run",) + key + (
+            tuple(id(p) for p in params),
+            tuple(p.requires_grad for p in params),
+            tuple((tuple(p.data.shape), str(p.data.dtype)) for p in params),
+            tuple(hypers),
+        )
+        entry = _cache_get(self._step_cache, full_key)
+        if entry is None:
+            jitted, mask = self._build_run(closure, params, hypers)
+            entry = (jitted, mask, refs, params)
+            _cache_put(self._step_cache, full_key, entry)
+        jitted, mask, _, _ = entry
+        updated, grads = jitted(
+            [p.data for p in params], jnp.int32(steps)
+        )
+        it = iter(range(len(updated)))
+        for p, m in zip(params, mask):
+            if m:
+                j = next(it)
+                p.data = updated[j]
+                p.grad = grads[j]
+        return None
+
     def step(self, closure: Callable):
         """Performs a single coordinate-wise MU pass over all parameters.
 
@@ -365,6 +429,33 @@ class BetaMu(_Optimizer):
             if fp is not None:
                 return self._step_compiled(closure, *fp)
         return self._step_eager(closure)
+
+    def run(self, closure: Callable, steps: int):
+        """Equivalent to calling :meth:`step` ``steps`` times, compiled to
+        ONE on-device loop (TPU-native extension; no reference analogue —
+        the reference user loops ``trainer.step`` from Python,
+        /root/reference/README.md:96-101).
+
+        The step count is a dynamic scalar of a single compiled
+        ``lax.while_loop`` program, so changing ``steps`` does not
+        recompile.  After return, each updated parameter's ``.grad`` holds
+        the FINAL sweep's β-divergence gradient, exactly as a last
+        ``step()`` would leave it.  Falls back to Python-looped steps when
+        the closure is not introspectable or ``jit_compile=False``.
+        """
+        steps = int(steps)
+        if steps < 0:
+            raise ValueError(f"Invalid steps value: {steps}")
+        if steps == 0:
+            return None
+        if self.jit_compile:
+            opt_params = [p for g in self.param_groups for p in g["params"]]
+            fp = _closure_fingerprint(closure, opt_params)
+            if fp is not None:
+                return self._run_compiled(closure, steps, *fp)
+        for _ in range(steps):
+            self._step_eager(closure)
+        return None
 
     def _step_eager(self, closure: Callable):
         for group in self.param_groups:
@@ -459,7 +550,7 @@ class SparsityProj(_Optimizer):
         self._step_cache = OrderedDict()
 
     # -- compiled path -------------------------------------------------------
-    def _build_step(self, closure):
+    def _build_sweep(self, closure):
         from .ops.trainer_core import sparsity_proj_step
 
         all_params = [p for g in self.param_groups for p in g["params"]]
@@ -517,7 +608,45 @@ class SparsityProj(_Optimizer):
             out_grads = [grads_out[i] for i in range(len(cur)) if mask[i]]
             return updated, new_lrs, loss, out_grads
 
+        return sweep, mask, all_params
+
+    def _build_step(self, closure):
+        sweep, mask, all_params = self._build_sweep(closure)
         return jax.jit(sweep), mask, all_params
+
+    def _build_run(self, closure):
+        """Compile ``n`` projected-gradient steps (each with its own
+        backtracking line search and the reference's cross-step lr
+        grow/shrink schedule) as ONE on-device ``lax.while_loop`` with a
+        dynamic step count — the exact per-step jaxpr of
+        :meth:`_build_step`, minus the per-step host dispatch."""
+        sweep, mask, all_params = self._build_sweep(closure)
+        mask_idx = [i for i, m in enumerate(mask) if m]
+
+        def run_fn(vals, lrs, n):
+            def one(cur, lrs):
+                updated, new_lrs, loss, grads = sweep(cur, lrs)
+                merged = list(cur)
+                for j, i in enumerate(mask_idx):
+                    merged[i] = updated[j]
+                return merged, new_lrs, loss, grads
+
+            # first step outside the loop fixes the carry's dtypes/shapes
+            # (run() guarantees n >= 1)
+            cur, lrs, loss, grads = one(list(vals), lrs)
+
+            def body(state):
+                k, cur, lrs, _, _ = state
+                cur, lrs, loss, grads = one(cur, lrs)
+                return k + 1, cur, lrs, loss, grads
+
+            _, cur, lrs, loss, grads = jax.lax.while_loop(
+                lambda s: s[0] < n, body,
+                (jnp.int32(1), cur, lrs, loss, grads),
+            )
+            return [cur[i] for i in mask_idx], lrs, loss, grads
+
+        return jax.jit(run_fn), mask, all_params
 
     def _step_compiled(self, closure, key, refs):
         all_params = [p for g in self.param_groups for p in g["params"]]
@@ -546,6 +675,35 @@ class SparsityProj(_Optimizer):
             g["lr"] = float(lr)
         return loss
 
+    def _run_compiled(self, closure, steps, key, refs):
+        all_params = [p for g in self.param_groups for p in g["params"]]
+        full_key = ("run",) + key + (
+            tuple(id(p) for p in all_params),
+            tuple(p.requires_grad for p in all_params),
+            tuple((tuple(p.data.shape), str(p.data.dtype)) for p in all_params),
+            tuple((g["sparsity"], g["dim"], g["max_iter"])
+                  for g in self.param_groups),
+        )
+        entry = _cache_get(self._step_cache, full_key)
+        if entry is None:
+            jitted, mask, params = self._build_run(closure)
+            entry = (jitted, mask, refs, params)
+            _cache_put(self._step_cache, full_key, entry)
+        jitted, mask, _, params = entry
+        lrs = [jnp.float32(g["lr"]) for g in self.param_groups]
+        updated, new_lrs, loss, grads = jitted(
+            [p.data for p in params], lrs, jnp.int32(steps)
+        )
+        j = 0
+        for p, m in zip(params, mask):
+            if m:
+                p.data = updated[j]
+                p.grad = grads[j]
+                j += 1
+        for g, lr in zip(self.param_groups, new_lrs):
+            g["lr"] = float(lr)
+        return loss
+
     def step(self, closure: Callable):
         """One projected-gradient step with backtracking line search.
 
@@ -559,6 +717,30 @@ class SparsityProj(_Optimizer):
             if fp is not None:
                 return self._step_compiled(closure, *fp)
         return self._step_eager(closure)
+
+    def run(self, closure: Callable, steps: int):
+        """Equivalent to calling :meth:`step` ``steps`` times — including
+        the lr schedule carried across steps — compiled to ONE on-device
+        loop with a dynamic step count (TPU-native extension; the reference
+        user loops ``trainer.step`` from Python).  Returns the final step's
+        loss; each constrained parameter's ``.grad`` holds the final
+        step's gradient.  Falls back to Python-looped steps when the
+        closure is not introspectable or ``jit_compile=False``.
+        """
+        steps = int(steps)
+        if steps < 0:
+            raise ValueError(f"Invalid steps value: {steps}")
+        if steps == 0:
+            return None
+        if self.jit_compile:
+            opt_params = [p for g in self.param_groups for p in g["params"]]
+            fp = _closure_fingerprint(closure, opt_params)
+            if fp is not None:
+                return self._run_compiled(closure, steps, *fp)
+        loss = None
+        for _ in range(steps):
+            loss = self._step_eager(closure)
+        return loss
 
     def _step_eager(self, closure: Callable):
         loss = None

@@ -254,3 +254,127 @@ def test_betamu_rebound_nonoptimized_param_not_stale():
     tb = BetaMu(ref.parameters(), 1, jit_compile=False)
     tb.step(lambda: (target, ref(None)))
     assert float(jnp.abs(m.H.data - ref.H.data).max()) < 1e-5
+
+
+def _clone_chain(seed):
+    pnt.manual_seed(seed)
+    return pnt.Sequential(
+        NMF((60, 12), rank=6),
+        NMF(W=(24, 12)),
+        NMF(W=(40, 24)),
+    )
+
+
+def test_betamu_run_matches_repeated_step():
+    """run(c, n) reproduces n step(c) calls exactly, including the final
+    sweep's .grad observable, and one compilation serves every n."""
+    target = RNG.rand(60, 40).astype("f")
+
+    m_step = _clone_chain(3)
+    m_run = _clone_chain(3)
+    for ps, pr in zip(m_step.parameters(), m_run.parameters()):
+        np.testing.assert_array_equal(ps.data, pr.data)
+
+    t_step = BetaMu(m_step.parameters(), 1)
+    t_run = BetaMu(m_run.parameters(), 1)
+
+    def c_step():
+        return target, m_step(None)
+
+    def c_run():
+        return target, m_run(None)
+
+    for n in (1, 4):
+        for _ in range(n):
+            t_step.step(c_step)
+        t_run.run(c_run, n)
+        for ps, pr in zip(m_step.parameters(), m_run.parameters()):
+            np.testing.assert_allclose(
+                np.asarray(ps.data), np.asarray(pr.data), rtol=1e-6, atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(ps.grad), np.asarray(pr.grad), rtol=1e-6, atol=1e-6
+            )
+    # dynamic step count: both n values share one compiled "run" entry
+    assert sum(1 for k in t_run._step_cache if k[0] == "run") == 1
+
+
+def test_betamu_run_zero_and_negative_steps():
+    m = _clone_chain(5)
+    trainer = BetaMu(m.parameters(), 1)
+    target = RNG.rand(60, 40).astype("f")
+
+    def closure():
+        return target, m(None)
+
+    before = [np.asarray(p.data).copy() for p in m.parameters()]
+    assert trainer.run(closure, 0) is None
+    for b, p in zip(before, m.parameters()):
+        np.testing.assert_array_equal(b, np.asarray(p.data))
+    with pytest.raises(ValueError):
+        trainer.run(closure, -1)
+
+
+def test_betamu_run_eager_fallback():
+    """A non-introspectable closure (no __code__) falls back to looped
+    eager steps with identical trajectories."""
+    import functools
+
+    target = RNG.rand(60, 40).astype("f")
+    m_step = _clone_chain(7)
+    m_run = _clone_chain(7)
+    t_step = BetaMu(m_step.parameters(), 1)
+    t_run = BetaMu(m_run.parameters(), 1)
+
+    def base(model, trainer):
+        trainer.zero_grad()
+        return target, model(None)
+
+    c_step = functools.partial(base, m_step, t_step)
+    c_run = functools.partial(base, m_run, t_run)
+    assert not hasattr(c_run, "__code__")
+
+    for _ in range(3):
+        t_step.step(c_step)
+    t_run.run(c_run, 3)
+    for ps, pr in zip(m_step.parameters(), m_run.parameters()):
+        np.testing.assert_allclose(
+            np.asarray(ps.data), np.asarray(pr.data), rtol=1e-6, atol=0
+        )
+
+
+def test_sparsityproj_run_matches_repeated_step():
+    """run matches repeated step including the cross-step lr schedule and
+    the returned final loss."""
+    target = RNG.rand(80, 30).astype("f")
+
+    pnt.manual_seed(13)
+    m_step = NMF((80, 30), rank=5)
+    pnt.manual_seed(13)
+    m_run = NMF((80, 30), rank=5)
+
+    t_step = SparsityProj([m_step.W], 0.3, max_iter=5)
+    t_run = SparsityProj([m_run.W], 0.3, max_iter=5)
+
+    def c_step():
+        return beta_div(m_step(None), target)
+
+    def c_run():
+        return beta_div(m_run(None), target)
+
+    losses = [t_step.step(c_step) for _ in range(4)]
+    loss_run = t_run.run(c_run, 4)
+    np.testing.assert_allclose(
+        float(losses[-1]), float(loss_run), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_step.W.data), np.asarray(m_run.W.data),
+        rtol=1e-6, atol=0,
+    )
+    np.testing.assert_allclose(
+        t_step.param_groups[0]["lr"], t_run.param_groups[0]["lr"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_step.W.grad), np.asarray(m_run.W.grad),
+        rtol=1e-6, atol=1e-7,
+    )
