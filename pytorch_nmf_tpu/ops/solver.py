@@ -114,6 +114,97 @@ def _progress(verbose: bool, chunk_idx, loss, extra=None):
             )
 
 
+_CB_SUPPORT: Optional[bool] = None
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the default backend can execute ``jax.debug.callback``.
+
+    Standard PJRT backends (cpu/gpu/tpu) support host callbacks; the
+    relay-attached ``axon`` backend raises UNIMPLEMENTED ("does not
+    support host send/recv callbacks") at *execution* time, which would
+    kill every ``verbose=True`` fit.  Unknown platforms are probed once
+    with a trivial callback program.  ``PNT_PROGRESS_CALLBACKS=0/1``
+    forces the answer (read on every call, so tests can exercise the
+    recorded-trace fallback on CPU).
+    """
+    import os
+
+    env = os.environ.get("PNT_PROGRESS_CALLBACKS")
+    if env is not None:
+        return env != "0"
+    global _CB_SUPPORT
+    if _CB_SUPPORT is None:
+        dev = jax.devices()[0]
+        platform = dev.platform
+        # the axon relay backend registers as platform "axon" but its
+        # devices REPORT platform "tpu" — the reliable marker is the PJRT
+        # platform_version string ("PJRT C API\naxon 0.1.0; ...")
+        version = str(
+            getattr(getattr(dev, "client", None), "platform_version", "")
+        )
+        if "axon" in version or platform == "axon":
+            _CB_SUPPORT = False
+        elif platform in ("cpu", "gpu", "tpu", "cuda", "rocm"):
+            _CB_SUPPORT = True
+        else:
+            try:
+                jax.jit(
+                    lambda x: (jax.debug.callback(lambda v: None, x), x + 1)[1]
+                )(jnp.float32(0)).block_until_ready()
+                jax.effects_barrier()
+                _CB_SUPPORT = True
+            except Exception:
+                _CB_SUPPORT = False
+    return _CB_SUPPORT
+
+
+def _record_bit_resolved(factory):
+    """Resolve the verbose record-mode bit OUTSIDE the solver lru cache.
+
+    ``factory`` is the lru-cached solver factory taking a trailing
+    ``_record`` keyword.  The bit depends on the backend and on the
+    ``PNT_PROGRESS_CALLBACKS`` override, not just the call arguments, so
+    it must be recomputed per call — baking it into the cached body would
+    let a flipped override serve a stale program shape.
+    """
+    import functools
+    import inspect
+
+    sig = inspect.signature(factory)
+
+    @functools.wraps(factory)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind_partial(*args, **kwargs)
+        bound.apply_defaults()
+        verbose = bool(bound.arguments.get("verbose", False))
+        kwargs["_record"] = verbose and not host_callbacks_supported()
+        return factory(*args, **kwargs)
+
+    wrapper.cache_clear = factory.cache_clear
+    wrapper.cache_info = factory.cache_info
+    return wrapper
+
+
+def _emit_recorded(k, losses, extras=None) -> None:
+    """Replay a record-mode fit's cadence trace to the progress handlers.
+
+    ``k`` chunk events were recorded on device (the callback-free
+    fallback); handlers observe them in order after the program completes
+    — same events, same payloads as the streaming path, just not live.
+    """
+    import numpy as np
+
+    k = int(k)
+    losses = np.asarray(losses)
+    extras_np = None if extras is None else np.asarray(extras)
+    for c in range(k):
+        _emit_progress(
+            c + 1, float(losses[c]),
+            None if extras_np is None else float(extras_np[c]),
+        )
+
+
 # --------------------------------------------------------------------------
 # Default (generic) per-factor updaters via the VJP MU engine.
 # --------------------------------------------------------------------------
@@ -164,6 +255,7 @@ def _converging_loop(
     max_iter: int,
     verbose: bool,
     extra_of: Optional[Callable] = None,
+    record: bool = False,
 ):
     """Shared chunked-while convergence loop.
 
@@ -171,29 +263,48 @@ def _converging_loop(
     ``loss_of(state) -> scalar`` (already in the reference's
     ``sqrt(2·divergence)`` scale); ``extra_of`` optionally computes an
     additional verbose-only scalar (PLCA's log-likelihood).
-    Returns ``(state, n_chunks, converged)``.
+    Returns ``(state, n_chunks, converged, trace)``.
+
+    ``trace`` is ``None`` unless ``record`` is set (the caller resolved
+    that the verbose events cannot stream through ``jax.debug.callback``,
+    :func:`host_callbacks_supported`); then the loop records the cadence
+    ``(loss[, extra])`` values into preallocated carry arrays instead, and
+    ``trace = (losses, extras-or-None)`` for the caller to replay via
+    :func:`_emit_recorded` after the program runs.
     """
     loss_init = loss_of(state0)
     n_chunks = max_iter // 10
     rem = max_iter % 10
+    record = record and verbose
 
     def chunk_body(carry):
-        state, prev, k, _ = carry
+        state, prev, k, _, losses, extras = carry
         state = lax.fori_loop(0, 10, lambda i, s: one_iter(s), state)
         loss = loss_of(state)
         conv = (prev - loss) / loss_init < tol
-        if verbose and extra_of is not None:
+        if record:
+            losses = losses.at[k].set(loss)
+            if extra_of is not None:
+                extras = extras.at[k].set(extra_of(state))
+        elif verbose and extra_of is not None:
             _progress(verbose, k + 1, loss, extra_of(state))
         else:
             _progress(verbose, k + 1, loss)
-        return state, loss, k + 1, conv
+        return state, loss, k + 1, conv, losses, extras
 
     def cond(carry):
-        _, _, k, conv = carry
+        _, _, k, conv, _, _ = carry
         return (~conv) & (k < n_chunks)
 
-    state, _, k, conv = lax.while_loop(
-        cond, chunk_body, (state0, loss_init, jnp.int32(0), False)
+    losses0 = jnp.zeros((n_chunks,), jnp.float32) if record else jnp.float32(0)
+    extras0 = (
+        jnp.zeros((n_chunks,), jnp.float32)
+        if record and extra_of is not None
+        else jnp.float32(0)
+    )
+    state, _, k, conv, losses, extras = lax.while_loop(
+        cond, chunk_body,
+        (state0, loss_init, jnp.int32(0), False, losses0, extras0),
     )
     if rem:
         state = lax.cond(
@@ -202,12 +313,16 @@ def _converging_loop(
             lambda s: lax.fori_loop(0, rem, lambda i, t: one_iter(t), s),
             state,
         )
-    return state, k, conv
+    trace = None
+    if record:
+        trace = (losses, extras if extra_of is not None else None)
+    return state, k, conv, trace
 
 
 # --------------------------------------------------------------------------
 # Dense β-divergence MU fit (reference fit, dense path; nmf.py:355-409)
 # --------------------------------------------------------------------------
+@_record_bit_resolved
 @lru_cache(maxsize=None)
 def get_dense_fit(
     recon2: Callable,
@@ -220,6 +335,7 @@ def get_dense_fit(
     l2_reg: float,
     verbose: bool = False,
     updater_factory: Optional[Callable] = None,
+    _record: bool = False,
 ):
     """Returns jitted ``fit(V, W, H) -> (W, H, n_iter)``."""
     gamma = gamma_from_beta(beta)
@@ -247,14 +363,26 @@ def get_dense_fit(
             return w, h
 
         state0 = (W, H) if prepare is None else prepare(V, W, H)
-        state, k, conv = _converging_loop(
-            one_iter, loss_of, state0, tol, max_iter, verbose
+        state, k, conv, trace = _converging_loop(
+            one_iter, loss_of, state0, tol, max_iter, verbose,
+            record=_record,
         )
         W, H = state if finish is None else finish(V, *state)
         n_iter = jnp.where(conv, k * 10, max_iter)
+        if trace is not None:
+            return W, H, n_iter, k, trace[0]
         return W, H, n_iter
 
-    return jax.jit(fit)
+    jf = jax.jit(fit)
+    if not _record:
+        return jf
+
+    def fit_posthoc(V, W, H):
+        W, H, n_iter, k, losses = jf(V, W, H)
+        _emit_recorded(k, losses)
+        return W, H, n_iter
+
+    return fit_posthoc
 
 
 # --------------------------------------------------------------------------
@@ -373,6 +501,7 @@ def _sp_factor_update(pos_neg_p, p, gamma, l1_reg, l2_reg, pos_pre=None):
     return p * mu_multiplier(neg, pos, p, gamma, l1_reg, l2_reg)
 
 
+@_record_bit_resolved
 @lru_cache(maxsize=None)
 def get_sparse_fit(
     pos_neg: Callable,
@@ -388,6 +517,7 @@ def get_sparse_fit(
     recon2: Optional[Callable] = None,
     updater_factory: Optional[Callable] = None,
     ell: bool = False,
+    _record: bool = False,
 ):
     """Returns jitted ``fit(V_sparse, W, H) -> (W, H, n_iter)``.
 
@@ -502,13 +632,25 @@ def get_sparse_fit(
                 )
             return w, h
 
-        (W, H), k, conv = _converging_loop(
-            one_iter, loss_of, (W, H), tol, max_iter, verbose
+        (W, H), k, conv, trace = _converging_loop(
+            one_iter, loss_of, (W, H), tol, max_iter, verbose,
+            record=_record,
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
+        if trace is not None:
+            return W, H, n_iter, k, trace[0]
         return W, H, n_iter
 
-    return jax.jit(fit)
+    jf = jax.jit(fit)
+    if not _record:
+        return jf
+
+    def fit_posthoc(V, W, H):
+        W, H, n_iter, k, losses = jf(V, W, H)
+        _emit_recorded(k, losses)
+        return W, H, n_iter
+
+    return fit_posthoc
 
 
 # --------------------------------------------------------------------------
@@ -550,6 +692,7 @@ def _backtrack_project(
     return pnew, stepsize * 1.2
 
 
+@_record_bit_resolved
 @lru_cache(maxsize=None)
 def get_hoyer_fit(
     recon2: Optional[Callable],
@@ -563,6 +706,7 @@ def get_hoyer_fit(
     W_col_dim: int,
     H_col_dim: int,
     verbose: bool = False,
+    _record: bool = False,
 ):
     """Returns jitted ``fit(V, W, H) -> (W, H, n_iter)``.
 
@@ -636,16 +780,24 @@ def get_hoyer_fit(
             return w, h, ssW, ssH
 
         state = (W, H, jnp.float32(1.0), jnp.float32(1.0))
+        record = _record
+        losses = jnp.zeros((max_iter // 10,), jnp.float32)
         if verbose:
             # reference cadence: loss evaluated and displayed every 10
             # iterations only (nmf.py:587-598)
-            def chunk(c, s):
+            def chunk(c, carry):
+                s, losses = carry
                 s = lax.fori_loop(0, 10, lambda i, t: one_iter(t), s)
                 loss = jnp.sqrt(2.0 * loss_W(s[0], s[1]))
-                _progress(True, c + 1, loss)
-                return s
+                if record:
+                    losses = losses.at[c].set(loss)
+                else:
+                    _progress(True, c + 1, loss)
+                return s, losses
 
-            state = lax.fori_loop(0, max_iter // 10, chunk, state)
+            state, losses = lax.fori_loop(
+                0, max_iter // 10, chunk, (state, losses)
+            )
             state = lax.fori_loop(
                 0, max_iter % 10, lambda i, t: one_iter(t), state
             )
@@ -654,9 +806,21 @@ def get_hoyer_fit(
                 0, max_iter, lambda i, t: one_iter(t), state
             )
         W, H, _, _ = state
+        if record:
+            return W, H, jnp.int32(max_iter), losses
         return W, H, jnp.int32(max_iter)
 
-    return jax.jit(fit)
+    jf = jax.jit(fit)
+    if not _record:
+        return jf
+
+    def fit_posthoc(V, W, H):
+        W, H, n_iter, losses = jf(V, W, H)
+        # no early stop in this solver: every cadence chunk ran
+        _emit_recorded(max_iter // 10, losses)
+        return W, H, n_iter
+
+    return fit_posthoc
 
 
 @lru_cache(maxsize=None)
@@ -771,6 +935,7 @@ def _plca_em_iter(
     return w, h, z
 
 
+@_record_bit_resolved
 @lru_cache(maxsize=None)
 def get_plca_fit(
     recon3: Callable,
@@ -783,6 +948,7 @@ def get_plca_fit(
     H_alpha_active: bool,
     Z_alpha_active: bool,
     verbose: bool = False,
+    _record: bool = False,
 ):
     """Returns jitted ``fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha)
     -> (W, H, Z, n_iter, norm)``.
@@ -821,16 +987,29 @@ def get_plca_fit(
                 Vn, state, W_alpha, H_alpha, Z_alpha,
             )
 
-        (W, H, Z), k, conv = _converging_loop(
+        (W, H, Z), k, conv, trace = _converging_loop(
             one_iter, loss_of, (W, H, Z), tol, max_iter, verbose,
-            extra_of=log_probability,
+            extra_of=log_probability, record=_record,
         )
         # reference returns the raw loop index: 10c-1 on early break,
         # max_iter-1 otherwise (plca.py:304)
         n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
+        if trace is not None:
+            return W, H, Z, n_iter, norm, k, trace[0], trace[1]
         return W, H, Z, n_iter, norm
 
-    return jax.jit(fit)
+    jf = jax.jit(fit)
+    if not _record:
+        return jf
+
+    def fit_posthoc(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
+        W, H, Z, n_iter, norm, k, losses, extras = jf(
+            V, W, H, Z, W_alpha, H_alpha, Z_alpha
+        )
+        _emit_recorded(k, losses, extras)
+        return W, H, Z, n_iter, norm
+
+    return fit_posthoc
 
 
 @lru_cache(maxsize=None)

@@ -319,3 +319,68 @@ def test_loss_history_recorder():
         p.fit(V, 0, 30, verbose=True)
     assert len(hist2.losses) == 3
     assert all(e is not None for e in hist2.extras)  # log-posterior
+
+
+def test_verbose_record_mode_matches_streaming(monkeypatch):
+    """When the backend cannot run host callbacks (relay-attached TPU;
+    PNT_PROGRESS_CALLBACKS=0 forces it here), verbose fits record the
+    cadence losses in the loop carry and replay them to the handlers
+    after the program runs — same events, identical trajectories."""
+    import pytorch_nmf_tpu as pnt
+    from pytorch_nmf_tpu.nmf import NMF
+    from pytorch_nmf_tpu.plca import PLCA
+    from pytorch_nmf_tpu.ops import solver
+    from pytorch_nmf_tpu.utils import LossHistory
+
+    rng = np.random.RandomState(33)
+    V = rng.rand(50, 30).astype("f") + 1e-3
+    Vthr = np.where(V > 0.8, V, 0)
+
+    def run_all(record):
+        if record:
+            monkeypatch.setenv("PNT_PROGRESS_CALLBACKS", "0")
+        else:
+            monkeypatch.delenv("PNT_PROGRESS_CALLBACKS", raising=False)
+        for f in (solver.get_dense_fit, solver.get_sparse_fit,
+                  solver.get_hoyer_fit, solver.get_plca_fit):
+            f.cache_clear()
+        out = {}
+        pnt.manual_seed(5)
+        m = NMF(V.shape, 4)
+        with LossHistory() as h:
+            m.fit(V, 1, 0, 40, verbose=True)
+        out["dense"] = (np.asarray(m.W.data), h.chunks, list(h.losses))
+
+        pnt.manual_seed(6)
+        ms = NMF(V.shape, 4)
+        with LossHistory() as h:
+            ms.fit(pnt.sparse_from_dense(Vthr), beta=1, tol=0,
+                   max_iter=30, verbose=True)
+        out["sparse"] = (np.asarray(ms.W.data), h.chunks, list(h.losses))
+
+        pnt.manual_seed(7)
+        mh = NMF(V.shape, 4)
+        with LossHistory() as h:
+            mh.sparse_fit(V, beta=2, max_iter=30, verbose=True, sW=0.5)
+        out["hoyer"] = (np.asarray(mh.W.data), h.chunks, list(h.losses))
+
+        pnt.manual_seed(8)
+        p = PLCA(V.shape, 3)
+        with LossHistory() as h:
+            p.fit(V, 0, 30, verbose=True)
+        out["plca"] = (
+            np.asarray(p.W.data), h.chunks, list(h.losses), list(h.extras)
+        )
+        return out
+
+    stream = run_all(False)
+    record = run_all(True)
+    for key in ("dense", "sparse", "hoyer", "plca"):
+        s, r = stream[key], record[key]
+        np.testing.assert_array_equal(s[0], r[0]), key
+        assert s[1] == r[1], key           # same chunk indices, same order
+        np.testing.assert_allclose(s[2], r[2], rtol=1e-6)
+        assert len(s[2]) > 0, key
+    # PLCA's log-posterior rides the extras channel in record mode too
+    np.testing.assert_allclose(stream["plca"][3], record["plca"][3],
+                               rtol=1e-6)
