@@ -265,7 +265,7 @@ def _get_sharded_deconv_fit(
             return w3, hp
 
         W3 = _w3_from_w(W)
-        (W3, Hp), k, converged = _converging_loop(
+        (W3, Hp), k, converged, _ = _converging_loop(
             one_iter, loss_of, (W3, Hp), tol, max_iter, False
         )
         n_iter = jnp.where(converged, k * 10, max_iter)
@@ -331,7 +331,7 @@ def _get_sharded_deconv_fit(
                 hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
             return w, hp
 
-        (W, Hp), k, conv = _converging_loop(
+        (W, Hp), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, Hp), tol, max_iter, False
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
@@ -554,7 +554,7 @@ def _get_sharded_siplca_fit(
                 h_marginal=h_marginal, h_mask=h_mask,
             )
 
-        (W, Hp, Z), k, conv = _converging_loop(
+        (W, Hp, Z), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, Hp, Z), tol, max_iter, False
         )
         # reference quirk: raw loop index (plca.py:304)

@@ -168,7 +168,7 @@ def _get_sharded_nmf_fit(
             h = upd_H(V, w, h)
             return w, h
 
-        (W, H), k, conv = _converging_loop(
+        (W, H), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, H), tol, max_iter, False
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
@@ -384,7 +384,7 @@ def _get_sharded_plca_fit(
 
             return w, h, z
 
-        (W, H, Z), k, conv = _converging_loop(
+        (W, H, Z), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, H, Z), tol, max_iter, False
         )
         # reference quirk: raw loop index (plca.py:304)

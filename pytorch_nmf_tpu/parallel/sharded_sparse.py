@@ -231,7 +231,7 @@ def _get_sharded_sparse_fit(
             h = h * mu_multiplier(neg, pos, h, gamma, l1_reg, l2_reg)
             return w, h
 
-        (W, Hp), k, conv = _converging_loop(
+        (W, Hp), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, Hp), tol, max_iter, False
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
