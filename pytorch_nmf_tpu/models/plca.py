@@ -244,6 +244,7 @@ class BaseComponent(Module):
             _solver.alpha_is_active(H_alpha),
             _solver.alpha_is_active(Z_alpha),
             bool(verbose),
+            em_engine=self._resolve_em_engine(V, multi_device),
         )
         with _progress_scope(verbose, max_iter):
             W_new, H_new, Z_new, n_iter, norm = fit_fn(
@@ -264,6 +265,12 @@ class BaseComponent(Module):
         """Hook: multi-device EM through a purpose-built shard_map solver,
         or ``None`` to decline (→ GSPMD).  The shift-invariant family
         overrides this (see :class:`_SIPLCABase`)."""
+        return None
+
+    def _resolve_em_engine(self, V, multi_device):
+        """Hook: a fused E-step engine factory for this fit call, or
+        ``None`` for the generic VJP E-step.  :class:`PLCA` overrides this
+        (dense recon → fused ratio-GEMM cotangents)."""
         return None
 
 
@@ -308,6 +315,15 @@ class PLCA(BaseComponent):
         W = as_array(W)
         Z = as_array(Z)
         return _recon.linear(H, W * Z)
+
+    def _resolve_em_engine(self, V, multi_device):
+        # fused engines are single-device Mosaic programs; user subclasses
+        # with a custom reconstruct must keep the generic VJP E-step
+        if multi_device or type(self).reconstruct is not PLCA.reconstruct:
+            return None
+        from ..ops.fast_plca import resolve_plca_em_engine
+
+        return resolve_plca_em_engine(V)
 
 
 class SIPLCA(_SIPLCABase):

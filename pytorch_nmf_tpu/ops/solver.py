@@ -879,7 +879,7 @@ def _plca_em_iter(
     recon3, update_W, update_H, update_Z,
     W_alpha_active, H_alpha_active, Z_alpha_active,
     Vn, state, W_alpha, H_alpha, Z_alpha,
-    h_marginal=None, h_mask=None,
+    h_marginal=None, h_mask=None, cotangents=None,
 ):
     """One EM iteration: a single VJP E-step (cotangent ``Vn/(WZH+eps)``,
     reference plca.py:252-253) + closed-form M-step renormalizations with
@@ -892,12 +892,19 @@ def _plca_em_iter(
     entries after the Dirichlet-MAP adjustment — zero entries are EM fixed
     points under the multiplicative update, but ``h + (alpha - 1)`` (and
     the eps threshold) would inject mass into the padding and corrupt the
-    psum'd marginal."""
+    psum'd marginal.
+
+    ``cotangents`` (optional) replaces the VJP E-step with a fused engine
+    ``(Vn, w, h, z) -> (gH, gW, gZ)`` — same math and eps placement, the
+    recon/ratio computed tile-wise in VMEM (see :mod:`ops.fast_plca`)."""
     if h_marginal is None:
         h_marginal = _plca_marginal_sum
     w, h, z = state
-    WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
-    gH, gW, gZ = vjp(Vn / (WZH + eps))
+    if cotangents is not None:
+        gH, gW, gZ = cotangents(Vn, w, h, z)
+    else:
+        WZH, vjp = jax.vjp(lambda hh, ww, zz: recon3(hh, ww, zz), h, w, z)
+        gH, gW, gZ = vjp(Vn / (WZH + eps))
 
     Z_prior = None
     if update_Z:
@@ -948,6 +955,7 @@ def get_plca_fit(
     H_alpha_active: bool,
     Z_alpha_active: bool,
     verbose: bool = False,
+    em_engine: Optional[Callable] = None,
     _record: bool = False,
 ):
     """Returns jitted ``fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha)
@@ -958,7 +966,12 @@ def get_plca_fit(
     marginal renormalizations with optional Dirichlet-MAP adjustment
     (plca.py:255-289).  ``V`` arrives unnormalized; normalization by its sum
     happens inside (plca.py:241-242).
+
+    ``em_engine`` (optional, hashable factory) supplies fused E-step
+    cotangents — e.g. :func:`ops.fast_plca.plca_em_engine_pallas` for the
+    dense model; the loss cadence and M-step stay shared.
     """
+    em_cotangents = em_engine() if em_engine is not None else None
 
     def fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
         norm = jnp.sum(V)
@@ -985,6 +998,7 @@ def get_plca_fit(
                 recon3, update_W, update_H, update_Z,
                 W_alpha_active, H_alpha_active, Z_alpha_active,
                 Vn, state, W_alpha, H_alpha, Z_alpha,
+                cotangents=em_cotangents,
             )
 
         (W, H, Z), k, conv, trace = _converging_loop(

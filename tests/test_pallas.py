@@ -186,6 +186,85 @@ def test_kl_epilogue_fused_update_matches_manual(data):
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=2e-5)
 
 
+def test_plca_fused_cotangents_match_vjp():
+    """The fused PLCA E-step (ops/fast_plca.py) must reproduce the generic
+    single-VJP cotangents of ``H @ (W·Z)ᵀ`` with cotangent ``Vn/(WZH+eps)``
+    (reference plca.py:252-253)."""
+    import jax
+
+    from pytorch_nmf_tpu.ops import recon as _recon
+    from pytorch_nmf_tpu.ops.fast_plca import plca_em_engine_interpret
+
+    M2, K2, R2 = 100, 50, 8
+    Vn = jnp.asarray(RNG.rand(M2, K2).astype("f"))
+    Vn = Vn / jnp.sum(Vn)
+    w = jnp.asarray(RNG.rand(K2, R2).astype("f") + 0.05)
+    w = w / w.sum(0)
+    h = jnp.asarray(RNG.rand(M2, R2).astype("f") + 0.05)
+    h = h / h.sum(0)
+    z = jnp.asarray(RNG.rand(R2).astype("f") + 0.05)
+    z = z / z.sum()
+
+    gH, gW, gZ = plca_em_engine_interpret()(Vn, w, h, z)
+
+    recon3 = lambda hh, ww, zz: _recon.linear(hh, ww * zz)
+    WZH, vjp = jax.vjp(recon3, h, w, z)
+    rH, rW, rZ = vjp(Vn / (WZH + eps))
+
+    np.testing.assert_allclose(np.asarray(gH), np.asarray(rH), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gW), np.asarray(rW), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gZ), np.asarray(rZ), rtol=2e-5)
+
+
+def test_plca_model_fused_matches_generic():
+    """PLCA.fit with the fused E-step engine (interpreter mode) must track
+    the generic-VJP trajectory; the resolver must pick the fused engine
+    here and decline it for custom-reconstruct subclasses."""
+    from pytorch_nmf_tpu.ops.fast_plca import (
+        plca_em_engine_interpret,
+        resolve_plca_em_engine,
+    )
+    from pytorch_nmf_tpu.plca import PLCA
+
+    M2, K2, R2 = 60, 40, 6
+    V = RNG.rand(M2, K2).astype("f")
+    W0 = RNG.rand(K2, R2).astype("f") + 0.1
+    H0 = RNG.rand(M2, R2).astype("f") + 0.1
+    Z0 = RNG.rand(R2).astype("f") + 0.1
+
+    m = PLCA(W=W0, H=H0, Z=Z0)
+    assert (
+        m._resolve_em_engine(jnp.asarray(V), False)
+        is plca_em_engine_interpret
+    )
+    n_iter, norm = m.fit(V, tol=0, max_iter=30)
+
+    os.environ["PNT_PLCA_FUSED"] = "0"
+    try:
+        ref = PLCA(W=W0, H=H0, Z=Z0)
+        assert ref._resolve_em_engine(jnp.asarray(V), False) is None
+        n_ref, norm_ref = ref.fit(V, tol=0, max_iter=30)
+    finally:
+        os.environ.pop("PNT_PLCA_FUSED", None)
+
+    assert n_iter == n_ref
+    np.testing.assert_allclose(float(norm), float(norm_ref), rtol=1e-6)
+    assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+    assert float(jnp.abs(m.Z.data - ref.Z.data).max()) < 2e-5
+
+    # a user subclass with its own reconstruct must keep the generic VJP
+    class Custom(PLCA):
+        def reconstruct(self, H, W, Z):
+            return super().reconstruct(H, W, Z) * 2.0
+
+    c = Custom(W=W0, H=H0, Z=Z0)
+    assert c._resolve_em_engine(jnp.asarray(V), False) is None
+    # multi-device and non-f32 targets decline too
+    assert resolve_plca_em_engine(jnp.asarray(V, jnp.bfloat16)) is None
+    assert m._resolve_em_engine(jnp.asarray(V), True) is None
+
+
 @pytest.mark.parametrize("model_axis", [None, "model"])
 def test_annotation_path_uses_sharded_pallas_factory(model_axis):
     """A multi-device NamedSharding'd NMF fit must route through the
