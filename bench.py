@@ -433,10 +433,44 @@ def main():
         "note": "compiled while_loop over sweeps (trainer.run)",
     })
 
+    # dense PLCA EM (reference scale; the generic single-VJP E-step —
+    # measured faster than the fused Pallas form on v5e, see ROADMAP)
+    from pytorch_nmf_tpu.models.plca import PLCA, SIPLCA
+    from pytorch_nmf_tpu.ops.solver import get_plca_fit
+
+    Mp, Kp, Rp = (40, 24, 4) if TINY else (5168, 1025, 88)
+    Vp = jnp.asarray(rng.rand(Mp, Kp).astype("f"))
+    Wpd = rng.rand(Kp, Rp).astype("f"); Wpd /= Wpd.sum(0)
+    Hpd = rng.rand(Mp, Rp).astype("f"); Hpd /= Hpd.sum(0)
+    Zpd = np.full((Rp,), 1.0 / Rp, "f")
+
+    def make_fit_plca(n):
+        inner = get_plca_fit(
+            PLCA.reconstruct, float("-inf"), n, True, True, True,
+            False, False, False,
+        )
+
+        def fit(V, W, H, Z):
+            return inner(
+                V, W, H, Z,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+            )
+
+        return fit
+
+    ms = _marginal_ms_per_iter(
+        make_fit_plca,
+        (Vp, jnp.asarray(Wpd), jnp.asarray(Hpd), jnp.asarray(Zpd)),
+    )
+    grid.append({
+        "metric": f"plca_em_iter_{Mp}x{Kp}_r{Rp}",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
+
     # shift-invariant PLCA EM (spectrogram-scale; the unfold speedup
     # reaches it through the E-step VJP)
-    from pytorch_nmf_tpu.models.plca import SIPLCA
-    from pytorch_nmf_tpu.ops.solver import get_plca_fit
 
     N, C, L_out, R, T = (
         (1, 24, 200, 3, 10) if TINY else (1, 513, 3000, 8, 200)

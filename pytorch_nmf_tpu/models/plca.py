@@ -317,8 +317,10 @@ class PLCA(BaseComponent):
         return _recon.linear(H, W * Z)
 
     def _resolve_em_engine(self, V, multi_device):
-        # fused engines are single-device Mosaic programs; user subclasses
-        # with a custom reconstruct must keep the generic VJP E-step
+        # opt-in (PNT_PLCA_FUSED=1; measured slower than the generic VJP
+        # on v5e — see ops/fast_plca.py); fused engines are single-device
+        # Mosaic programs and user subclasses with a custom reconstruct
+        # must keep the generic VJP E-step
         if multi_device or type(self).reconstruct is not PLCA.reconstruct:
             return None
         from ..ops.fast_plca import resolve_plca_em_engine

@@ -11,11 +11,18 @@ The PLCA EM E-step is one VJP with cotangent ``Vn / (WZH + eps)``
     gZ = Σ_k W ⊙ (ratioᵀ @ H)          (a cheap epilogue reduction)
 
 where ``ratio = Vn / (H@Wzᵀ + eps)`` is computed tile-by-tile in VMEM — the
-reconstruction and the ratio never hit HBM.  The generic VJP path
-materializes both (each ``M·K`` floats, written + re-read), so at the
-bandwidth-bound shapes PLCA lives at (R ≪ M, K) the fused form trades two
-full-target HBM round-trips for one extra in-VMEM recon GEMM — the same
-trade the dense-NMF β≠2 fast path measured 1.3-1.5× from.
+reconstruction and the ratio never hit HBM.
+
+**Measured and rejected as the default** (TPU v5e, 2026-08-17): at the
+reference scale 5168×1025 the generic single-VJP E-step runs 0.0280 ms/iter
+(r88) / 0.0239 (r8) vs 0.0629 / 0.0615 for this fused form — 2.2-2.6×
+*slower*.  Unlike the MU case (two recons per iteration, one per factor
+update), EM shares ONE recon across all three cotangents, and XLA fuses the
+``Vn/(WZH+eps)`` ratio into the consumer GEMMs on its own — so the generic
+path is already ~3 GEMMs with no materialized intermediate worth saving,
+while the two fused kernels each recompute the recon (4 GEMM-passes total).
+The engine stays available behind ``PNT_PLCA_FUSED=1`` for re-measurement
+on other hardware; the resolver defaults to the generic VJP E-step.
 
 Eps placement matches the EM step exactly: the β=1 kernel cotangent is
 ``v / (wh + eps)`` (pallas_mu.py::_cotangent_tiles), the same constant and
@@ -23,9 +30,9 @@ the same placement as ``Vn / (WZH + eps)``.
 
 Engine selection mirrors :func:`ops.fast_nmf.resolve_nmf_updater_factory`:
 module-level factory objects so solver caches keyed on the factory
-distinguish Pallas / interpreter runs, and the env kill switches
-(``PNT_NO_PALLAS``, ``PNT_PALLAS_INTERPRET``, ``PNT_PLCA_FUSED=0``) are
-re-read per call.
+distinguish Pallas / interpreter runs, and the env switches
+(``PNT_PLCA_FUSED=1`` opt-in, ``PNT_NO_PALLAS``, ``PNT_PALLAS_INTERPRET``)
+are re-read per call.
 """
 
 from __future__ import annotations
@@ -70,13 +77,17 @@ def resolve_plca_em_engine(V):
 
     Returns a module-level engine factory (hashable — it lands in the
     solver's lru-cache key) or ``None`` for the generic VJP E-step.
-    Fused engines apply only to single-device 2-D float32 targets: the
-    kernels are single-device Mosaic programs with float32 outputs, so
-    GSPMD-sharded and x64 (float64) fits keep the generic path.
+
+    Opt-in (``PNT_PLCA_FUSED=1``): the generic path measured faster at
+    every tested shape on v5e (see module docstring), so the default is
+    always ``None`` there.  When enabled, fused engines apply only to
+    single-device 2-D float32 targets: the kernels are single-device
+    Mosaic programs with float32 outputs, so GSPMD-sharded and x64
+    (float64) fits keep the generic path.
     """
     from .pallas_mu import _interpret_mode, pallas_supported
 
-    if os.environ.get("PNT_PLCA_FUSED", "") == "0":
+    if os.environ.get("PNT_PLCA_FUSED", "") != "1":
         return None
     if getattr(V, "ndim", 0) != 2 or V.dtype != jnp.float32:
         return None

@@ -217,9 +217,10 @@ def test_plca_fused_cotangents_match_vjp():
 
 
 def test_plca_model_fused_matches_generic():
-    """PLCA.fit with the fused E-step engine (interpreter mode) must track
-    the generic-VJP trajectory; the resolver must pick the fused engine
-    here and decline it for custom-reconstruct subclasses."""
+    """PLCA.fit with the fused E-step engine (opt-in ``PNT_PLCA_FUSED=1``,
+    interpreter mode) must track the generic-VJP trajectory; the resolver
+    must decline it for custom-reconstruct subclasses and by default (the
+    generic path measured faster on v5e — see ops/fast_plca.py)."""
     from pytorch_nmf_tpu.ops.fast_plca import (
         plca_em_engine_interpret,
         resolve_plca_em_engine,
@@ -232,20 +233,21 @@ def test_plca_model_fused_matches_generic():
     H0 = RNG.rand(M2, R2).astype("f") + 0.1
     Z0 = RNG.rand(R2).astype("f") + 0.1
 
-    m = PLCA(W=W0, H=H0, Z=Z0)
-    assert (
-        m._resolve_em_engine(jnp.asarray(V), False)
-        is plca_em_engine_interpret
-    )
-    n_iter, norm = m.fit(V, tol=0, max_iter=30)
-
-    os.environ["PNT_PLCA_FUSED"] = "0"
+    os.environ["PNT_PLCA_FUSED"] = "1"
     try:
-        ref = PLCA(W=W0, H=H0, Z=Z0)
-        assert ref._resolve_em_engine(jnp.asarray(V), False) is None
-        n_ref, norm_ref = ref.fit(V, tol=0, max_iter=30)
+        m = PLCA(W=W0, H=H0, Z=Z0)
+        assert (
+            m._resolve_em_engine(jnp.asarray(V), False)
+            is plca_em_engine_interpret
+        )
+        n_iter, norm = m.fit(V, tol=0, max_iter=30)
     finally:
         os.environ.pop("PNT_PLCA_FUSED", None)
+
+    ref = PLCA(W=W0, H=H0, Z=Z0)
+    # default: measured-rejected on v5e -> generic VJP E-step
+    assert ref._resolve_em_engine(jnp.asarray(V), False) is None
+    n_ref, norm_ref = ref.fit(V, tol=0, max_iter=30)
 
     assert n_iter == n_ref
     np.testing.assert_allclose(float(norm), float(norm_ref), rtol=1e-6)
@@ -253,16 +255,20 @@ def test_plca_model_fused_matches_generic():
     assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
     assert float(jnp.abs(m.Z.data - ref.Z.data).max()) < 2e-5
 
-    # a user subclass with its own reconstruct must keep the generic VJP
+    # even opted-in: a user subclass with its own reconstruct must keep
+    # the generic VJP, and multi-device / non-f32 targets decline too
     class Custom(PLCA):
         def reconstruct(self, H, W, Z):
             return super().reconstruct(H, W, Z) * 2.0
 
-    c = Custom(W=W0, H=H0, Z=Z0)
-    assert c._resolve_em_engine(jnp.asarray(V), False) is None
-    # multi-device and non-f32 targets decline too
-    assert resolve_plca_em_engine(jnp.asarray(V, jnp.bfloat16)) is None
-    assert m._resolve_em_engine(jnp.asarray(V), True) is None
+    os.environ["PNT_PLCA_FUSED"] = "1"
+    try:
+        c = Custom(W=W0, H=H0, Z=Z0)
+        assert c._resolve_em_engine(jnp.asarray(V), False) is None
+        assert resolve_plca_em_engine(jnp.asarray(V, jnp.bfloat16)) is None
+        assert m._resolve_em_engine(jnp.asarray(V), True) is None
+    finally:
+        os.environ.pop("PNT_PLCA_FUSED", None)
 
 
 @pytest.mark.parametrize("model_axis", [None, "model"])
