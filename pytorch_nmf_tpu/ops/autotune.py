@@ -132,12 +132,33 @@ def _candidates(beta: float, spatial_ndim: int):
     The FFT β=2 engine joins the candidate set only under
     ``PNT_NMFD_FFT=auto``: its f32 FFT rounding is outside the default
     bit-level parity posture (fft_nmfd.py), so default fits must never
-    silently adopt it even where it would win the timing — the conv and
-    unfold candidates are numerically interchangeable (same contractions,
-    different summation order), FFT is not."""
-    from .fast_nmfd import _FACTORIES, nmfd_fft_updater_factory
+    silently adopt it even where it would win the timing — the conv,
+    unfold, and pallas candidates are numerically interchangeable (same
+    contractions, different summation order), FFT is not.
+
+    The fused Pallas engine (1-D, ``ops/pallas_deconv``) is a regular
+    candidate wherever Mosaic kernels can run (``PNT_NMFD_PALLAS=0``
+    removes it); its shape gate raises inside the timing loop for
+    unsupported configs, which the per-candidate try/except absorbs."""
+    from .fast_nmfd import (
+        _FACTORIES,
+        nmfd_fft_updater_factory,
+        nmfd_pallas_interpret_factory,
+        nmfd_pallas_updater_factory,
+    )
+    from .pallas_mu import _interpret_mode, pallas_supported
 
     cands = [("unfold", _FACTORIES[spatial_ndim]), ("conv", None)]
+    if (
+        spatial_ndim == 1
+        and pallas_supported()
+        and os.environ.get("PNT_NMFD_PALLAS", "") != "0"
+    ):
+        cands.append((
+            "pallas",
+            nmfd_pallas_interpret_factory if _interpret_mode()
+            else nmfd_pallas_updater_factory,
+        ))
     if (
         spatial_ndim == 1
         and beta == 2
@@ -452,6 +473,20 @@ def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
         return None
     if spatial_ndim == 1 and os.environ.get("PNT_NMFD_FFT", "") == "1":
         return nmfd_fft_updater_factory
+    if spatial_ndim == 1 and os.environ.get("PNT_NMFD_PALLAS", "") == "1":
+        # explicit force (testing / known-good shapes); the autotuned
+        # path offers the same engine as a measured candidate
+        from .fast_nmfd import (
+            nmfd_pallas_interpret_factory,
+            nmfd_pallas_updater_factory,
+        )
+        from .pallas_mu import _interpret_mode, pallas_supported
+
+        if pallas_supported():
+            return (
+                nmfd_pallas_interpret_factory if _interpret_mode()
+                else nmfd_pallas_updater_factory
+            )
     if V.dtype == jnp.float64:  # x64 fits keep the generic conv engine
         return None
 

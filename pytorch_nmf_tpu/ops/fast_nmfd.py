@@ -692,6 +692,128 @@ def nmfd_fft_updater_factory(beta, gamma, l1_reg, l2_reg):
     return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
 
 
+_PALLAS_TK = 16  # flat-τ offsets per fused-kernel tile (ops/pallas_deconv)
+
+
+def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                   interpret=False):
+    """1-D deconv updaters with the fused Pallas contractions
+    (:mod:`.pallas_deconv`): the XLA streaming recon feeds
+    :func:`~.pallas_deconv.wgrad` / :func:`~.pallas_deconv.hgrad`, so the
+    patch matrix ``P`` and the fold input ``G`` never hit HBM.  Measured
+    at the flagship shape (C=1025, L=5000, R=88, T=400, v5e): W-side
+    contraction 2.67 ms vs ~4.0 for the einsum scan, H-side 2.26 vs 2.81.
+
+    Carries the kernel flat (``(nkr·Tk·R, C)``, τ-padded zero rows);
+    offered as the measured ``"pallas"`` autotune candidate — never a
+    static default.  β≠1 calls each kernel once per cotangent (the dual
+    in-kernel variant loses its VMEM budget to worse C tiling).
+    """
+    from .pallas_deconv import deconv_pallas_supported, hgrad, wgrad
+
+    Tk = _PALLAS_TK
+
+    def _dims(V_shape, H_shape):
+        if not deconv_pallas_supported(V_shape, H_shape, None):
+            raise ValueError(
+                "pallas deconv engine: unsupported shape "
+                f"{V_shape}/{H_shape} (needs N=1, 1-D, L_in >= 256)"
+            )
+        T = _kernel_dims(V_shape, H_shape)[0]
+        return T, -(-T // Tk)
+
+    def prepare(V, W, H):
+        if V.dtype != jnp.float32:
+            raise ValueError("pallas deconv engine: float32 targets only")
+        T, nkr = _dims(V.shape, H.shape)
+        R = H.shape[1]
+        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - T) * R), (0, 0)))
+        return W2f, H
+
+    def finish(V, w, h):
+        T, _ = _dims(V.shape, h.shape)
+        R = h.shape[1]
+        return _w_from_w2(w[: T * R], (T,), R), h
+
+    def _w3(w, R):
+        return w.reshape(-1, Tk * R, w.shape[-1])
+
+    def _cots(V, w, H):
+        V2 = _v2_flat(V)
+        WH2 = _stream_recon(_w3(w, H.shape[1]), H, (V.shape[2] - H.shape[2] + 1,))
+        return mu_cotangents(V2, WH2, beta)
+
+    def upd_W(V, w, H):
+        T, _ = _dims(V.shape, H.shape)
+        R = H.shape[1]
+        neg_cot, pos_cot = _cots(V, w, H)
+        H2 = jnp.moveaxis(H[0], 0, 1)  # (L_in, R)
+        neg = wgrad([neg_cot[0]], H2, R, Tk, T, interpret=interpret)[0]
+        neg = jax.nn.relu(neg) + eps
+        if beta == 1:
+            pos = _tiled_kl_pos_w(H, w)
+        else:
+            pos = wgrad([pos_cot[0]], H2, R, Tk, T, interpret=interpret)[0]
+            pos = jax.nn.relu(pos) + eps
+        # τ-padded kernel rows are exactly zero and stay zero through the
+        # multiplicative update (0 × finite multiplier)
+        return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
+
+    def upd_H(V, w, H):
+        T, _ = _dims(V.shape, H.shape)
+        R = H.shape[1]
+        L_in = H.shape[2]
+        neg_cot, pos_cot = _cots(V, w, H)
+        W2f = w
+        neg = hgrad(neg_cot[0], W2f, R, Tk, L_in, interpret=interpret)[None]
+        neg = jax.nn.relu(neg) + eps
+        if beta == 1:
+            pos = _pos_h_flat(w, R)
+        else:
+            pos = hgrad(pos_cot[0], W2f, R, Tk, L_in,
+                        interpret=interpret)[None]
+            pos = jax.nn.relu(pos) + eps
+        return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
+
+    def _tiled_kl_pos_w(H, w):
+        s = kl_pos_W(H).reshape(-1)  # (R,)
+        reps = w.shape[0] // s.shape[0]
+        return jnp.tile(s, reps)[:, None]
+
+    def _pos_h_flat(w, R):
+        s = jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
+        return s.reshape(1, R, 1)
+
+    def loss_terms(V, w, H):
+        from ..metrics import beta_div
+
+        T = _kernel_dims(V.shape, H.shape)[0]
+        WH2 = _stream_recon(_w3(w, H.shape[1]), H, (T,))
+        return beta_div(WH2, _v2_flat(V), beta)
+
+    return upd_W, upd_H, loss_terms, prepare, finish
+
+
+def _v2_flat(V):
+    """Channels-last flatten shared by the pallas updaters (the unfold
+    factory's ``_v2`` closure, hoisted)."""
+    return jnp.moveaxis(V, 1, -1).reshape(V.shape[0], -1, V.shape[1])
+
+
+def nmfd_pallas_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Fused-kernel NMFD updaters (compiled Mosaic)."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=False)
+
+
+def nmfd_pallas_interpret_factory(beta, gamma, l1_reg, l2_reg):
+    """Fused-kernel NMFD updaters through the Pallas interpreter (CPU
+    testing) — a distinct factory object so solver caches keyed on the
+    factory separate the two modes."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=True)
+
+
 def nmf2d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     """Unfold-GEMM updaters for NMF2D."""
     return _deconv_unfold_updater_factory(2, beta, gamma, l1_reg, l2_reg)

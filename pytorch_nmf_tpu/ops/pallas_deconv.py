@@ -1,0 +1,264 @@
+r"""Fused Pallas TPU kernels for the 1-D deconvolutional (NMFD) MU engine.
+
+The streaming unfold engine (:mod:`.fast_nmfd`) expresses every heavy
+contraction as patch GEMMs, but two of its passes pay large HBM
+materializations the GEMMs themselves don't need:
+
+* **H-side fold**: ``neg_H = fold(cot @ W2ᵀ)`` materializes the per-chunk
+  ``G (Lp, Tc·R)`` tensors — ~730 MB written + re-read per update at the
+  flagship shape (C=1025, L=5000, R=88, T=400) — before overlap-adding
+  them into the tiny ``(R, L_in)`` output.
+* **W-side patches**: ``neg_W = Pᵀ @ cot`` materializes the patch chunks
+  ``P (Lp, Tc·R)`` (the einsum's LHS layout defeats XLA's slice-into-dot
+  fusion that makes the *recon* GEMM nearly free).
+
+These kernels compute the same contractions with the intermediates held
+in VMEM:
+
+* :func:`hgrad` — the fold, reformulated as a direct correlation
+  ``out[r, l'] = Σ_{τ,c} cot[l'+τ, c] · W2[τ·R+r, c]`` and tiled so the
+  *whole* ``(R, L_in)`` output accumulates in VMEM across the grid.  Per
+  flat-τ ``j`` the contribution is one MXU dot ``(R, Cc) × (Lw, Cc)ᵀ``
+  whose M dim is the streamed rank (no 128-padding waste on R) and whose
+  N dim is the 128-aligned length axis.  ``G`` never exists.
+* :func:`wgrad` — the W-side contraction ``neg_W2[j·R+r, c] =
+  Σ_l Hp[l+T-1-τ_j, r] · cot[l, c]`` with the patch rows sliced out of a
+  VMEM-resident padded activation per dot — ``P`` never exists.
+
+Both operate on the stream engine's own operand layouts (``W3``'s flat-τ
+chunking, channels-last cotangents), so they drop into the existing
+updaters without relayout costs; the reconstruction keeps the XLA
+streaming GEMMs (measured within 1.2× of the bare-GEMM bound — fusing it
+further is not worth a kernel).
+
+Numerics: f32 accumulation everywhere; the summation *order* differs
+from the fold/einsum forms (c-block-then-τ instead of τ-chunk GEMMs), a
+reordering of the same f32 dot products — the same interchangeability
+class as the conv-vs-unfold engines, selected by the measured autotuner
+(:mod:`.autotune`).
+
+Reference semantics anchored to torchnmf/nmf.py:779 (the conv
+formulation these contractions equal); single-device, ``N == 1``,
+spatial rank 1 only — other configs keep the XLA engines.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mu import _interpret_mode, pallas_supported  # noqa: F401
+
+__all__ = ["hgrad", "wgrad", "deconv_pallas_supported"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
+def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
+    """Shape gate for the fused deconv kernels: 1-D, single batch, f32,
+    and a length axis long enough that the 128-lane output padding is
+    noise.  Everything else keeps the XLA engines (the autotuner never
+    offers the candidate)."""
+    if not pallas_supported():
+        return False
+    if len(V_shape) != 3 or int(V_shape[0]) != 1:
+        return False
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False
+    return int(H_shape[2]) >= 256
+
+
+def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int):
+    def kernel(cot_ref, w2_ref, out_ref):
+        c_i = pl.program_id(0)
+        k_i = pl.program_id(1)
+        w2 = w2_ref[:]  # (Tk*R, Cc)
+        # zero the ragged C edge: out-of-bounds block columns are garbage
+        # (possibly inf/nan) and would poison the dots; the cotangent side
+        # is exactly zero there (padded in HBM), so one mask suffices to
+        # make every garbage product 0*0
+        col_ok = (
+            lax.broadcasted_iota(jnp.int32, (Tk * R, Cc), 1) + c_i * Cc < C
+        )
+        w2 = jnp.where(col_ok, w2, 0.0)
+
+        # accumulate straight into the VMEM output: a register chain of
+        # Tk (R, Lw) partials would keep them all live and blow the
+        # scoped-vmem stack (measured 18.5M > 16M at the flagship shape)
+        first = (c_i == 0) & (k_i == 0)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros((R, Lw), jnp.float32)
+
+        for j in range(Tk):
+            tau = k_i * Tk + j
+            a = w2[j * R:(j + 1) * R, :]            # (R, Cc)
+            b = cot_ref[pl.ds(tau, Lw), :]          # (Lw, Cc)
+            out_ref[:] = out_ref[:] + lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    return kernel
+
+
+def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None):
+    """``out (R, L_in)``: ``out[r, l'] = Σ_{τ<Tkp, c} cot2[l'+τ, c] ·
+    W2f[τ·R+r, c]`` — the H-side deconv MU contraction (the fold of
+    ``cot @ W2ᵀ``) without materializing ``G``.
+
+    ``cot2 (Lp, C)`` is the channels-last cotangent (rows beyond the real
+    conv output length are irrelevant — the valid columns only read rows
+    ``< L_in + Tkp - 1``); ``W2f (nkr·Tk·R, C)`` is the flat-τ kernel
+    operand (``W3.reshape(-1, C)``), zero rows beyond ``T·R``.
+    """
+    if interpret is None:
+        interpret = _interpret_mode()
+    Lp, C = cot2.shape
+    KRp = W2f.shape[0]
+    assert KRp % (Tk * R) == 0
+    nkr = KRp // (Tk * R)
+    Lw = _ceil_to(L_in, 128)
+    Cc = min(_ceil_to(C, 128), 128)
+    nc = -(-C // Cc)
+    rows = _ceil_to(max((nkr * Tk - 1) + Lw, Lp), 8)
+    # zero row/col pads are real memory: the kernel's dots then meet
+    # exact zeros (not block garbage) everywhere past the true extents
+    cotp = jnp.pad(cot2, ((0, rows - Lp), (0, nc * Cc - C)))
+
+    out = pl.pallas_call(
+        _hgrad_kernel(R, Tk, C, Lw, Cc),
+        grid=(nc, nkr),
+        in_specs=[
+            pl.BlockSpec((rows, Cc), lambda c, k: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tk * R, Cc), lambda c, k: (k, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, Lw), lambda c, k: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, Lw), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * C * Lw * nkr * Tk,
+            bytes_accessed=4 * (rows * nc * Cc + KRp * C + R * Lw),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cotp, W2f)
+    return out[:, :L_in]
+
+
+def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int):
+    def kernel(hp_ref, *refs):
+        cot_refs, out_refs = refs[:n_cots], refs[n_cots:]
+        k_i = pl.program_id(1)
+        l_i = pl.program_id(2)
+
+        # no masks needed: the L/C pads of the cotangents, the leading
+        # T-1 rows and trailing rows of Hp are all exact zeros in HBM
+        cots = [ref[:] for ref in cot_refs]
+
+        contribs = [[] for _ in range(n_cots)]
+        for j in range(Tk):
+            tau = k_i * Tk + j
+            # patch rows for flat offset τ: Hp[l + (T-1) - τ, r]; clamp
+            # keeps padded offsets (τ ≥ T) in-bounds — their output rows
+            # are zero-kernel padding, dropped by the caller's epilogue
+            start = l_i * Lc + jnp.maximum(T - 1 - tau, 0)
+            p_j = hp_ref[pl.ds(start, Lc), :]       # (Lc, R)
+            for i, cot in enumerate(cots):
+                contribs[i].append(lax.dot_general(
+                    p_j, cot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))  # (R, Cc)
+
+        outs = [
+            jnp.concatenate(parts, axis=0) for parts in contribs
+        ]  # (Tk*R, Cc)
+
+        @pl.when(l_i == 0)
+        def _():
+            for ref, o in zip(out_refs, outs):
+                ref[:] = o
+
+        @pl.when(l_i != 0)
+        def _():
+            for ref, o in zip(out_refs, outs):
+                ref[:] = ref[:] + o
+
+    return kernel
+
+
+def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None):
+    """``outs (nkr·Tk·R, C)``: ``out[j·R+r, c] = Σ_l H2[l-τ_j, r] ·
+    cot[l, c]`` (full-conv patch convention: ``P[l, j·R+r] =
+    Hp[l+T-1-τ_j, r]`` with ``Hp`` the T-1-zero-padded activation) for
+    each cotangent in ``cots2`` — the W-side deconv MU contraction(s)
+    without materializing the patch matrix.  The cotangents share the
+    in-VMEM patch slices (the β≠1 neg/pos pair costs one patch build).
+
+    ``H2 (L_in, R)``: the raw length-major activation; ``cots2``: list of
+    ``(Lp, C)`` channels-last cotangents (``Lp = L_in + T - 1``).  Output
+    rows past ``T·R`` (flat-τ padding) are garbage and must be masked by
+    the caller's zero-kernel-row multiply.
+    """
+    if interpret is None:
+        interpret = _interpret_mode()
+    n_cots = len(cots2)
+    Lp, C = cots2[0].shape
+    L_in = H2.shape[0]
+    nkr = -(-T // Tk)
+    KRp = nkr * Tk * R
+    # Cc is the dots' N dim: among the VMEM-safe widths prefer the one
+    # wasting the least ragged-C padding (C=1025 → 384 pads 11%, 512
+    # pads 33%), breaking ties toward wider tiles
+    cap = 512 if n_cots == 1 else 256
+    choices = [cc for cc in (512, 384, 256, 128) if cc <= cap]
+    Cc = min(_ceil_to(C, 128), min(
+        choices, key=lambda cc: (-(-C // cc) * cc, -cc)
+    ))
+    nc = -(-C // Cc)
+    Lc = 1024 if Lp >= 1024 else _ceil_to(Lp, 8)
+    nl = -(-Lp // Lc)
+    rows = _ceil_to(nl * Lc + T - 1, 8)
+    hp = jnp.pad(H2, ((T - 1, rows - (T - 1) - L_in), (0, 0)))
+    cotsp = [
+        jnp.pad(c2, ((0, nl * Lc - Lp), (0, nc * Cc - C))) for c2 in cots2
+    ]
+
+    cot_specs = [
+        pl.BlockSpec((Lc, Cc), lambda c, k, l: (l, c),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_cots)
+    ]
+    out_specs = [
+        pl.BlockSpec((Tk * R, Cc), lambda c, k, l: (k, c),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_cots)
+    ]
+    outs = pl.pallas_call(
+        _wgrad_kernel(R, Tk, T, Lc, n_cots),
+        grid=(nc, nkr, nl),
+        in_specs=[
+            pl.BlockSpec((rows, R), lambda c, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + cot_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((KRp, nc * Cc), jnp.float32)
+            for _ in range(n_cots)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * KRp * C * nl * Lc * n_cots,
+            bytes_accessed=4 * (rows * R + n_cots * (Lp * C + KRp * C)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hp, *cotsp)
+    return [o[:, :C] for o in outs]

@@ -186,6 +186,88 @@ def test_kl_epilogue_fused_update_matches_manual(data):
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "C, L_in, R, T, Tk",
+    [(17, 300, 8, 12, 5), (33, 400, 16, 20, 8), (7, 260, 3, 5, 5)],
+)
+def test_deconv_kernels_match_unfold(C, L_in, R, T, Tk):
+    """pallas_deconv.hgrad/wgrad must equal the stream engine's fold and
+    patch-einsum contractions (ragged C, T not a Tk multiple, odd R)."""
+    from pytorch_nmf_tpu.ops import fast_nmfd as F
+    from pytorch_nmf_tpu.ops import pallas_deconv as PD
+
+    Lp = L_in + T - 1
+    H = jnp.asarray(RNG.rand(1, R, L_in).astype("f"))
+    W = jnp.asarray(RNG.rand(C, R, T).astype("f"))
+    cot = jnp.asarray(RNG.rand(1, Lp, C).astype("f"))
+    cot_b = jnp.asarray(RNG.rand(1, Lp, C).astype("f"))
+
+    W2 = F._w2(W)
+    G = jnp.einsum("nlc,kc->nlk", cot, W2)
+    ref_h = jnp.moveaxis(F._fold(G, L_in, T, R), -1, 1)[0]
+    nkr = -(-T // Tk)
+    W2f = jnp.pad(W2, ((0, (nkr * Tk - T) * R), (0, 0)))
+    got_h = PD.hgrad(cot[0], W2f, R, Tk, L_in)
+    np.testing.assert_allclose(
+        np.asarray(got_h), np.asarray(ref_h),
+        rtol=0, atol=2e-6 * float(jnp.abs(ref_h).max()),
+    )
+
+    P = F.unfold_patches(H, T)
+    outs = PD.wgrad([cot[0], cot_b[0]], jnp.moveaxis(H[0], 0, 1), R, Tk, T)
+    for got, ct in ((outs[0], cot), (outs[1], cot_b)):
+        ref_w = jnp.einsum("nlk,nlc->kc", P, ct)
+        np.testing.assert_allclose(
+            np.asarray(got[: T * R]), np.asarray(ref_w),
+            rtol=0, atol=2e-6 * float(jnp.abs(ref_w).max()),
+        )
+
+
+@pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+def test_nmfd_pallas_engine_matches_stream(beta):
+    """NMFD fits through the forced fused-kernel engine (interpreter) must
+    track the stream-engine trajectories; measured on v5e the engine wins
+    the flagship shape 1.16-1.18x (ROADMAP), selected by the autotuner."""
+    from pytorch_nmf_tpu.nmf import NMFD
+
+    N, C, L, R, T = 1, 20, 400, 6, 12
+    V = RNG.rand(N, C, L).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L - T + 1).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = NMFD(W=W0, H=H0)
+        m.fit(V, beta, tol=0, max_iter=12)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+    ref = NMFD(W=W0, H=H0)
+    ref.fit(V, beta, tol=0, max_iter=12)
+    dW = float(jnp.abs(m.W.data - ref.W.data).max()
+               / jnp.abs(ref.W.data).max())
+    dH = float(jnp.abs(m.H.data - ref.H.data).max()
+               / jnp.abs(ref.H.data).max())
+    assert dW < 5e-5 and dH < 5e-5
+
+
+def test_autotune_offers_pallas_candidate():
+    """The measured candidate set must include the fused engine exactly
+    when Mosaic kernels can run (here: interpreter mode), and honor the
+    kill switch."""
+    from pytorch_nmf_tpu.ops.autotune import _candidates
+    from pytorch_nmf_tpu.ops.fast_nmfd import nmfd_pallas_interpret_factory
+
+    names = dict(_candidates(1.0, 1))
+    assert names.get("pallas") is nmfd_pallas_interpret_factory
+    assert "pallas" not in dict(_candidates(1.0, 2))  # 1-D only
+    os.environ["PNT_NMFD_PALLAS"] = "0"
+    try:
+        assert "pallas" not in dict(_candidates(1.0, 1))
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+
 def test_plca_fused_cotangents_match_vjp():
     """The fused PLCA E-step (ops/fast_plca.py) must reproduce the generic
     single-VJP cotangents of ``H @ (W·Z)ᵀ`` with cotangent ``Vn/(WZH+eps)``
