@@ -748,6 +748,13 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         R = H.shape[1]
         neg_cot, pos_cot = _cots(V, w, H)
         H2 = jnp.moveaxis(H[0], 0, 1)  # (L_in, R)
+        if beta == 1 and gamma == 1.0 and l1_reg == 0.0 and l2_reg == 0.0:
+            # fully-fused KL update: the kernel's epilogue applies the MU
+            # multiply in VMEM, skipping the numerator's HBM round trip
+            return wgrad(
+                [neg_cot[0]], H2, R, Tk, T, interpret=interpret,
+                mu_w2=w, mu_pos=kl_pos_W(H).reshape(-1),
+            )[0]
         neg = wgrad([neg_cot[0]], H2, R, Tk, T, interpret=interpret)[0]
         neg = jax.nn.relu(neg) + eps
         if beta == 1:

@@ -50,6 +50,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import eps
 from .pallas_mu import _interpret_mode, pallas_supported  # noqa: F401
 
 __all__ = ["hgrad", "wgrad", "deconv_pallas_supported"]
@@ -154,9 +155,15 @@ def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None):
     return out[:, :L_in]
 
 
-def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int):
+def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int,
+                  mu_epilogue: bool, nl: int):
     def kernel(hp_ref, *refs):
-        cot_refs, out_refs = refs[:n_cots], refs[n_cots:]
+        cot_refs = refs[:n_cots]
+        if mu_epilogue:
+            w2_ref, pos_ref = refs[n_cots], refs[n_cots + 1]
+            out_refs = refs[n_cots + 2:]
+        else:
+            out_refs = refs[n_cots:]
         k_i = pl.program_id(1)
         l_i = pl.program_id(2)
 
@@ -192,10 +199,24 @@ def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int):
             for ref, o in zip(out_refs, outs):
                 ref[:] = ref[:] + o
 
+        if mu_epilogue:
+            # fold the β=1 KL multiply into the last accumulation step:
+            # the updated kernel leaves VMEM directly, skipping the HBM
+            # round trip of (numerator out → XLA epilogue → W2 in/out)
+            @pl.when(l_i == nl - 1)
+            def _():
+                pos = jnp.concatenate(
+                    [pos_ref[:, :1]] * Tk, axis=0
+                )  # (Tk*R, 1), per-rank KL denominator tiled over τ
+                out_refs[0][:] = w2_ref[:] * (
+                    (jax.nn.relu(out_refs[0][:]) + eps) / pos
+                )
+
     return kernel
 
 
-def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None):
+def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
+          mu_w2=None, mu_pos=None):
     """``outs (nkr·Tk·R, C)``: ``out[j·R+r, c] = Σ_l H2[l-τ_j, r] ·
     cot[l, c]`` (full-conv patch convention: ``P[l, j·R+r] =
     Hp[l+T-1-τ_j, r]`` with ``Hp`` the T-1-zero-padded activation) for
@@ -207,9 +228,18 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None):
     ``(Lp, C)`` channels-last cotangents (``Lp = L_in + T - 1``).  Output
     rows past ``T·R`` (flat-τ padding) are garbage and must be masked by
     the caller's zero-kernel-row multiply.
+
+    ``mu_w2`` + ``mu_pos``: β=1 fused-epilogue mode (single cotangent,
+    γ=1, no regularizers): ``mu_w2 (nkr·Tk·R, C)`` is the current kernel
+    operand and ``mu_pos (R,)`` the analytic per-rank KL denominator —
+    the return value is then the *updated* kernel
+    ``w2 · (relu(neg)+eps)/pos`` instead of the raw numerator (padded
+    rows exact zero, since ``mu_w2``'s are).
     """
     if interpret is None:
         interpret = _interpret_mode()
+    mu_epilogue = mu_w2 is not None
+    assert not (mu_epilogue and len(cots2) != 1)
     n_cots = len(cots2)
     Lp, C = cots2[0].shape
     L_in = H2.shape[0]
@@ -242,13 +272,27 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None):
                      memory_space=pltpu.VMEM)
         for _ in range(n_cots)
     ]
+    in_specs = [
+        pl.BlockSpec((rows, R), lambda c, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + cot_specs
+    args = [hp] + cotsp
+    if mu_epilogue:
+        # the kernel operand rides in unpadded: its ragged-C block edge
+        # is garbage, but the epilogue is elementwise, so the garbage
+        # stays in the padded output columns the caller crops
+        in_specs.append(pl.BlockSpec((Tk * R, Cc), lambda c, k, l: (k, c),
+                                     memory_space=pltpu.VMEM))
+        args.append(mu_w2)
+        in_specs.append(pl.BlockSpec((R, 128), lambda c, k, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.broadcast_to(
+            jnp.asarray(mu_pos, jnp.float32).reshape(R, 1), (R, 128)
+        ))
     outs = pl.pallas_call(
-        _wgrad_kernel(R, Tk, T, Lc, n_cots),
+        _wgrad_kernel(R, Tk, T, Lc, n_cots, mu_epilogue, nl),
         grid=(nc, nkr, nl),
-        in_specs=[
-            pl.BlockSpec((rows, R), lambda c, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + cot_specs,
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(
             jax.ShapeDtypeStruct((KRp, nc * Cc), jnp.float32)
@@ -260,5 +304,5 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(hp, *cotsp)
+    )(*args)
     return [o[:, :C] for o in outs]

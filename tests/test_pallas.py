@@ -223,6 +223,33 @@ def test_deconv_kernels_match_unfold(C, L_in, R, T, Tk):
         )
 
 
+def test_deconv_wgrad_fused_epilogue_matches_manual():
+    """β=1 fused W epilogue (updated kernel leaves VMEM) must equal the
+    raw-numerator + manual multiply path bit-for-bit."""
+    from pytorch_nmf_tpu.constants import eps as _eps
+    from pytorch_nmf_tpu.ops import fast_nmfd as F
+    from pytorch_nmf_tpu.ops import pallas_deconv as PD
+    from pytorch_nmf_tpu.ops.mu import kl_pos_W
+
+    C, L_in, R, T, Tk = 33, 400, 16, 20, 8
+    Lp = L_in + T - 1
+    H = jnp.asarray(RNG.rand(1, R, L_in).astype("f"))
+    W = jnp.asarray(RNG.rand(C, R, T).astype("f"))
+    cot = jnp.asarray(RNG.rand(1, Lp, C).astype("f"))
+    nkr = -(-T // Tk)
+    W2f = jnp.pad(F._w2(W), ((0, (nkr * Tk - T) * R), (0, 0)))
+    H2 = jnp.moveaxis(H[0], 0, 1)
+    pos_r = kl_pos_W(H).reshape(-1)
+
+    import jax
+
+    fused = PD.wgrad([cot[0]], H2, R, Tk, T, mu_w2=W2f, mu_pos=pos_r)[0]
+    raw = PD.wgrad([cot[0]], H2, R, Tk, T)[0]
+    pos_t = jnp.tile(pos_r, W2f.shape[0] // R)[:, None]
+    ref = W2f * ((jax.nn.relu(raw) + _eps) / pos_t)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
 def test_nmfd_pallas_engine_matches_stream(beta):
     """NMFD fits through the forced fused-kernel engine (interpreter) must
