@@ -469,43 +469,49 @@ def main():
         "iters_per_sec": round(1000.0 / ms, 1),
     })
 
-    # shift-invariant PLCA EM (spectrogram-scale; the unfold speedup
-    # reaches it through the E-step VJP)
+    # shift-invariant PLCA EM (spectrogram-scale; the engine speedups
+    # reach it through the E-step VJP — recon selected like the model
+    # path does, via the measured per-shape autotuner)
+    from pytorch_nmf_tpu.ops.autotune import resolve_plca_recon3
 
-    N, C, L_out, R, T = (
-        (1, 24, 200, 3, 10) if TINY else (1, 513, 3000, 8, 200)
+    siplca_shapes = (
+        [(1, 24, 200, 3, 10)] if TINY
+        else [(1, 513, 3000, 8, 200), (1, 513, 3000, 64, 200)]
     )
-    V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
-    Wp = rng.rand(C, R, T).astype("f")
-    Wp /= Wp.sum(axis=(0, 2), keepdims=True)
-    Hp = rng.rand(N, R, L_out - T + 1).astype("f")
-    Hp /= Hp.sum(axis=(0, 2), keepdims=True)
-    Zp = np.full((R,), 1.0 / R, "f")
-    recon3 = SIPLCA._resolve_fit_recon3()
-
-    def make_fit(n):
-        inner = get_plca_fit(
-            recon3, float("-inf"), n, True, True, True,
-            False, False, False,
+    for N, C, L_out, R, T in siplca_shapes:
+        V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
+        Wp = rng.rand(C, R, T).astype("f")
+        Wp /= Wp.sum(axis=(0, 2), keepdims=True)
+        Hp = rng.rand(N, R, L_out - T + 1).astype("f")
+        Hp /= Hp.sum(axis=(0, 2), keepdims=True)
+        Zp = np.full((R,), 1.0 / R, "f")
+        recon3 = resolve_plca_recon3(
+            SIPLCA, V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp)
         )
 
-        def fit(V, W, H, Z):
-            return inner(
-                V, W, H, Z,
-                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+        def make_fit(n, _r3=recon3):
+            inner = get_plca_fit(
+                _r3, float("-inf"), n, True, True, True,
+                False, False, False,
             )
 
-        return fit
+            def fit(V, W, H, Z):
+                return inner(
+                    V, W, H, Z,
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+                )
 
-    ms = _marginal_ms_per_iter(
-        make_fit, (V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp))
-    )
-    grid.append({
-        "metric": f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+            return fit
+
+        ms = _marginal_ms_per_iter(
+            make_fit, (V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp))
+        )
+        grid.append({
+            "metric": f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        })
 
     out = {
         "metric": headline["metric"],

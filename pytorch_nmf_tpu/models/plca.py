@@ -357,6 +357,17 @@ class SIPLCA(_SIPLCABase):
 
         return unfold_deconv(H, _recon.scaled_kernel(W, Z, 1))
 
+    @staticmethod
+    def _fit_reconstruct_pallas(H, W, Z):
+        # EM reconstruction with fused-Mosaic adjoints: the E-step's VJP
+        # runs ops/pallas_deconv.hgrad/wgrad (third measured autotune
+        # candidate; ops/autotune.py::resolve_plca_recon3)
+        from ..ops.fast_nmfd import resolve_pallas_unfold_deconv
+
+        return resolve_pallas_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 1)
+        )
+
 
 class SIPLCA2(_SIPLCABase):
     r"""Shift-Invariant PLCA across 2 dimensions

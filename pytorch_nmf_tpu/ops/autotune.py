@@ -296,10 +296,13 @@ def _plca_timing_loop(recon3):
     return jax.jit(run)
 
 
-def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3) -> str:
-    """Winner ('conv' | 'unfold') for the shift-invariant PLCA EM
-    reconstruction — the E-step differentiates through it, so it has the
-    same conv-vs-unfold inversion surface as the deconv MU engine."""
+def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3,
+                         pallas_recon3=None) -> str:
+    """Winner ('conv' | 'unfold' | 'pallas') for the shift-invariant PLCA
+    EM reconstruction — the E-step differentiates through it, so it has
+    the same engine-inversion surface as the deconv MU engine.  The
+    ``pallas`` candidate (custom-vjp recon with fused Mosaic adjoints,
+    1-D only) joins when the caller supplies it."""
     key = (
         jax.devices()[0].platform,
         "plca-em",
@@ -314,8 +317,11 @@ def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3) -> str:
         _WINNERS[key] = persisted
         return persisted
 
+    cands = [("conv", conv_recon3), ("unfold", unfold_recon3)]
+    if pallas_recon3 is not None:
+        cands.append(("pallas", pallas_recon3))
     results = {}
-    for name, recon3 in (("conv", conv_recon3), ("unfold", unfold_recon3)):
+    for name, recon3 in cands:
         try:
             run = _plca_timing_loop(recon3)
             best = min(results.values()) if results else None
@@ -333,6 +339,22 @@ def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3) -> str:
     _WINNERS[key] = winner
     _save_persisted(key, winner)
     return winner
+
+
+def _plca_pallas_recon3(cls, V, H):
+    """The SIPLCA family's fused-adjoint EM reconstruction candidate, or
+    ``None`` where it cannot apply (non-1-D classes, unsupported
+    shapes/backends, kill switch)."""
+    from .pallas_deconv import deconv_pallas_supported
+
+    recon3 = getattr(cls, "_fit_reconstruct_pallas", None)
+    if recon3 is None:
+        return None
+    if os.environ.get("PNT_NMFD_PALLAS", "") == "0":
+        return None
+    if not deconv_pallas_supported(V.shape, H.shape, V.dtype):
+        return None
+    return recon3
 
 
 def autotune_halo_mode(
@@ -445,6 +467,9 @@ def resolve_plca_recon3(cls, V, W, H, Z):
     unfold = cls._fit_reconstruct
     if unfold is None or os.environ.get("PNT_NMFD_UNFOLD", "") == "0":
         return conv
+    pallas = _plca_pallas_recon3(cls, V, H)
+    if pallas is not None and os.environ.get("PNT_NMFD_PALLAS", "") == "1":
+        return pallas
     mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
     if mode == "0":
         return cls._resolve_fit_recon3()
@@ -454,7 +479,9 @@ def resolve_plca_recon3(cls, V, W, H, Z):
         )
         if _conv_macs_per_iter(V.shape, H.shape) < min_flops:
             return cls._resolve_fit_recon3()
-    winner = autotune_plca_recon3(V, W, H, Z, conv, unfold)
+    winner = autotune_plca_recon3(V, W, H, Z, conv, unfold, pallas)
+    if winner == "pallas" and pallas is not None:
+        return pallas
     return conv if winner == "conv" else unfold
 
 

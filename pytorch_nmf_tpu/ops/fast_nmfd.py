@@ -807,6 +807,70 @@ def _v2_flat(V):
     return jnp.moveaxis(V, 1, -1).reshape(V.shape[0], -1, V.shape[1])
 
 
+def _make_pallas_unfold_deconv(interpret: bool):
+    """``custom_vjp`` deconvolution whose adjoints run the fused Mosaic
+    kernels: forward = the streaming patch GEMMs, ``dH`` =
+    :func:`~.pallas_deconv.hgrad` (no ``G`` materialization), ``dW`` =
+    :func:`~.pallas_deconv.wgrad` (no patch materialization).
+
+    Differentiating a reconstruction is exactly what the PLCA/SIPLCA EM
+    E-step and the Hoyer solver do (reference plca.py:252-253), so this
+    hands them the MU engine's kernel speedup without touching their
+    solver code.  1-D, ``N == 1``, f32 only — callers gate via
+    :func:`~.pallas_deconv.deconv_pallas_supported` (the EM autotuner
+    offers it as a measured third candidate)."""
+    from .pallas_deconv import hgrad, wgrad
+
+    Tk = _PALLAS_TK
+
+    def _w2f(W):
+        C, R, T = W.shape
+        nkr = -(-T // Tk)
+        return jnp.pad(_w2(W), ((0, (nkr * Tk - T) * R), (0, 0)))
+
+    @jax.custom_vjp
+    def pallas_deconv(H, W):
+        N, R = H.shape[:2]
+        T = W.shape[2]
+        W2f = _w2f(W)
+        WH2 = _stream_recon(
+            W2f.reshape(-1, Tk * R, W.shape[0]), H, (T,)
+        )  # (N, Lp, C)
+        return jnp.moveaxis(WH2, -1, 1)  # (N, C, Lp)
+
+    def fwd(H, W):
+        return pallas_deconv(H, W), (H, W)
+
+    def bwd(res, ct):
+        H, W = res
+        C, R, T = W.shape
+        L_in = H.shape[2]
+        ct2 = jnp.moveaxis(ct, 1, -1).reshape(-1, C)  # (Lp, C); N == 1
+        dH = hgrad(ct2, _w2f(W), R, Tk, L_in, interpret=interpret)[None]
+        H2 = jnp.moveaxis(H[0], 0, 1)
+        dW2 = wgrad([ct2], H2, R, Tk, T, interpret=interpret)[0][: T * R]
+        return dH, _w_from_w2(dW2, (T,), R)
+
+    pallas_deconv.defvjp(fwd, bwd)
+    return pallas_deconv
+
+
+unfold_deconv_pallas = _make_pallas_unfold_deconv(False)
+unfold_deconv_pallas_interpret = _make_pallas_unfold_deconv(True)
+
+
+def resolve_pallas_unfold_deconv():
+    """Trace-time pick of the compiled vs interpreter custom-vjp deconv
+    (two distinct function objects — solver caches keyed on the recon
+    callable separate the modes, mirroring the updater factories)."""
+    from .pallas_mu import _interpret_mode
+
+    return (
+        unfold_deconv_pallas_interpret if _interpret_mode()
+        else unfold_deconv_pallas
+    )
+
+
 def nmfd_pallas_updater_factory(beta, gamma, l1_reg, l2_reg):
     """Fused-kernel NMFD updaters (compiled Mosaic)."""
     return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
