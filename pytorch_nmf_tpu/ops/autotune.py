@@ -359,7 +359,7 @@ def _plca_pallas_recon3(cls, V, H):
 
 def autotune_halo_mode(
     n_batch: int, C: int, lead_shapes, chunk: int, kernel, R: int,
-    beta: float, heuristic_mode: str,
+    beta: float, heuristic_mode: str, allow_pallas: bool = True,
 ) -> str:
     """Measured per-shard mode for the halo-exchange deconv solvers.
 
@@ -367,17 +367,52 @@ def autotune_halo_mode(
     either the conv or the patch-GEMM reconstruction on the LOCAL (chunk +
     halo) shapes — the collectives are identical across modes — so a
     single-device timing of exactly that iteration is a faithful proxy,
-    and timing inside ``shard_map`` is never needed.  Only the
-    ``"unrolled"``-vs-``"conv"`` decision is tuned (``"stream"`` exists
-    only where unrolled is impossible); below the FLOP threshold or with
-    autotune disabled the memory-based heuristic stands."""
-    if heuristic_mode != "unrolled":
-        return heuristic_mode
+    and timing inside ``shard_map`` is never needed.  The
+    ``"unrolled"``-vs-``"conv"`` decision is tuned directly (``"stream"``
+    exists only where unrolled is impossible); the fused-kernel
+    ``"pallas"`` mode (1-D, local batch 1) is adopted when the
+    single-device engine autotune picks the Mosaic candidate for the
+    equivalent local-shape problem (:func:`autotune_winner` — same
+    update pair, same kernels, VALID-vs-full cost delta is the T-1 halo
+    frames).  Below the FLOP threshold or with autotune disabled the
+    memory-based heuristic stands."""
     mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
     if mode == "0":
         return heuristic_mode
     kernel = tuple(int(k) for k in kernel)
     lead_shapes = tuple(int(s) for s in lead_shapes)
+
+    if allow_pallas and len(kernel) == 1 and n_batch == 1 \
+            and os.environ.get("PNT_NMFD_PALLAS", "") != "0":
+        from .pallas_deconv import deconv_pallas_supported
+
+        v_proxy = (1, C, chunk + kernel[0] - 1)
+        h_proxy = (1, R, chunk)
+        if deconv_pallas_supported(v_proxy, h_proxy, None):
+            if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
+                return "pallas"
+            min_flops = float(
+                os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
+            )
+            if mode == "1" or \
+                    _conv_macs_per_iter(v_proxy, h_proxy) >= min_flops:
+                import numpy as np
+
+                from . import recon as _recon
+
+                rng = np.random.RandomState(0)
+                Vp = jnp.asarray(rng.rand(*v_proxy).astype("f") + 0.01)
+                Wp = jnp.asarray(
+                    rng.rand(C, R, kernel[0]).astype("f") + 0.1
+                )
+                Hpp = jnp.asarray(rng.rand(*h_proxy).astype("f") + 0.1)
+                if autotune_winner(
+                    Vp, Wp, Hpp, beta, 1, _recon.deconv1d
+                ) == "pallas":
+                    return "pallas"
+
+    if heuristic_mode != "unrolled":
+        return heuristic_mode
     lead_out = tuple(s + k - 1 for s, k in zip(lead_shapes, kernel[:-1]))
     T = kernel[-1]
     v_local = (n_batch, C) + lead_out + (chunk,)

@@ -216,7 +216,7 @@ def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int,
 
 
 def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
-          mu_w2=None, mu_pos=None):
+          mu_w2=None, mu_pos=None, lead_pad: bool = True):
     """``outs (nkr·Tk·R, C)``: ``out[j·R+r, c] = Σ_l H2[l-τ_j, r] ·
     cot[l, c]`` (full-conv patch convention: ``P[l, j·R+r] =
     Hp[l+T-1-τ_j, r]`` with ``Hp`` the T-1-zero-padded activation) for
@@ -235,6 +235,12 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
     the return value is then the *updated* kernel
     ``w2 · (relu(neg)+eps)/pos`` instead of the raw numerator (padded
     rows exact zero, since ``mu_w2``'s are).
+
+    ``lead_pad=False``: VALID (halo'd) mode — ``H2`` arrives already
+    carrying ``T-1`` leading neighbor frames (``L_in + T - 1`` rows, the
+    sequence-parallel solvers' ``left_halo`` output), so the kernel
+    reads them where the full-conv mode reads zeros; ``Lp`` is then the
+    local chunk length (``len(H2) - (T-1)``).
     """
     if interpret is None:
         interpret = _interpret_mode()
@@ -257,7 +263,8 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
     Lc = 1024 if Lp >= 1024 else _ceil_to(Lp, 8)
     nl = -(-Lp // Lc)
     rows = _ceil_to(nl * Lc + T - 1, 8)
-    hp = jnp.pad(H2, ((T - 1, rows - (T - 1) - L_in), (0, 0)))
+    lead = T - 1 if lead_pad else 0
+    hp = jnp.pad(H2, ((lead, rows - lead - H2.shape[0]), (0, 0)))
     cotsp = [
         jnp.pad(c2, ((0, nl * Lc - Lp), (0, nc * Cc - C))) for c2 in cots2
     ]

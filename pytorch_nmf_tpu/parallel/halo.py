@@ -271,8 +271,113 @@ def _get_sharded_deconv_fit(
         n_iter = jnp.where(converged, k * 10, max_iter)
         return _w_from_w3(W3, kernel, R), Hp, n_iter
 
+    def pallas_local_fit(V, W, Hp):
+        """Per-shard fused Mosaic contractions (1-D, local batch 1; the
+        measured ``"pallas"`` halo mode): same collectives as the stream
+        mode — one ``psum`` of the W numerators *before* the relu/eps
+        clamps (so the update equals the single-device trajectory), one
+        reverse ``ppermute`` (:func:`halo_adjoint`) for the activation
+        cotangent's halo frames — with the per-shard patch/fold
+        contractions running :mod:`pytorch_nmf_tpu.ops.pallas_deconv` in
+        VALID (halo'd) mode."""
+        from ..ops.fast_nmfd import _PALLAS_TK
+        from ..ops.pallas_deconv import hgrad, wgrad
+        from ..ops.pallas_mu import _interpret_mode
+
+        interpret = _interpret_mode()
+        T_ = int(W.shape[2])
+        C, R = int(W.shape[0]), int(W.shape[1])
+        N = V.shape[0]
+        chunk = int(V.shape[2])
+        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
+        Tk = _PALLAS_TK
+        nkr = -(-T_ // Tk)
+        kern = (T_,)
+        pad1 = (False,)
+        need_pos = beta != 1
+
+        def recon(w2f, hh):
+            # no varying_axis tag: this mode's shard_map runs with
+            # check_vma=False (Mosaic outputs carry no vma)
+            return _stream_recon(
+                w2f.reshape(nkr, Tk * R, C), hh, kern, pad1,
+            )
+
+        def loss_of(state):
+            w2f, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+            part = beta_div(recon(w2f, hh), V2, beta)
+            total = lax.psum(part, seq_axis) - loss_offset
+            return jnp.sqrt(2.0 * jnp.maximum(total, 0.0))
+
+        def one_iter(state):
+            w2f, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+            H2h = jnp.moveaxis(hh[0], 0, 1)  # (chunk + T - 1, R)
+
+            if update_W:
+                WH2 = recon(w2f, hh)
+                neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+                # psum the raw numerators BEFORE the clamps — elementwise
+                # identical to the stream mode's per-chunk psums
+                neg = lax.psum(
+                    wgrad([neg_cot[0]], H2h, R, Tk, T_,
+                          interpret=interpret, lead_pad=False)[0],
+                    seq_axis,
+                )
+                neg = jax.nn.relu(neg) + eps
+                if beta == 1:
+                    s = lax.psum(
+                        jnp.sum(hp, axis=(0, 2)), seq_axis
+                    )  # (R,)
+                    pos = jnp.tile(s, nkr * Tk)[:, None]
+                else:
+                    pos = lax.psum(
+                        wgrad([pos_cot[0]], H2h, R, Tk, T_,
+                              interpret=interpret, lead_pad=False)[0],
+                        seq_axis,
+                    )
+                    pos = jax.nn.relu(pos) + eps
+                w2f = w2f * mu_multiplier(
+                    neg, pos, w2f, gamma, l1_reg, l2_reg
+                )
+
+            if update_H:
+                WH2 = recon(w2f, hh)
+                neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+
+                def h_contract(cot):
+                    cotpad = jnp.pad(cot[0], ((T_ - 1, 0), (0, 0)))
+                    out = hgrad(cotpad, w2f, R, Tk, chunk + T_ - 1,
+                                interpret=interpret)[None]
+                    return halo_adjoint(out, halo, seq_axis)
+
+                neg = jax.nn.relu(h_contract(neg_cot)) + eps
+                if beta == 1:
+                    s2 = jnp.sum(w2f.reshape(-1, R, C), axis=(0, 2))
+                    pos = s2.reshape(1, R, 1)
+                else:
+                    pos = jax.nn.relu(h_contract(pos_cot)) + eps
+                hp = hp * mu_multiplier(
+                    neg, pos, hp, gamma, l1_reg, l2_reg
+                )
+            return w2f, hp
+
+        W2f = jnp.pad(
+            _w2(W), ((0, (nkr * Tk - T_) * R), (0, 0))
+        )
+        (W2f, Hp), k, converged, _ = _converging_loop(
+            one_iter, loss_of, (W2f, Hp), tol, max_iter, False
+        )
+        n_iter = jnp.where(converged, k * 10, max_iter)
+        from ..ops.fast_nmfd import _w_from_w2
+
+        return _w_from_w2(W2f[: T_ * R], kern, R), Hp, n_iter
+
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
+        if mode == "pallas":
+            return pallas_local_fit(V, W, Hp)
         if mode == "stream":
             return stream_local_fit(V, W, Hp)
 
@@ -343,6 +448,9 @@ def _get_sharded_deconv_fit(
         mesh=mesh,
         in_specs=(sharded_spec, P(), sharded_spec),
         out_specs=(P(), sharded_spec, P()),
+        # Mosaic calls don't carry vma annotations — same opt-out the
+        # fused sharded-NMF updaters use (parallel/sharded.py)
+        check_vma=(mode != "pallas"),
     )
     return jax.jit(mapped)
 
@@ -616,6 +724,8 @@ def _sharded_siplca_fit(
         tuple(int(s) for s in H.shape[2:1 + spatial_ndim]),
         chunk, tuple(int(k) for k in W.shape[2:]), int(W.shape[1]),
         1.0, mode,  # EM E-step cotangents are KL-shaped
+        allow_pallas=False,  # EM has no fused per-shard mode: keep the
+        # unrolled-vs-conv tuning undiluted by the pallas candidate
     )
 
     fit = _get_sharded_siplca_fit(

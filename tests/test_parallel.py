@@ -419,6 +419,50 @@ def test_halo_stream_matches_conv_formulation(beta):
 
 
 @needs_8
+@pytest.mark.parametrize("beta", [1, 2])
+def test_halo_pallas_matches_conv_formulation(beta):
+    """The fused Mosaic per-shard mode (``"pallas"``: VALID-mode wgrad /
+    hgrad inside shard_map, psum'd numerators, reverse-ppermute halo
+    adjoint) must match the conv/vjp formulation.  Forced via
+    PNT_NMFD_PALLAS=1 with the interpreter; chunk=256 clears the
+    ``deconv_pallas_supported`` length gate."""
+    import os
+
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    rng = np.random.RandomState(13)
+    N, C, R, T = 1, 12, 5, 6
+    L_out = 4 * 256  # chunk 256 over 4 devices
+    V = rng.rand(N, C, L_out).astype("f") + 0.01
+    W0 = rng.rand(C, R, T).astype("f") + 0.1
+    H0 = rng.rand(N, R, L_out - T + 1).astype("f") + 0.1
+    mesh = make_mesh({"seq": 4})
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    os.environ["PNT_PALLAS_INTERPRET"] = "1"
+    try:
+        Wp, Hp, np_ = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+        )
+    finally:
+        del os.environ["PNT_NMFD_PALLAS"]
+        del os.environ["PNT_PALLAS_INTERPRET"]
+    os.environ["PNT_NMFD_PALLAS"] = "0"
+    os.environ["PNT_NMFD_AUTOTUNE"] = "0"
+    try:
+        Wc, Hc, nc = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+        )
+    finally:
+        del os.environ["PNT_NMFD_PALLAS"]
+        del os.environ["PNT_NMFD_AUTOTUNE"]
+    assert int(np_) == int(nc)
+    assert float(jnp.abs(Wp - Wc).max()) < 1e-5
+    assert float(jnp.abs(Hp - Hc).max()) < 1e-5
+    assert bool(jnp.all(jnp.isfinite(Wp))) and bool(jnp.all(Wp >= 0))
+
+
+@needs_8
 @pytest.mark.parametrize("beta", [0.5, 1, 2])
 def test_sharded_sparse_matches_single_device_ell(beta):
     """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
