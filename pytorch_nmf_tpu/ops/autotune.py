@@ -136,28 +136,28 @@ def _candidates(beta: float, spatial_ndim: int):
     unfold, and pallas candidates are numerically interchangeable (same
     contractions, different summation order), FFT is not.
 
-    The fused Pallas engine (1-D, ``ops/pallas_deconv``) is a regular
-    candidate wherever Mosaic kernels can run (``PNT_NMFD_PALLAS=0``
-    removes it); its shape gate raises inside the timing loop for
-    unsupported configs, which the per-candidate try/except absorbs."""
+    The fused Pallas engine (``ops/pallas_deconv``; 1-D direct, 2-D/3-D
+    via the flat-offset mode) is a regular candidate wherever Mosaic
+    kernels can run (``PNT_NMFD_PALLAS=0`` removes it); its shape gate
+    raises inside the timing loop for unsupported configs, which the
+    per-candidate try/except absorbs."""
     from .fast_nmfd import (
         _FACTORIES,
+        _PALLAS_FACTORIES,
+        _PALLAS_INTERPRET_FACTORIES,
         nmfd_fft_updater_factory,
-        nmfd_pallas_interpret_factory,
-        nmfd_pallas_updater_factory,
     )
     from .pallas_mu import _interpret_mode, pallas_supported
 
     cands = [("unfold", _FACTORIES[spatial_ndim]), ("conv", None)]
     if (
-        spatial_ndim == 1
-        and pallas_supported()
+        pallas_supported()
         and os.environ.get("PNT_NMFD_PALLAS", "") != "0"
     ):
         cands.append((
             "pallas",
-            nmfd_pallas_interpret_factory if _interpret_mode()
-            else nmfd_pallas_updater_factory,
+            (_PALLAS_INTERPRET_FACTORIES if _interpret_mode()
+             else _PALLAS_FACTORIES)[spatial_ndim],
         ))
     if (
         spatial_ndim == 1
@@ -535,20 +535,20 @@ def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
         return None
     if spatial_ndim == 1 and os.environ.get("PNT_NMFD_FFT", "") == "1":
         return nmfd_fft_updater_factory
-    if spatial_ndim == 1 and os.environ.get("PNT_NMFD_PALLAS", "") == "1":
+    if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
         # explicit force (testing / known-good shapes); the autotuned
         # path offers the same engine as a measured candidate
         from .fast_nmfd import (
-            nmfd_pallas_interpret_factory,
-            nmfd_pallas_updater_factory,
+            _PALLAS_FACTORIES,
+            _PALLAS_INTERPRET_FACTORIES,
         )
         from .pallas_mu import _interpret_mode, pallas_supported
 
         if pallas_supported():
             return (
-                nmfd_pallas_interpret_factory if _interpret_mode()
-                else nmfd_pallas_updater_factory
-            )
+                _PALLAS_INTERPRET_FACTORIES if _interpret_mode()
+                else _PALLAS_FACTORIES
+            )[spatial_ndim]
     if V.dtype == jnp.float64:  # x64 fits keep the generic conv engine
         return None
 

@@ -696,89 +696,159 @@ _PALLAS_TK = 16  # flat-τ offsets per fused-kernel tile (ops/pallas_deconv)
 
 
 def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
-                                   interpret=False):
-    """1-D deconv updaters with the fused Pallas contractions
+                                   interpret=False, spatial_ndim=1):
+    """Deconv updaters with the fused Pallas contractions
     (:mod:`.pallas_deconv`): the XLA streaming recon feeds
     :func:`~.pallas_deconv.wgrad` / :func:`~.pallas_deconv.hgrad`, so the
     patch matrix ``P`` and the fold input ``G`` never hit HBM.  Measured
-    at the flagship shape (C=1025, L=5000, R=88, T=400, v5e): W-side
+    at the 1-D flagship shape (C=1025, L=5000, R=88, T=400, v5e): W-side
     contraction 2.67 ms vs ~4.0 for the einsum scan, H-side 2.26 vs 2.81.
+
+    ``spatial_ndim > 1`` runs the *same kernels* in flat-offset mode:
+    the activation is zero-padded to the output widths on every trailing
+    spatial axis and flattened row-major, after which full N-D
+    convolution equals 1-D convolution at flat offsets
+    ``τ = Σ d_ax · stride_ax`` (:func:`~.pallas_deconv.nd_geom` — the
+    wrap-around reads land in the zero-pad columns, exactly).
 
     Carries the kernel flat (``(nkr·Tk·R, C)``, τ-padded zero rows);
     offered as the measured ``"pallas"`` autotune candidate — never a
     static default.  β≠1 calls each kernel once per cotangent (the dual
     in-kernel variant loses its VMEM budget to worse C tiling).
     """
-    from .pallas_deconv import deconv_pallas_supported, hgrad, wgrad
+    from .pallas_deconv import (
+        _flat_T,
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+        hgrad,
+        nd_geom,
+        wgrad,
+    )
 
     Tk = _PALLAS_TK
+    nd = spatial_ndim
 
     def _dims(V_shape, H_shape):
-        if not deconv_pallas_supported(V_shape, H_shape, None):
+        """(kernel, geom, T_geo, nkr) for this problem; raises on
+        unsupported shapes (the autotuner's try/except absorbs it)."""
+        ok = (
+            deconv_pallas_supported(V_shape, H_shape, None) if nd == 1
+            else deconv_pallas_nd_supported(V_shape, H_shape, None)
+        )
+        if not ok or len(V_shape) != nd + 2:
             raise ValueError(
                 "pallas deconv engine: unsupported shape "
-                f"{V_shape}/{H_shape} (needs N=1, 1-D, L_in >= 256)"
+                f"{V_shape}/{H_shape} (needs N=1, flat L_in >= 256, "
+                "VMEM-bounded window)"
             )
-        T = _kernel_dims(V_shape, H_shape)[0]
-        return T, -(-T // Tk)
+        kernel = _kernel_dims(V_shape, H_shape)
+        if nd == 1:
+            geom, T_geo = None, kernel[0]
+        else:
+            # trailing spatial axes padded to the OUTPUT widths
+            s_pad = (int(H_shape[2]),) + tuple(int(s) for s in V_shape[3:])
+            geom = nd_geom(kernel, s_pad)
+            T_geo = _flat_T(geom)
+        return kernel, geom, T_geo, -(-_prod(kernel) // Tk)
+
+    def _h_flat(H, kernel):
+        """(1, R, *S_in) → (L_flat, R): trailing axes zero-padded to the
+        output widths, row-major flatten (the flat-offset layout)."""
+        if nd == 1:
+            return jnp.moveaxis(H[0], 0, 1)
+        H2 = jnp.moveaxis(H[0], 0, -1)  # (*S_in, R)
+        pads = ((0, 0),) + tuple(
+            (0, int(k) - 1) for k in kernel[1:]
+        ) + ((0, 0),)
+        return jnp.pad(H2, pads).reshape(-1, H.shape[1])
+
+    def _h_unflat(out, H_shape, kernel):
+        """(R, L_flat) → (1, R, *S_in): undo :func:`_h_flat`."""
+        R = H_shape[1]
+        if nd == 1:
+            return out[None]
+        s_pad = tuple(
+            int(s) + (0 if d == 0 else int(kernel[d]) - 1)
+            for d, s in enumerate(H_shape[2:])
+        )
+        full = out.reshape((R,) + s_pad)
+        for d, s in enumerate(H_shape[2:]):
+            if d > 0:
+                full = lax.slice_in_dim(full, 0, int(s), axis=1 + d)
+        return full[None]
 
     def prepare(V, W, H):
         if V.dtype != jnp.float32:
             raise ValueError("pallas deconv engine: float32 targets only")
-        T, nkr = _dims(V.shape, H.shape)
+        kernel, _, _, nkr = _dims(V.shape, H.shape)
         R = H.shape[1]
-        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - T) * R), (0, 0)))
+        K = _prod(kernel)
+        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
         return W2f, H
 
     def finish(V, w, h):
-        T, _ = _dims(V.shape, h.shape)
+        kernel, _, _, _ = _dims(V.shape, h.shape)
         R = h.shape[1]
-        return _w_from_w2(w[: T * R], (T,), R), h
+        return _w_from_w2(w[: _prod(kernel) * R], kernel, R), h
 
     def _w3(w, R):
         return w.reshape(-1, Tk * R, w.shape[-1])
 
     def _cots(V, w, H):
         V2 = _v2_flat(V)
-        WH2 = _stream_recon(_w3(w, H.shape[1]), H, (V.shape[2] - H.shape[2] + 1,))
+        WH2 = _stream_recon(
+            _w3(w, H.shape[1]), H, _kernel_dims(V.shape, H.shape)
+        )
         return mu_cotangents(V2, WH2, beta)
 
     def upd_W(V, w, H):
-        T, _ = _dims(V.shape, H.shape)
+        _, geom, T_geo, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
         neg_cot, pos_cot = _cots(V, w, H)
-        H2 = jnp.moveaxis(H[0], 0, 1)  # (L_in, R)
+        H2 = _h_flat(H, _kernel_dims(V.shape, H.shape))
         if beta == 1 and gamma == 1.0 and l1_reg == 0.0 and l2_reg == 0.0:
             # fully-fused KL update: the kernel's epilogue applies the MU
             # multiply in VMEM, skipping the numerator's HBM round trip
             return wgrad(
-                [neg_cot[0]], H2, R, Tk, T, interpret=interpret,
-                mu_w2=w, mu_pos=kl_pos_W(H).reshape(-1),
+                [neg_cot[0]], H2, R, Tk, T_geo, interpret=interpret,
+                mu_w2=w, mu_pos=kl_pos_W(H).reshape(-1), geom=geom,
             )[0]
-        neg = wgrad([neg_cot[0]], H2, R, Tk, T, interpret=interpret)[0]
+        neg = wgrad([neg_cot[0]], H2, R, Tk, T_geo, interpret=interpret,
+                    geom=geom)[0]
         neg = jax.nn.relu(neg) + eps
         if beta == 1:
             pos = _tiled_kl_pos_w(H, w)
         else:
-            pos = wgrad([pos_cot[0]], H2, R, Tk, T, interpret=interpret)[0]
+            pos = wgrad([pos_cot[0]], H2, R, Tk, T_geo,
+                        interpret=interpret, geom=geom)[0]
             pos = jax.nn.relu(pos) + eps
         # τ-padded kernel rows are exactly zero and stay zero through the
         # multiplicative update (0 × finite multiplier)
         return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
     def upd_H(V, w, H):
-        T, _ = _dims(V.shape, H.shape)
+        kernel, geom, _, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
-        L_in = H.shape[2]
+        L_flat = H.shape[2] * _prod(
+            int(s) + int(k) - 1
+            for s, k in zip(H.shape[3:], kernel[1:])
+        )
         neg_cot, pos_cot = _cots(V, w, H)
         W2f = w
-        neg = hgrad(neg_cot[0], W2f, R, Tk, L_in, interpret=interpret)[None]
+        neg = _h_unflat(
+            hgrad(neg_cot[0], W2f, R, Tk, L_flat, interpret=interpret,
+                  geom=geom),
+            H.shape, kernel,
+        )
         neg = jax.nn.relu(neg) + eps
         if beta == 1:
             pos = _pos_h_flat(w, R)
         else:
-            pos = hgrad(pos_cot[0], W2f, R, Tk, L_in,
-                        interpret=interpret)[None]
+            pos = _h_unflat(
+                hgrad(pos_cot[0], W2f, R, Tk, L_flat, interpret=interpret,
+                      geom=geom),
+                H.shape, kernel,
+            )
             pos = jax.nn.relu(pos) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
@@ -789,13 +859,14 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
 
     def _pos_h_flat(w, R):
         s = jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
-        return s.reshape(1, R, 1)
+        return s.reshape((1, R) + (1,) * nd)
 
     def loss_terms(V, w, H):
         from ..metrics import beta_div
 
-        T = _kernel_dims(V.shape, H.shape)[0]
-        WH2 = _stream_recon(_w3(w, H.shape[1]), H, (T,))
+        WH2 = _stream_recon(
+            _w3(w, H.shape[1]), H, _kernel_dims(V.shape, H.shape)
+        )
         return beta_div(WH2, _v2_flat(V), beta)
 
     return upd_W, upd_H, loss_terms, prepare, finish
@@ -885,6 +956,30 @@ def nmfd_pallas_interpret_factory(beta, gamma, l1_reg, l2_reg):
                                           interpret=True)
 
 
+def nmf2d_pallas_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Fused-kernel NMF2D updaters (flat-offset Mosaic mode)."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=False, spatial_ndim=2)
+
+
+def nmf2d_pallas_interpret_factory(beta, gamma, l1_reg, l2_reg):
+    """NMF2D fused kernels through the Pallas interpreter (CPU tests)."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=True, spatial_ndim=2)
+
+
+def nmf3d_pallas_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """Fused-kernel NMF3D updaters (flat-offset Mosaic mode)."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=False, spatial_ndim=3)
+
+
+def nmf3d_pallas_interpret_factory(beta, gamma, l1_reg, l2_reg):
+    """NMF3D fused kernels through the Pallas interpreter (CPU tests)."""
+    return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
+                                          interpret=True, spatial_ndim=3)
+
+
 def nmf2d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     """Unfold-GEMM updaters for NMF2D."""
     return _deconv_unfold_updater_factory(2, beta, gamma, l1_reg, l2_reg)
@@ -899,6 +994,18 @@ _FACTORIES = {
     1: nmfd_unfold_updater_factory,
     2: nmf2d_unfold_updater_factory,
     3: nmf3d_unfold_updater_factory,
+}
+
+_PALLAS_FACTORIES = {
+    1: nmfd_pallas_updater_factory,
+    2: nmf2d_pallas_updater_factory,
+    3: nmf3d_pallas_updater_factory,
+}
+
+_PALLAS_INTERPRET_FACTORIES = {
+    1: nmfd_pallas_interpret_factory,
+    2: nmf2d_pallas_interpret_factory,
+    3: nmf3d_pallas_interpret_factory,
 }
 
 

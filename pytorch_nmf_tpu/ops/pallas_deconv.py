@@ -53,11 +53,65 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import eps
 from .pallas_mu import _interpret_mode, pallas_supported  # noqa: F401
 
-__all__ = ["hgrad", "wgrad", "deconv_pallas_supported"]
+__all__ = [
+    "hgrad", "wgrad", "deconv_pallas_supported",
+    "deconv_pallas_nd_supported", "nd_geom",
+]
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-int(x) // m) * m
+
+
+def _flat_tau(flat, geom):
+    """Map a flat kernel-offset index to the flattened-activation offset.
+
+    ``geom = (kdims, strides)`` — row-major mixed-radix decomposition of
+    ``flat`` over ``kdims`` dotted with ``strides`` (the flattened
+    activation's per-axis strides).  ``None`` is the 1-D identity.  Works
+    for traced scalars and Python ints.  Padded offsets beyond
+    ``prod(kdims)`` may alias an in-range τ — every aliased contribution
+    multiplies a zero kernel row, so it vanishes exactly."""
+    if geom is None:
+        return flat
+    kdims, strides = geom
+    tau = flat * 0
+    rem = flat
+    for k, s in zip(reversed(kdims), reversed(strides)):
+        tau = tau + (rem % k) * s
+        rem = rem // k
+    return tau
+
+
+def _max_tau(n_flat: int, geom) -> int:
+    """Largest activation offset any flat index < ``n_flat`` can map to
+    (static bound for the cotangent read window)."""
+    if geom is None:
+        return n_flat - 1
+    return max(_flat_tau(f, geom) for f in range(n_flat))
+
+
+def nd_geom(kernel, s_pad):
+    """``(kdims, strides)`` for an N-D problem whose activation is padded
+    to the *output* widths on every trailing spatial axis and flattened
+    row-major: full N-D convolution then equals 1-D convolution at flat
+    offsets ``τ = Σ d_ax · stride_ax`` (the wrap-around rows land in the
+    zero-pad columns — exact, see :func:`deconv_pallas_nd_supported`).
+
+    ``kernel``: spatial kernel dims; ``s_pad``: the padded activation's
+    spatial extents (leading extent itself is irrelevant to strides)."""
+    strides = []
+    acc = 1
+    for s in reversed(tuple(s_pad)):
+        strides.append(acc)
+        acc *= int(s)
+    return tuple(int(k) for k in kernel), tuple(reversed(strides))
+
+
+def _flat_T(geom) -> int:
+    """Geometric kernel extent on the flattened axis: ``max real τ + 1``."""
+    kdims, strides = geom
+    return sum((k - 1) * s for k, s in zip(kdims, strides)) + 1
 
 
 def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
@@ -74,7 +128,41 @@ def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
     return int(H_shape[2]) >= 256
 
 
-def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int):
+# the remote Mosaic compiler 500s (and wedges the device) past ~16 MB of
+# double-buffered scoped VMEM; bound the hgrad cotangent window well below
+_ND_HGRAD_WINDOW_BYTES = 10 * 2 ** 20
+
+
+def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
+    """Shape gate for the 2-D/3-D fused deconv kernels (flat-offset
+    mode): single batch, f32, flattened length ≥ 256, and the hgrad
+    cotangent window (the whole flattened output rides in VMEM per
+    C-block) under the Mosaic scoped-vmem budget.  Bigger problems keep
+    the XLA unfold/conv engines."""
+    if not pallas_supported():
+        return False
+    nd = len(V_shape) - 2
+    if nd not in (2, 3) or int(V_shape[0]) != 1:
+        return False
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False
+    kernel = tuple(
+        int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:])
+    )
+    s_pad = tuple(int(s) for s in V_shape[2 + 1:])  # trailing axes padded
+    s_in = tuple(int(s) for s in H_shape[2:])
+    l_in = s_in[0]
+    for s in s_pad:
+        l_in *= s
+    if l_in < 256:
+        return False
+    geom = nd_geom(kernel, (s_in[0],) + s_pad)
+    lw = _ceil_to(l_in, 128)
+    rows = _flat_T(geom) + lw
+    return 4 * rows * 128 <= _ND_HGRAD_WINDOW_BYTES
+
+
+def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int, geom=None):
     def kernel(cot_ref, w2_ref, out_ref):
         c_i = pl.program_id(0)
         k_i = pl.program_id(1)
@@ -98,7 +186,7 @@ def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int):
             out_ref[:] = jnp.zeros((R, Lw), jnp.float32)
 
         for j in range(Tk):
-            tau = k_i * Tk + j
+            tau = _flat_tau(k_i * Tk + j, geom)
             a = w2[j * R:(j + 1) * R, :]            # (R, Cc)
             b = cot_ref[pl.ds(tau, Lw), :]          # (Lw, Cc)
             out_ref[:] = out_ref[:] + lax.dot_general(
@@ -109,15 +197,20 @@ def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int):
     return kernel
 
 
-def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None):
-    """``out (R, L_in)``: ``out[r, l'] = Σ_{τ<Tkp, c} cot2[l'+τ, c] ·
-    W2f[τ·R+r, c]`` — the H-side deconv MU contraction (the fold of
+def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None,
+          geom=None):
+    """``out (R, L_in)``: ``out[r, l'] = Σ_{j, c} cot2[l'+τ_j, c] ·
+    W2f[j·R+r, c]`` — the H-side deconv MU contraction (the fold of
     ``cot @ W2ᵀ``) without materializing ``G``.
 
     ``cot2 (Lp, C)`` is the channels-last cotangent (rows beyond the real
     conv output length are irrelevant — the valid columns only read rows
-    ``< L_in + Tkp - 1``); ``W2f (nkr·Tk·R, C)`` is the flat-τ kernel
-    operand (``W3.reshape(-1, C)``), zero rows beyond ``T·R``.
+    ``< L_in + max τ``); ``W2f (nkr·Tk·R, C)`` is the flat-τ kernel
+    operand (``W3.reshape(-1, C)``), zero rows beyond ``K·R``.
+
+    ``geom``: flat-offset map for the N-D mode (:func:`nd_geom`) —
+    ``τ_j = _flat_tau(j, geom)``; ``None`` is the 1-D identity
+    ``τ_j = j``.
     """
     if interpret is None:
         interpret = _interpret_mode()
@@ -128,13 +221,13 @@ def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None):
     Lw = _ceil_to(L_in, 128)
     Cc = min(_ceil_to(C, 128), 128)
     nc = -(-C // Cc)
-    rows = _ceil_to(max((nkr * Tk - 1) + Lw, Lp), 8)
+    rows = _ceil_to(max(_max_tau(nkr * Tk, geom) + Lw, Lp), 8)
     # zero row/col pads are real memory: the kernel's dots then meet
     # exact zeros (not block garbage) everywhere past the true extents
     cotp = jnp.pad(cot2, ((0, rows - Lp), (0, nc * Cc - C)))
 
     out = pl.pallas_call(
-        _hgrad_kernel(R, Tk, C, Lw, Cc),
+        _hgrad_kernel(R, Tk, C, Lw, Cc, geom),
         grid=(nc, nkr),
         in_specs=[
             pl.BlockSpec((rows, Cc), lambda c, k: (0, c),
@@ -156,7 +249,7 @@ def hgrad(cot2, W2f, R: int, Tk: int, L_in: int, interpret=None):
 
 
 def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int,
-                  mu_epilogue: bool, nl: int):
+                  mu_epilogue: bool, nl: int, geom=None):
     def kernel(hp_ref, *refs):
         cot_refs = refs[:n_cots]
         if mu_epilogue:
@@ -173,10 +266,11 @@ def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int,
 
         contribs = [[] for _ in range(n_cots)]
         for j in range(Tk):
-            tau = k_i * Tk + j
+            tau = _flat_tau(k_i * Tk + j, geom)
             # patch rows for flat offset τ: Hp[l + (T-1) - τ, r]; clamp
-            # keeps padded offsets (τ ≥ T) in-bounds — their output rows
-            # are zero-kernel padding, dropped by the caller's epilogue
+            # keeps padded offsets (τ ≥ T, or aliased N-D pads) in-bounds
+            # — their output rows are zero-kernel padding, dropped by the
+            # caller's epilogue
             start = l_i * Lc + jnp.maximum(T - 1 - tau, 0)
             p_j = hp_ref[pl.ds(start, Lc), :]       # (Lc, R)
             for i, cot in enumerate(cots):
@@ -216,7 +310,7 @@ def _wgrad_kernel(R: int, Tk: int, T: int, Lc: int, n_cots: int,
 
 
 def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
-          mu_w2=None, mu_pos=None, lead_pad: bool = True):
+          mu_w2=None, mu_pos=None, lead_pad: bool = True, geom=None):
     """``outs (nkr·Tk·R, C)``: ``out[j·R+r, c] = Σ_l H2[l-τ_j, r] ·
     cot[l, c]`` (full-conv patch convention: ``P[l, j·R+r] =
     Hp[l+T-1-τ_j, r]`` with ``Hp`` the T-1-zero-padded activation) for
@@ -241,6 +335,10 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
     sequence-parallel solvers' ``left_halo`` output), so the kernel
     reads them where the full-conv mode reads zeros; ``Lp`` is then the
     local chunk length (``len(H2) - (T-1)``).
+
+    ``geom``: flat-offset map for the N-D mode (:func:`nd_geom`) —
+    ``τ_j = _flat_tau(j, geom)``, with ``T`` the *geometric* flat extent
+    (:func:`_flat_T`); ``None`` is the 1-D identity.
     """
     if interpret is None:
         interpret = _interpret_mode()
@@ -249,7 +347,12 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
     n_cots = len(cots2)
     Lp, C = cots2[0].shape
     L_in = H2.shape[0]
-    nkr = -(-T // Tk)
+    K = T  # flat kernel rows; for N-D the row count is prod(kdims), not
+    if geom is not None:  # the geometric flat extent T
+        K = 1
+        for kd in geom[0]:
+            K *= kd
+    nkr = -(-K // Tk)
     KRp = nkr * Tk * R
     # Cc is the dots' N dim: among the VMEM-safe widths prefer the one
     # wasting the least ragged-C padding (C=1025 → 384 pads 11%, 512
@@ -297,7 +400,7 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
             jnp.asarray(mu_pos, jnp.float32).reshape(R, 1), (R, 128)
         ))
     outs = pl.pallas_call(
-        _wgrad_kernel(R, Tk, T, Lc, n_cots, mu_epilogue, nl),
+        _wgrad_kernel(R, Tk, T, Lc, n_cots, mu_epilogue, nl, geom),
         grid=(nc, nkr, nl),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

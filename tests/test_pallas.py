@@ -326,19 +326,140 @@ def test_siplca_em_pallas_recon_matches_default():
 
 def test_autotune_offers_pallas_candidate():
     """The measured candidate set must include the fused engine exactly
-    when Mosaic kernels can run (here: interpreter mode), and honor the
-    kill switch."""
+    when Mosaic kernels can run (here: interpreter mode) — for every
+    spatial rank since the flat-offset mode — and honor the kill
+    switch."""
     from pytorch_nmf_tpu.ops.autotune import _candidates
-    from pytorch_nmf_tpu.ops.fast_nmfd import nmfd_pallas_interpret_factory
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        nmf2d_pallas_interpret_factory,
+        nmf3d_pallas_interpret_factory,
+        nmfd_pallas_interpret_factory,
+    )
 
     names = dict(_candidates(1.0, 1))
     assert names.get("pallas") is nmfd_pallas_interpret_factory
-    assert "pallas" not in dict(_candidates(1.0, 2))  # 1-D only
+    assert dict(_candidates(1.0, 2)).get("pallas") \
+        is nmf2d_pallas_interpret_factory
+    assert dict(_candidates(1.0, 3)).get("pallas") \
+        is nmf3d_pallas_interpret_factory
     os.environ["PNT_NMFD_PALLAS"] = "0"
     try:
         assert "pallas" not in dict(_candidates(1.0, 1))
+        assert "pallas" not in dict(_candidates(1.0, 2))
     finally:
         os.environ.pop("PNT_NMFD_PALLAS", None)
+
+
+@pytest.mark.parametrize(
+    "Y_in, X_in, ky, kx, Tk",
+    [(16, 20, 3, 5, 16), (12, 24, 4, 4, 5)],
+)
+def test_deconv_nd_kernels_match_direct(Y_in, X_in, ky, kx, Tk):
+    """The flat-offset (N-D) kernel mode must equal the direct 2-D
+    patch/fold contractions: pad the activation's trailing axis to the
+    output width, flatten row-major, and the wrap-around reads land in
+    the zero-pad columns exactly (pallas_deconv.nd_geom)."""
+    from pytorch_nmf_tpu.ops import pallas_deconv as PD
+
+    C, R = 7, 5
+    Yp, Xp = Y_in + ky - 1, X_in + kx - 1
+    K = ky * kx
+    nkr = -(-K // Tk)
+    H = RNG.rand(R, Y_in, X_in).astype("f")
+    W = RNG.rand(C, R, ky, kx).astype("f")
+    cot = RNG.rand(Yp * Xp, C).astype("f")
+    cot3 = cot.reshape(Yp, Xp, C)
+    geom = PD.nd_geom((ky, kx), (Y_in, Xp))
+    T_flat = PD._flat_T(geom)
+
+    Hf = np.zeros((Y_in, Xp, R), "f")
+    Hf[:, :X_in] = np.moveaxis(H, 0, -1)
+    got_w = np.asarray(PD.wgrad(
+        [jnp.asarray(cot)], jnp.asarray(Hf.reshape(-1, R)), R, Tk, T_flat,
+        geom=geom,
+    )[0])[: K * R]
+    ref_w = np.zeros((K * R, C), "f")
+    for dy in range(ky):
+        for dx in range(kx):
+            j = dy * kx + dx
+            ref_w[j * R:(j + 1) * R] = np.einsum(
+                "ryx,yxc->rc", H, cot3[dy:dy + Y_in, dx:dx + X_in]
+            )
+    np.testing.assert_allclose(
+        got_w, ref_w, rtol=0, atol=2e-6 * float(np.abs(ref_w).max())
+    )
+
+    W2f = np.pad(
+        np.transpose(W, (2, 3, 1, 0)).reshape(K * R, C),
+        ((0, (nkr * Tk - K) * R), (0, 0)),
+    )
+    got_h = np.asarray(PD.hgrad(
+        jnp.asarray(cot), jnp.asarray(W2f), R, Tk, Y_in * Xp, geom=geom,
+    )).reshape(R, Y_in, Xp)[:, :, :X_in]
+    ref_h = np.zeros((R, Y_in, X_in), "f")
+    for dy in range(ky):
+        for dx in range(kx):
+            ref_h += np.moveaxis(
+                cot3[dy:dy + Y_in, dx:dx + X_in] @ W[:, :, dy, dx], -1, 0
+            )
+    np.testing.assert_allclose(
+        got_h, ref_h, rtol=0, atol=2e-6 * float(np.abs(ref_h).max())
+    )
+
+
+@pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+def test_nmf2d_pallas_engine_matches_unfold(beta):
+    """NMF2D fits through the forced flat-offset fused engine
+    (interpreter) must track the unfold-engine trajectories."""
+    from pytorch_nmf_tpu.nmf import NMF2D
+
+    N, C, R = 1, 7, 6
+    Y_in, X_in, ky, kx = 16, 20, 3, 5  # flat L = 16*24 = 384 >= 256
+    V = RNG.rand(N, C, Y_in + ky - 1, X_in + kx - 1).astype("f") + 0.01
+    W0 = RNG.rand(C, R, ky, kx).astype("f") + 0.1
+    H0 = RNG.rand(N, R, Y_in, X_in).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = NMF2D(W=W0, H=H0)
+        m.fit(V, beta, tol=0, max_iter=10)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+    ref = NMF2D(W=W0, H=H0)
+    ref.fit(V, beta, tol=0, max_iter=10)
+    dW = float(jnp.abs(m.W.data - ref.W.data).max()
+               / jnp.abs(ref.W.data).max())
+    dH = float(jnp.abs(m.H.data - ref.H.data).max()
+               / jnp.abs(ref.H.data).max())
+    assert dW < 5e-5 and dH < 5e-5
+
+
+def test_nmf3d_pallas_engine_matches_unfold():
+    """NMF3D through the forced flat-offset fused engine (interpreter)
+    must track the unfold-engine trajectory."""
+    from pytorch_nmf_tpu.nmf import NMF3D
+
+    N, C, R = 1, 5, 4
+    Z_in, Y_in, X_in, kz, ky, kx = 6, 8, 10, 2, 3, 3  # flat 6*10*12 = 720
+    V = RNG.rand(
+        N, C, Z_in + kz - 1, Y_in + ky - 1, X_in + kx - 1
+    ).astype("f") + 0.01
+    W0 = RNG.rand(C, R, kz, ky, kx).astype("f") + 0.1
+    H0 = RNG.rand(N, R, Z_in, Y_in, X_in).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = NMF3D(W=W0, H=H0)
+        m.fit(V, 1, tol=0, max_iter=10)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+    ref = NMF3D(W=W0, H=H0)
+    ref.fit(V, 1, tol=0, max_iter=10)
+    dW = float(jnp.abs(m.W.data - ref.W.data).max()
+               / jnp.abs(ref.W.data).max())
+    dH = float(jnp.abs(m.H.data - ref.H.data).max()
+               / jnp.abs(ref.H.data).max())
+    assert dW < 5e-5 and dH < 5e-5
 
 
 def test_plca_fused_cotangents_match_vjp():
