@@ -401,6 +401,16 @@ class SIPLCA2(_SIPLCABase):
 
         return unfold_deconv(H, _recon.scaled_kernel(W, Z, 2))
 
+    @staticmethod
+    def _fit_reconstruct_pallas(H, W, Z):
+        # flat-offset fused-Mosaic EM adjoints (same custom-vjp recon as
+        # SIPLCA; ops/fast_nmfd._make_pallas_unfold_deconv handles N-D)
+        from ..ops.fast_nmfd import resolve_pallas_unfold_deconv
+
+        return resolve_pallas_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 2)
+        )
+
 
 class SIPLCA3(_SIPLCABase):
     r"""Shift-Invariant PLCA across 3 dimensions
@@ -433,3 +443,11 @@ class SIPLCA3(_SIPLCABase):
         from ..ops.fast_nmfd import unfold_deconv
 
         return unfold_deconv(H, _recon.scaled_kernel(W, Z, 3))
+
+    @staticmethod
+    def _fit_reconstruct_pallas(H, W, Z):
+        from ..ops.fast_nmfd import resolve_pallas_unfold_deconv
+
+        return resolve_pallas_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 3)
+        )

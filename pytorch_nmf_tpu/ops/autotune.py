@@ -343,16 +343,25 @@ def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3,
 
 def _plca_pallas_recon3(cls, V, H):
     """The SIPLCA family's fused-adjoint EM reconstruction candidate, or
-    ``None`` where it cannot apply (non-1-D classes, unsupported
-    shapes/backends, kill switch)."""
-    from .pallas_deconv import deconv_pallas_supported
+    ``None`` where it cannot apply (unsupported shapes/backends, kill
+    switch).  1-D runs the kernels directly; 2-D/3-D ride the
+    flat-offset mode."""
+    from .pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+    )
 
     recon3 = getattr(cls, "_fit_reconstruct_pallas", None)
     if recon3 is None:
         return None
     if os.environ.get("PNT_NMFD_PALLAS", "") == "0":
         return None
-    if not deconv_pallas_supported(V.shape, H.shape, V.dtype):
+    ok = (
+        deconv_pallas_supported(V.shape, H.shape, V.dtype)
+        if len(V.shape) == 3
+        else deconv_pallas_nd_supported(V.shape, H.shape, V.dtype)
+    )
+    if not ok:
         return None
     return recon3
 

@@ -717,11 +717,9 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     in-kernel variant loses its VMEM budget to worse C tiling).
     """
     from .pallas_deconv import (
-        _flat_T,
         deconv_pallas_nd_supported,
         deconv_pallas_supported,
         hgrad,
-        nd_geom,
         wgrad,
     )
 
@@ -741,41 +739,8 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
                 f"{V_shape}/{H_shape} (needs N=1, flat L_in >= 256, "
                 "VMEM-bounded window)"
             )
-        kernel = _kernel_dims(V_shape, H_shape)
-        if nd == 1:
-            geom, T_geo = None, kernel[0]
-        else:
-            # trailing spatial axes padded to the OUTPUT widths
-            s_pad = (int(H_shape[2]),) + tuple(int(s) for s in V_shape[3:])
-            geom = nd_geom(kernel, s_pad)
-            T_geo = _flat_T(geom)
+        kernel, geom, T_geo, _ = _flat_geom(V_shape, H_shape)
         return kernel, geom, T_geo, -(-_prod(kernel) // Tk)
-
-    def _h_flat(H, kernel):
-        """(1, R, *S_in) → (L_flat, R): trailing axes zero-padded to the
-        output widths, row-major flatten (the flat-offset layout)."""
-        if nd == 1:
-            return jnp.moveaxis(H[0], 0, 1)
-        H2 = jnp.moveaxis(H[0], 0, -1)  # (*S_in, R)
-        pads = ((0, 0),) + tuple(
-            (0, int(k) - 1) for k in kernel[1:]
-        ) + ((0, 0),)
-        return jnp.pad(H2, pads).reshape(-1, H.shape[1])
-
-    def _h_unflat(out, H_shape, kernel):
-        """(R, L_flat) → (1, R, *S_in): undo :func:`_h_flat`."""
-        R = H_shape[1]
-        if nd == 1:
-            return out[None]
-        s_pad = tuple(
-            int(s) + (0 if d == 0 else int(kernel[d]) - 1)
-            for d, s in enumerate(H_shape[2:])
-        )
-        full = out.reshape((R,) + s_pad)
-        for d, s in enumerate(H_shape[2:]):
-            if d > 0:
-                full = lax.slice_in_dim(full, 0, int(s), axis=1 + d)
-        return full[None]
 
     def prepare(V, W, H):
         if V.dtype != jnp.float32:
@@ -805,7 +770,7 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         _, geom, T_geo, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
         neg_cot, pos_cot = _cots(V, w, H)
-        H2 = _h_flat(H, _kernel_dims(V.shape, H.shape))
+        H2 = _h_flat_nd(H, _kernel_dims(V.shape, H.shape))
         if beta == 1 and gamma == 1.0 and l1_reg == 0.0 and l2_reg == 0.0:
             # fully-fused KL update: the kernel's epilogue applies the MU
             # multiply in VMEM, skipping the numerator's HBM round trip
@@ -829,13 +794,10 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     def upd_H(V, w, H):
         kernel, geom, _, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
-        L_flat = H.shape[2] * _prod(
-            int(s) + int(k) - 1
-            for s, k in zip(H.shape[3:], kernel[1:])
-        )
+        L_flat = _flat_geom(V.shape, H.shape)[3]
         neg_cot, pos_cot = _cots(V, w, H)
         W2f = w
-        neg = _h_unflat(
+        neg = _h_unflat_nd(
             hgrad(neg_cot[0], W2f, R, Tk, L_flat, interpret=interpret,
                   geom=geom),
             H.shape, kernel,
@@ -844,7 +806,7 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         if beta == 1:
             pos = _pos_h_flat(w, R)
         else:
-            pos = _h_unflat(
+            pos = _h_unflat_nd(
                 hgrad(pos_cot[0], W2f, R, Tk, L_flat, interpret=interpret,
                       geom=geom),
                 H.shape, kernel,
@@ -878,6 +840,53 @@ def _v2_flat(V):
     return jnp.moveaxis(V, 1, -1).reshape(V.shape[0], -1, V.shape[1])
 
 
+def _flat_geom(V_shape, H_shape):
+    """``(kernel, geom, T_geo, L_flat)`` for the flat-offset mode: the
+    activation's trailing spatial axes padded to the *output* widths and
+    flattened row-major (``geom=None`` and ``T_geo=T`` for 1-D)."""
+    from .pallas_deconv import _flat_T, nd_geom
+
+    kernel = _kernel_dims(V_shape, H_shape)
+    if len(kernel) == 1:
+        return kernel, None, kernel[0], int(H_shape[2])
+    s_pad = (int(H_shape[2]),) + tuple(
+        int(s) + int(k) - 1 for s, k in zip(H_shape[3:], kernel[1:])
+    )
+    geom = nd_geom(kernel, s_pad)
+    return kernel, geom, _flat_T(geom), _prod(s_pad)
+
+
+def _h_flat_nd(H, kernel):
+    """``(1, R, *S_in)`` → ``(L_flat, R)``: trailing spatial axes
+    zero-padded to the output widths, row-major flatten (the
+    flat-offset activation layout)."""
+    if len(kernel) == 1:
+        return jnp.moveaxis(H[0], 0, 1)
+    H2 = jnp.moveaxis(H[0], 0, -1)  # (*S_in, R)
+    pads = ((0, 0),) + tuple(
+        (0, int(k) - 1) for k in kernel[1:]
+    ) + ((0, 0),)
+    return jnp.pad(H2, pads).reshape(-1, H.shape[1])
+
+
+def _h_unflat_nd(out, H_shape, kernel):
+    """``(R, L_flat)`` → ``(1, R, *S_in)``: undo :func:`_h_flat_nd`
+    (crop the trailing-axis pads — their columns carry harmless
+    garbage, never real cotangent)."""
+    R = H_shape[1]
+    if len(kernel) == 1:
+        return out[None]
+    s_pad = tuple(
+        int(s) + (0 if d == 0 else int(kernel[d]) - 1)
+        for d, s in enumerate(H_shape[2:])
+    )
+    full = out.reshape((R,) + s_pad)
+    for d, s in enumerate(H_shape[2:]):
+        if d > 0:
+            full = lax.slice_in_dim(full, 0, int(s), axis=1 + d)
+    return full[None]
+
+
 def _make_pallas_unfold_deconv(interpret: bool):
     """``custom_vjp`` deconvolution whose adjoints run the fused Mosaic
     kernels: forward = the streaming patch GEMMs, ``dH`` =
@@ -887,40 +896,53 @@ def _make_pallas_unfold_deconv(interpret: bool):
     Differentiating a reconstruction is exactly what the PLCA/SIPLCA EM
     E-step and the Hoyer solver do (reference plca.py:252-253), so this
     hands them the MU engine's kernel speedup without touching their
-    solver code.  1-D, ``N == 1``, f32 only — callers gate via
-    :func:`~.pallas_deconv.deconv_pallas_supported` (the EM autotuner
-    offers it as a measured third candidate)."""
+    solver code.  ``N == 1``, f32 only; 2-D/3-D run the flat-offset
+    kernel mode — callers gate via
+    :func:`~.pallas_deconv.deconv_pallas_supported` /
+    ``deconv_pallas_nd_supported`` (the EM autotuner offers it as a
+    measured candidate)."""
     from .pallas_deconv import hgrad, wgrad
 
     Tk = _PALLAS_TK
 
     def _w2f(W):
-        C, R, T = W.shape
-        nkr = -(-T // Tk)
-        return jnp.pad(_w2(W), ((0, (nkr * Tk - T) * R), (0, 0)))
+        C, R = W.shape[:2]
+        K = _prod(W.shape[2:])
+        nkr = -(-K // Tk)
+        return jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
 
     @jax.custom_vjp
     def pallas_deconv(H, W):
-        N, R = H.shape[:2]
-        T = W.shape[2]
+        R = H.shape[1]
         W2f = _w2f(W)
+        v_sp = tuple(
+            int(s) + int(k) - 1 for s, k in zip(H.shape[2:], W.shape[2:])
+        )
         WH2 = _stream_recon(
-            W2f.reshape(-1, Tk * R, W.shape[0]), H, (T,)
+            W2f.reshape(-1, Tk * R, W.shape[0]), H, W.shape[2:]
         )  # (N, Lp, C)
-        return jnp.moveaxis(WH2, -1, 1)  # (N, C, Lp)
+        return jnp.moveaxis(WH2, -1, 1).reshape(
+            (H.shape[0], W.shape[0]) + v_sp
+        )
 
     def fwd(H, W):
         return pallas_deconv(H, W), (H, W)
 
     def bwd(res, ct):
         H, W = res
-        C, R, T = W.shape
-        L_in = H.shape[2]
+        C, R = W.shape[:2]
+        kernel, geom, T_geo, L_flat = _flat_geom(ct.shape, H.shape)
+        K = _prod(kernel)
         ct2 = jnp.moveaxis(ct, 1, -1).reshape(-1, C)  # (Lp, C); N == 1
-        dH = hgrad(ct2, _w2f(W), R, Tk, L_in, interpret=interpret)[None]
-        H2 = jnp.moveaxis(H[0], 0, 1)
-        dW2 = wgrad([ct2], H2, R, Tk, T, interpret=interpret)[0][: T * R]
-        return dH, _w_from_w2(dW2, (T,), R)
+        dH = _h_unflat_nd(
+            hgrad(ct2, _w2f(W), R, Tk, L_flat, interpret=interpret,
+                  geom=geom),
+            H.shape, kernel,
+        )
+        H2 = _h_flat_nd(H, kernel)
+        dW2 = wgrad([ct2], H2, R, Tk, T_geo, interpret=interpret,
+                    geom=geom)[0][: K * R]
+        return dH, _w_from_w2(dW2, kernel, R)
 
     pallas_deconv.defvjp(fwd, bwd)
     return pallas_deconv

@@ -312,16 +312,46 @@ def test_siplca_em_pallas_recon_matches_default():
         a, b = getattr(m, nm).data, getattr(ref, nm).data
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
 
-    # 2-D classes have no pallas EM candidate; kill switch removes it
-    from pytorch_nmf_tpu.ops.autotune import _plca_pallas_recon3
-    from pytorch_nmf_tpu.plca import SIPLCA2
-
-    assert _plca_pallas_recon3(SIPLCA2, jnp.asarray(V), m.H.data) is None
+    # the kill switch removes the EM candidate
     os.environ["PNT_NMFD_PALLAS"] = "0"
     try:
+        from pytorch_nmf_tpu.ops.autotune import _plca_pallas_recon3
+
         assert _plca_pallas_recon3(SIPLCA, jnp.asarray(V), m.H.data) is None
     finally:
         os.environ.pop("PNT_NMFD_PALLAS", None)
+
+
+def test_siplca2_em_pallas_recon_matches_default():
+    """SIPLCA2 EM through the flat-offset fused-adjoint reconstruction
+    (forced, interpreter) must track the default engine's trajectory —
+    the N-D custom-vjp recon feeding the EM E-step."""
+    from pytorch_nmf_tpu.ops.autotune import _plca_pallas_recon3
+    from pytorch_nmf_tpu.plca import SIPLCA2
+
+    N, C, R = 1, 9, 4
+    Y_in, X_in, ky, kx = 16, 20, 3, 5  # flat 16*24 = 384 >= 256
+    V = RNG.rand(N, C, Y_in + ky - 1, X_in + kx - 1).astype("f")
+    W0 = RNG.rand(C, R, ky, kx).astype("f")
+    H0 = RNG.rand(N, R, Y_in, X_in).astype("f")
+    Z0 = RNG.rand(R).astype("f")
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = SIPLCA2(W=W0, H=H0, Z=Z0)
+        assert _plca_pallas_recon3(
+            SIPLCA2, jnp.asarray(V), m.H.data
+        ) is SIPLCA2._fit_reconstruct_pallas
+        n, _ = m.fit(V, tol=0, max_iter=10)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+    ref = SIPLCA2(W=W0, H=H0, Z=Z0)
+    n2, _ = ref.fit(V, tol=0, max_iter=10)
+    assert n == n2
+    for nm in ("W", "H", "Z"):
+        a, b = getattr(m, nm).data, getattr(ref, nm).data
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
 
 
 def test_autotune_offers_pallas_candidate():
