@@ -159,6 +159,56 @@ def main():
         "ms_sharded": round(ms_halo, 5),
     })
 
+    # ---- NMFD halo, flagship rank: r88/T400, ~1250 frames/device --------
+    # the r8 row above stays on the unfold per-shard mode; this one lands
+    # on the fused-Mosaic ("pallas") mode wherever the engine autotune
+    # picks it for the local chunk shape (measured n=1 v5e: 11.86 ms/iter
+    # vs 11.42 plain — the stream-mode halo it replaces tracked the
+    # slower 13.39 stream engine)
+    Rf = 4 if tiny else 88
+    Vf = rng.rand(N, C, L).astype("f")
+    Wf0 = rng.rand(C, Rf, T).astype("f") + 0.1
+    Hf0 = rng.rand(N, Rf, L - T + 1).astype("f") + 0.1
+
+    # plain side rides the AUTOTUNED engine (what model.fit would use) so
+    # the ratio compares the halo program against the honest best
+    from pytorch_nmf_tpu.ops import recon as _recon
+    from pytorch_nmf_tpu.ops.autotune import resolve_deconv_factory
+
+    flag_factory = resolve_deconv_factory(
+        jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0), 1.0, 1,
+        _recon.deconv1d,
+    )
+
+    def make_plain_flag(n):
+        return get_dense_fit(
+            NMFD.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, flag_factory,
+        )
+
+    ms_plain_f = _marginal_ms_per_iter(
+        make_plain_flag, (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0)),
+    )
+
+    def make_halo_flag(n):
+        def fit(V, W, H):
+            return _sharded_deconv_fit(
+                V, W, H, seq_mesh, 1, 1.0, float("-inf"), n, 0.0, 0.0,
+                "seq",
+            )
+        return fit
+
+    ms_halo_f = _marginal_ms_per_iter(
+        make_halo_flag, (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0))
+    )
+    grid.append({
+        "metric": f"nmfd_halo_overhead_n{n_dev}_{C}x{L_loc}loc_r{Rf}_T{T}_beta1",
+        "value": round(ms_halo_f / ms_plain_f, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_f, 5),
+        "ms_sharded": round(ms_halo_f, 5),
+    })
+
     # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
     Msp_loc, Ksp, Rsp = (64, 64, 4) if tiny else (8192, 8192, 64)
     Msp = Msp_loc * n_dev

@@ -128,17 +128,21 @@ def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
     return int(H_shape[2]) >= 256
 
 
-# the remote Mosaic compiler 500s (and wedges the device) past ~16 MB of
-# double-buffered scoped VMEM; bound the hgrad cotangent window well below
-_ND_HGRAD_WINDOW_BYTES = 10 * 2 ** 20
+# Mosaic's scoped-vmem stack is 16 MB; the hgrad kernel's residents are
+# the cotangent window (rows × 128 lanes), TWO copies of the (R, Lw)
+# output (the accumulate's temp counts), and the double-buffered W2
+# blocks — calibrated against a measured 17.01M OOM at C=256/R=64/
+# flat 15488 (8.39M window + 2×3.97M out + 1.05M W2).  Keep headroom.
+_ND_HGRAD_SCOPED_BYTES = 15 * 2 ** 20
+_ND_TK = 16  # must match fast_nmfd._PALLAS_TK
 
 
 def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
     """Shape gate for the 2-D/3-D fused deconv kernels (flat-offset
     mode): single batch, f32, flattened length ≥ 256, and the hgrad
-    cotangent window (the whole flattened output rides in VMEM per
-    C-block) under the Mosaic scoped-vmem budget.  Bigger problems keep
-    the XLA unfold/conv engines."""
+    kernel's total scoped VMEM (cotangent window + output accumulator +
+    W2 blocks) under the Mosaic 16 MB stack.  Bigger problems keep the
+    XLA unfold/conv engines."""
     if not pallas_supported():
         return False
     nd = len(V_shape) - 2
@@ -156,10 +160,12 @@ def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
         l_in *= s
     if l_in < 256:
         return False
+    R = int(H_shape[1])
     geom = nd_geom(kernel, (s_in[0],) + s_pad)
     lw = _ceil_to(l_in, 128)
     rows = _flat_T(geom) + lw
-    return 4 * rows * 128 <= _ND_HGRAD_WINDOW_BYTES
+    scoped = 4 * (rows * 128 + 2 * R * lw + 2 * _ND_TK * R * 128)
+    return scoped <= _ND_HGRAD_SCOPED_BYTES
 
 
 def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int, geom=None):

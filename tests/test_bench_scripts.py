@@ -23,7 +23,7 @@ def test_bench_multichip_tiny_smoke():
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["n_devices"] == 8
-    assert len(out["grid"]) == 3
+    assert len(out["grid"]) == 4
     for row in out["grid"]:
         assert row["value"] > 0
 
