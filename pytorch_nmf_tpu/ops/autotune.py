@@ -145,6 +145,8 @@ def _candidates(beta: float, spatial_ndim: int):
         _FACTORIES,
         _PALLAS_FACTORIES,
         _PALLAS_INTERPRET_FACTORIES,
+        _PALLAS_W_FACTORIES,
+        _PALLAS_W_INTERPRET_FACTORIES,
         nmfd_fft_updater_factory,
     )
     from .pallas_mu import _interpret_mode, pallas_supported
@@ -154,10 +156,19 @@ def _candidates(beta: float, spatial_ndim: int):
         pallas_supported()
         and os.environ.get("PNT_NMFD_PALLAS", "") != "0"
     ):
+        interp = _interpret_mode()
         cands.append((
             "pallas",
-            (_PALLAS_INTERPRET_FACTORIES if _interpret_mode()
+            (_PALLAS_INTERPRET_FACTORIES if interp
              else _PALLAS_FACTORIES)[spatial_ndim],
+        ))
+        # hybrid fused-W/streamed-H: its shape gate accepts exactly the
+        # shapes the full fused mode rejects on VMEM, so at most one of
+        # the two survives the timing loop for any given problem
+        cands.append((
+            "pallas_w",
+            (_PALLAS_W_INTERPRET_FACTORIES if interp
+             else _PALLAS_W_FACTORIES)[spatial_ndim],
         ))
     if (
         spatial_ndim == 1

@@ -696,7 +696,8 @@ _PALLAS_TK = 16  # flat-τ offsets per fused-kernel tile (ops/pallas_deconv)
 
 
 def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
-                                   interpret=False, spatial_ndim=1):
+                                   interpret=False, spatial_ndim=1,
+                                   h_side="pallas"):
     """Deconv updaters with the fused Pallas contractions
     (:mod:`.pallas_deconv`): the XLA streaming recon feeds
     :func:`~.pallas_deconv.wgrad` / :func:`~.pallas_deconv.hgrad`, so the
@@ -715,10 +716,16 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     offered as the measured ``"pallas"`` autotune candidate — never a
     static default.  β≠1 calls each kernel once per cotangent (the dual
     in-kernel variant loses its VMEM budget to worse C tiling).
+
+    ``h_side="stream"`` is the *hybrid* (``"pallas_w"``) mode: the
+    W-side contraction keeps the fused kernel, the H side runs the
+    streamed XLA fold — for shapes where the hgrad accumulator is
+    VMEM-gated out but the W-side win still applies.
     """
     from .pallas_deconv import (
         deconv_pallas_nd_supported,
         deconv_pallas_supported,
+        deconv_pallas_w_supported,
         hgrad,
         wgrad,
     )
@@ -729,10 +736,18 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     def _dims(V_shape, H_shape):
         """(kernel, geom, T_geo, nkr) for this problem; raises on
         unsupported shapes (the autotuner's try/except absorbs it)."""
-        ok = (
+        full_ok = (
             deconv_pallas_supported(V_shape, H_shape, None) if nd == 1
             else deconv_pallas_nd_supported(V_shape, H_shape, None)
         )
+        if h_side == "stream":
+            # hybrid applies exactly where the full fused mode is gated
+            # out (otherwise it is a redundant timing candidate)
+            ok = (not full_ok) and deconv_pallas_w_supported(
+                V_shape, H_shape, None
+            )
+        else:
+            ok = full_ok
         if not ok or len(V_shape) != nd + 2:
             raise ValueError(
                 "pallas deconv engine: unsupported shape "
@@ -794,6 +809,18 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     def upd_H(V, w, H):
         kernel, geom, _, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
+        if h_side == "stream":
+            # hybrid mode: streamed XLA fold (identical contraction, no
+            # VMEM-resident flat output)
+            need_pos = beta != 1
+            neg, pos = _stream_contractions_h(
+                _v2_flat(V), _w3(w, R), H, kernel, beta, need_pos
+            )
+            neg = jax.nn.relu(neg) + eps
+            pos = (
+                jax.nn.relu(pos) + eps if need_pos else _pos_h_flat(w, R)
+            )
+            return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
         L_flat = _flat_geom(V.shape, H.shape)[3]
         neg_cot, pos_cot = _cots(V, w, H)
         W2f = w
@@ -1000,6 +1027,32 @@ def nmf3d_pallas_interpret_factory(beta, gamma, l1_reg, l2_reg):
     """NMF3D fused kernels through the Pallas interpreter (CPU tests)."""
     return _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
                                           interpret=True, spatial_ndim=3)
+
+
+def _make_pallas_w_factory(spatial_ndim: int, interpret: bool):
+    def factory(beta, gamma, l1_reg, l2_reg):
+        return _deconv_pallas_updater_factory(
+            beta, gamma, l1_reg, l2_reg, interpret=interpret,
+            spatial_ndim=spatial_ndim, h_side="stream",
+        )
+    factory.__name__ = (
+        f"deconv{spatial_ndim}d_pallas_w"
+        f"{'_interpret' if interpret else ''}_factory"
+    )
+    factory.__qualname__ = factory.__name__
+    factory.__doc__ = (
+        "Hybrid fused-W/streamed-H deconv updaters "
+        f"({spatial_ndim}-D{', interpreter' if interpret else ''})."
+    )
+    return factory
+
+
+_PALLAS_W_FACTORIES = {
+    nd: _make_pallas_w_factory(nd, False) for nd in (1, 2, 3)
+}
+_PALLAS_W_INTERPRET_FACTORIES = {
+    nd: _make_pallas_w_factory(nd, True) for nd in (1, 2, 3)
+}
 
 
 def nmf2d_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):

@@ -55,7 +55,7 @@ from .pallas_mu import _interpret_mode, pallas_supported  # noqa: F401
 
 __all__ = [
     "hgrad", "wgrad", "deconv_pallas_supported",
-    "deconv_pallas_nd_supported", "nd_geom",
+    "deconv_pallas_nd_supported", "deconv_pallas_w_supported", "nd_geom",
 ]
 
 
@@ -114,18 +114,35 @@ def _flat_T(geom) -> int:
     return sum((k - 1) * s for k, s in zip(kdims, strides)) + 1
 
 
+def _hgrad_scoped_bytes(T_geo: int, L_in: int, R: int) -> int:
+    """The hgrad kernel's scoped-VMEM residents: cotangent window,
+    TWO copies of the (R, Lw) accumulator (the accumulate's temp
+    counts), double-buffered W2 blocks.  Calibrated against a measured
+    17.01M OOM at C=256/R=64/flat-15488."""
+    lw = _ceil_to(L_in, 128)
+    rows = T_geo + lw
+    return 4 * (rows * 128 + 2 * R * lw + 2 * _ND_TK * R * 128)
+
+
 def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
     """Shape gate for the fused deconv kernels: 1-D, single batch, f32,
-    and a length axis long enough that the 128-lane output padding is
-    noise.  Everything else keeps the XLA engines (the autotuner never
-    offers the candidate)."""
+    a length axis long enough that the 128-lane output padding is noise,
+    and the hgrad residents under the Mosaic scoped-vmem stack (very
+    long sequences would otherwise OOM the in-VMEM output accumulator).
+    Everything else keeps the XLA engines (the autotuner never offers
+    the candidate)."""
     if not pallas_supported():
         return False
     if len(V_shape) != 3 or int(V_shape[0]) != 1:
         return False
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
-    return int(H_shape[2]) >= 256
+    L_in = int(H_shape[2])
+    if L_in < 256:
+        return False
+    T = int(V_shape[2]) - L_in + 1
+    R = int(H_shape[1])
+    return _hgrad_scoped_bytes(T, L_in, R) <= _ND_HGRAD_SCOPED_BYTES
 
 
 # Mosaic's scoped-vmem stack is 16 MB; the hgrad kernel's residents are
@@ -162,9 +179,51 @@ def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
         return False
     R = int(H_shape[1])
     geom = nd_geom(kernel, (s_in[0],) + s_pad)
-    lw = _ceil_to(l_in, 128)
-    rows = _flat_T(geom) + lw
-    scoped = 4 * (rows * 128 + 2 * R * lw + 2 * _ND_TK * R * 128)
+    scoped = _hgrad_scoped_bytes(_flat_T(geom), l_in, R)
+    return scoped <= _ND_HGRAD_SCOPED_BYTES
+
+
+def _base_gate(V_shape, H_shape, dtype) -> int:
+    """Common N=1/f32/length gate; returns the flat activation length
+    (0 when unsupported)."""
+    if not pallas_supported():
+        return 0
+    nd = len(V_shape) - 2
+    if nd not in (1, 2, 3) or int(V_shape[0]) != 1:
+        return 0
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return 0
+    l_in = int(H_shape[2])
+    for s in V_shape[3:]:
+        l_in *= int(s)
+    return l_in if l_in >= 256 else 0
+
+
+def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
+    """Gate for the *hybrid* mode (fused wgrad + streamed XLA fold):
+    applies where the full fused mode is VMEM-gated out by the hgrad
+    accumulator — the wgrad kernel holds only the (rows, R) activation
+    resident plus streamed cotangent blocks, so its bound is far
+    higher.  Offered as the ``"pallas_w"`` autotune candidate exactly
+    when the full mode is not."""
+    l_in = _base_gate(V_shape, H_shape, dtype)
+    if not l_in:
+        return False
+    nd = len(V_shape) - 2
+    kernel = tuple(
+        int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:])
+    )
+    if nd == 1:
+        T_geo = kernel[0]
+    else:
+        s_pad = (int(H_shape[2]),) + tuple(int(s) for s in V_shape[3:])
+        T_geo = _flat_T(nd_geom(kernel, s_pad))
+    R = int(H_shape[1])
+    lp = l_in + T_geo - 1
+    rows = _ceil_to(lp, 1024) + T_geo
+    # hp resident + double-buffered cot blocks (Lc=1024 × Cc≤512) +
+    # double-buffered outs
+    scoped = 4 * (rows * R + 2 * 1024 * 512 + 2 * _ND_TK * R * 512)
     return scoped <= _ND_HGRAD_SCOPED_BYTES
 
 

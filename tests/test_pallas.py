@@ -437,6 +437,48 @@ def test_deconv_nd_kernels_match_direct(Y_in, X_in, ky, kx, Tk):
     )
 
 
+@pytest.mark.parametrize("beta", [1.0, 2.0])
+def test_deconv_pallas_w_hybrid_matches_unfold(beta):
+    """The hybrid ``"pallas_w"`` mode (fused wgrad + streamed XLA fold)
+    must track the unfold engine; its gate accepts exactly the shapes
+    the full fused mode rejects on the hgrad VMEM bound."""
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        _PALLAS_W_INTERPRET_FACTORIES,
+        nmf2d_unfold_updater_factory,
+    )
+    from pytorch_nmf_tpu.ops.mu import gamma_from_beta
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_w_supported,
+    )
+
+    def run_iters(factory, V, W, H, beta, n=3):
+        upd_W, upd_H, _, prepare, finish = factory(
+            beta, gamma_from_beta(beta), 0.0, 0.0
+        )
+        w, h = (W, H) if prepare is None else prepare(V, W, H)
+        for _ in range(n):
+            w = upd_W(V, w, h)
+            h = upd_H(V, w, h)
+        return finish(V, w, h)
+
+    N, C, R = 1, 10, 64
+    Y_in = X_in = 121
+    ky = kx = 8  # flat 121*128 = 15488: full-mode VMEM bound binds at R=64
+    Vs = (N, C, Y_in + ky - 1, X_in + kx - 1)
+    Hs = (N, R, Y_in, X_in)
+    assert not deconv_pallas_nd_supported(Vs, Hs, np.float32)
+    assert deconv_pallas_w_supported(Vs, Hs, np.float32)
+
+    V = jnp.asarray(RNG.rand(*Vs).astype("f") + 0.01)
+    W0 = jnp.asarray(RNG.rand(C, R, ky, kx).astype("f") + 0.1)
+    H0 = jnp.asarray(RNG.rand(*Hs).astype("f") + 0.1)
+    Wp, Hp = run_iters(_PALLAS_W_INTERPRET_FACTORIES[2], V, W0, H0, beta)
+    Wu, Hu = run_iters(nmf2d_unfold_updater_factory, V, W0, H0, beta)
+    assert float(jnp.abs(Wp - Wu).max() / jnp.abs(Wu).max()) < 5e-5
+    assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
 def test_nmf2d_pallas_engine_matches_unfold(beta):
     """NMF2D fits through the forced flat-offset fused engine
