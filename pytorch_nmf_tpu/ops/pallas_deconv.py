@@ -38,8 +38,14 @@ class as the conv-vs-unfold engines, selected by the measured autotuner
 (:mod:`.autotune`).
 
 Reference semantics anchored to torchnmf/nmf.py:779 (the conv
-formulation these contractions equal); single-device, ``N == 1``,
-spatial rank 1 only — other configs keep the XLA engines.
+formulation these contractions equal); single-device, ``N == 1``, f32.
+Spatial rank 2-3 runs through the *flat-offset* mode (:func:`nd_geom`):
+pad the activation's trailing spatial axes to the output widths,
+flatten row-major, and N-D full convolution becomes 1-D convolution at
+flat offsets ``τ = Σ d_ax · stride_ax`` — wrap-around reads land in the
+zero-pad columns, exactly.  Shapes whose hgrad residents exceed the
+Mosaic scoped-vmem stack fall to the hybrid ``"pallas_w"`` mode (fused
+wgrad + streamed XLA fold) or keep the XLA engines.
 """
 
 from __future__ import annotations
