@@ -781,26 +781,52 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         )
         return mu_cotangents(V2, WH2, beta)
 
+    def _batched(H_shape):
+        return nd == 1 and int(H_shape[0]) > 1
+
+    def _h_stacked(H, T_geo):
+        """Segment-stacked activation for the batched 1-D mode:
+        per-batch ``T-1`` leading zeros, flattened — the separators
+        absorb every cross-batch patch read exactly (the overrun past a
+        segment's real frames is at most ``T-2``)."""
+        H2b = jnp.moveaxis(H, 1, 2)  # (N, L_in, R)
+        H2b = jnp.pad(H2b, ((0, 0), (T_geo - 1, 0), (0, 0)))
+        return H2b.reshape(-1, H.shape[1])
+
     def upd_W(V, w, H):
         _, geom, T_geo, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
         neg_cot, pos_cot = _cots(V, w, H)
-        H2 = _h_flat_nd(H, _kernel_dims(V.shape, H.shape))
+        if _batched(H.shape):
+            # cot segments stride Lp = L_in + T - 1 — identical to the
+            # stacked activation's per-segment stride, so the flat patch
+            # relation P[l] = hp[l + (T-1) - τ] holds across segments
+            H2 = _h_stacked(H, T_geo)
+            lead = False
+            negf = neg_cot.reshape(-1, V.shape[1])
+            posf = None if pos_cot is None \
+                else pos_cot.reshape(-1, V.shape[1])
+        else:
+            H2 = _h_flat_nd(H, _kernel_dims(V.shape, H.shape))
+            lead = True
+            negf = neg_cot[0]
+            posf = None if pos_cot is None else pos_cot[0]
         if beta == 1 and gamma == 1.0 and l1_reg == 0.0 and l2_reg == 0.0:
             # fully-fused KL update: the kernel's epilogue applies the MU
             # multiply in VMEM, skipping the numerator's HBM round trip
             return wgrad(
-                [neg_cot[0]], H2, R, Tk, T_geo, interpret=interpret,
+                [negf], H2, R, Tk, T_geo, interpret=interpret,
                 mu_w2=w, mu_pos=kl_pos_W(H).reshape(-1), geom=geom,
+                lead_pad=lead,
             )[0]
-        neg = wgrad([neg_cot[0]], H2, R, Tk, T_geo, interpret=interpret,
-                    geom=geom)[0]
+        neg = wgrad([negf], H2, R, Tk, T_geo, interpret=interpret,
+                    geom=geom, lead_pad=lead)[0]
         neg = jax.nn.relu(neg) + eps
         if beta == 1:
             pos = _tiled_kl_pos_w(H, w)
         else:
-            pos = wgrad([pos_cot[0]], H2, R, Tk, T_geo,
-                        interpret=interpret, geom=geom)[0]
+            pos = wgrad([posf], H2, R, Tk, T_geo,
+                        interpret=interpret, geom=geom, lead_pad=lead)[0]
             pos = jax.nn.relu(pos) + eps
         # τ-padded kernel rows are exactly zero and stay zero through the
         # multiplicative update (0 × finite multiplier)
@@ -821,9 +847,31 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
                 jax.nn.relu(pos) + eps if need_pos else _pos_h_flat(w, R)
             )
             return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
-        L_flat = _flat_geom(V.shape, H.shape)[3]
         neg_cot, pos_cot = _cots(V, w, H)
         W2f = w
+        if _batched(H.shape):
+            # stacked mode: hgrad over all N·Lp flat positions at once;
+            # each segment's trailing T-1 garbage columns (reads past the
+            # segment's real cotangent) are cropped below
+            N, _, L_in = H.shape
+            Lp_b = L_in + kernel[0] - 1
+
+            def h_contract(cot):
+                out = hgrad(
+                    cot.reshape(-1, V.shape[1]), W2f, R, Tk, N * Lp_b,
+                    interpret=interpret, geom=geom,
+                )
+                return jnp.moveaxis(
+                    out.reshape(R, N, Lp_b)[:, :, :L_in], 1, 0
+                )
+
+            neg = jax.nn.relu(h_contract(neg_cot)) + eps
+            if beta == 1:
+                pos = _pos_h_flat(w, R)
+            else:
+                pos = jax.nn.relu(h_contract(pos_cot)) + eps
+            return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
+        L_flat = _flat_geom(V.shape, H.shape)[3]
         neg = _h_unflat_nd(
             hgrad(neg_cot[0], W2f, R, Tk, L_flat, interpret=interpret,
                   geom=geom),

@@ -131,24 +131,29 @@ def _hgrad_scoped_bytes(T_geo: int, L_in: int, R: int) -> int:
 
 
 def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
-    """Shape gate for the fused deconv kernels: 1-D, single batch, f32,
-    a length axis long enough that the 128-lane output padding is noise,
-    and the hgrad residents under the Mosaic scoped-vmem stack (very
-    long sequences would otherwise OOM the in-VMEM output accumulator).
-    Everything else keeps the XLA engines (the autotuner never offers
-    the candidate)."""
+    """Shape gate for the fused deconv kernels: 1-D, f32, a length axis
+    long enough that the 128-lane output padding is noise, and the hgrad
+    residents under the Mosaic scoped-vmem stack (very long sequences
+    would otherwise OOM the in-VMEM output accumulator).  ``N > 1``
+    batches run the *segment-stacked* mode — per-batch T-1 zero
+    separators on the flattened length axis absorb cross-batch reads
+    exactly, so the kernels see one long sequence.  Everything else
+    keeps the XLA engines (the autotuner never offers the candidate)."""
     if not pallas_supported():
         return False
-    if len(V_shape) != 3 or int(V_shape[0]) != 1:
+    if len(V_shape) != 3:
         return False
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
+    N = int(V_shape[0])
     L_in = int(H_shape[2])
-    if L_in < 256:
+    if N * L_in < 256:
         return False
     T = int(V_shape[2]) - L_in + 1
     R = int(H_shape[1])
-    return _hgrad_scoped_bytes(T, L_in, R) <= _ND_HGRAD_SCOPED_BYTES
+    # N > 1: hgrad runs over the stacked N·(L_in + T - 1) flat positions
+    L_h = L_in if N == 1 else N * (L_in + T - 1)
+    return _hgrad_scoped_bytes(T, L_h, R) <= _ND_HGRAD_SCOPED_BYTES
 
 
 # Mosaic's scoped-vmem stack is 16 MB; the hgrad kernel's residents are

@@ -437,6 +437,40 @@ def test_deconv_nd_kernels_match_direct(Y_in, X_in, ky, kx, Tk):
     )
 
 
+@pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+def test_nmfd_pallas_batched_matches_unfold(beta):
+    """N > 1 NMFD through the segment-stacked fused engine must track
+    the unfold trajectories — per-batch T-1 zero separators on the flat
+    axis absorb every cross-batch patch/fold read exactly."""
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        nmfd_pallas_interpret_factory,
+        nmfd_unfold_updater_factory,
+    )
+    from pytorch_nmf_tpu.ops.mu import gamma_from_beta
+    from pytorch_nmf_tpu.ops.pallas_deconv import deconv_pallas_supported
+
+    def run_iters(factory, V, W, H, beta, n=4):
+        upd_W, upd_H, _, prepare, finish = factory(
+            beta, gamma_from_beta(beta), 0.0, 0.0
+        )
+        w, h = (W, H) if prepare is None else prepare(V, W, H)
+        for _ in range(n):
+            w = upd_W(V, w, h)
+            h = upd_H(V, w, h)
+        return finish(V, w, h)
+
+    N, C, R, T, L_in = 3, 11, 6, 9, 120  # N·L_in = 360 clears the gate
+    Vs = (N, C, L_in + T - 1)
+    assert deconv_pallas_supported(Vs, (N, R, L_in), np.float32)
+    V = jnp.asarray(RNG.rand(*Vs).astype("f") + 0.01)
+    W0 = jnp.asarray(RNG.rand(C, R, T).astype("f") + 0.1)
+    H0 = jnp.asarray(RNG.rand(N, R, L_in).astype("f") + 0.1)
+    Wp, Hp = run_iters(nmfd_pallas_interpret_factory, V, W0, H0, beta)
+    Wu, Hu = run_iters(nmfd_unfold_updater_factory, V, W0, H0, beta)
+    assert float(jnp.abs(Wp - Wu).max()) < 1e-4
+    assert float(jnp.abs(Hp - Hu).max()) < 1e-4
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0])
 def test_deconv_pallas_w_hybrid_matches_unfold(beta):
     """The hybrid ``"pallas_w"`` mode (fused wgrad + streamed XLA fold)
