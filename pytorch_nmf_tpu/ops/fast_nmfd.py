@@ -782,30 +782,46 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         return mu_cotangents(V2, WH2, beta)
 
     def _batched(H_shape):
-        return nd == 1 and int(H_shape[0]) > 1
+        return int(H_shape[0]) > 1
 
-    def _h_stacked(H, T_geo):
-        """Segment-stacked activation for the batched 1-D mode:
-        per-batch ``T-1`` leading zeros, flattened — the separators
-        absorb every cross-batch patch read exactly (the overrun past a
-        segment's real frames is at most ``T-2``)."""
-        H2b = jnp.moveaxis(H, 1, 2)  # (N, L_in, R)
-        H2b = jnp.pad(H2b, ((0, 0), (T_geo - 1, 0), (0, 0)))
-        return H2b.reshape(-1, H.shape[1])
+    def _h_stacked(H, kernel, T_geo):
+        """Segment-stacked activation for the batched mode: per-batch
+        flat-offset layout (trailing axes padded to output widths) with
+        ``T_geo - 1`` leading zeros per segment — the separators absorb
+        every cross-batch patch read exactly (the overrun past a
+        segment's real frames is under ``T_geo - 1``)."""
+        H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
+        pads = (
+            ((0, 0), (0, 0))
+            + tuple((0, int(k) - 1) for k in kernel[1:])
+            + ((0, 0),)
+        )
+        flat = jnp.pad(H2, pads).reshape(H.shape[0], -1, H.shape[1])
+        flat = jnp.pad(flat, ((0, 0), (T_geo - 1, 0), (0, 0)))
+        return flat.reshape(-1, H.shape[1])
+
+    def _cot_stacked(cot, seg_stride):
+        """(N, Lp_flat, C) → (N·seg_stride, C): zero-pad each segment to
+        the stacked activation's stride (the pad is 0 in 1-D; kx-1 rows
+        in 2-D, …) so the flat patch relation holds across segments."""
+        N, Lp_flat, C_ = cot.shape
+        cotp = jnp.pad(cot, ((0, 0), (0, seg_stride - Lp_flat), (0, 0)))
+        return cotp.reshape(-1, C_)
 
     def upd_W(V, w, H):
-        _, geom, T_geo, _ = _dims(V.shape, H.shape)
+        kernel, geom, T_geo, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
         neg_cot, pos_cot = _cots(V, w, H)
         if _batched(H.shape):
-            # cot segments stride Lp = L_in + T - 1 — identical to the
-            # stacked activation's per-segment stride, so the flat patch
-            # relation P[l] = hp[l + (T-1) - τ] holds across segments
-            H2 = _h_stacked(H, T_geo)
+            # cot segments are padded to the stacked activation's stride
+            # (T_geo - 1 + L_in_flat), so the flat patch relation
+            # P[l] = hp[l + (T_geo-1) - τ] holds across segments
+            seg = T_geo - 1 + _flat_geom(V.shape, H.shape)[3]
+            H2 = _h_stacked(H, kernel, T_geo)
             lead = False
-            negf = neg_cot.reshape(-1, V.shape[1])
+            negf = _cot_stacked(neg_cot, seg)
             posf = None if pos_cot is None \
-                else pos_cot.reshape(-1, V.shape[1])
+                else _cot_stacked(pos_cot, seg)
         else:
             H2 = _h_flat_nd(H, _kernel_dims(V.shape, H.shape))
             lead = True
@@ -833,7 +849,7 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
 
     def upd_H(V, w, H):
-        kernel, geom, _, _ = _dims(V.shape, H.shape)
+        kernel, geom, T_geo, _ = _dims(V.shape, H.shape)
         R = H.shape[1]
         if h_side == "stream":
             # hybrid mode: streamed XLA fold (identical contraction, no
@@ -850,20 +866,22 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         neg_cot, pos_cot = _cots(V, w, H)
         W2f = w
         if _batched(H.shape):
-            # stacked mode: hgrad over all N·Lp flat positions at once;
-            # each segment's trailing T-1 garbage columns (reads past the
-            # segment's real cotangent) are cropped below
-            N, _, L_in = H.shape
-            Lp_b = L_in + kernel[0] - 1
+            # stacked mode: hgrad over all N segments at once; each
+            # segment's trailing garbage columns (reads past its real
+            # cotangent) are cropped below
+            N = H.shape[0]
+            L_in_flat = _flat_geom(V.shape, H.shape)[3]
+            seg = T_geo - 1 + L_in_flat
 
             def h_contract(cot):
                 out = hgrad(
-                    cot.reshape(-1, V.shape[1]), W2f, R, Tk, N * Lp_b,
+                    _cot_stacked(cot, seg), W2f, R, Tk, N * seg,
                     interpret=interpret, geom=geom,
                 )
-                return jnp.moveaxis(
-                    out.reshape(R, N, Lp_b)[:, :, :L_in], 1, 0
-                )
+                segs = jnp.moveaxis(
+                    out.reshape(R, N, seg)[:, :, :L_in_flat], 1, 0
+                )  # (N, R, L_in_flat)
+                return _h_unflat_batched(segs, H.shape, kernel)
 
             neg = jax.nn.relu(h_contract(neg_cot)) + eps
             if beta == 1:
@@ -960,6 +978,23 @@ def _h_unflat_nd(out, H_shape, kernel):
         if d > 0:
             full = lax.slice_in_dim(full, 0, int(s), axis=1 + d)
     return full[None]
+
+
+def _h_unflat_batched(segs, H_shape, kernel):
+    """``(N, R, L_in_flat)`` → ``(N, R, *S_in)``: per-batch undo of the
+    flat-offset layout (crop the trailing-axis pads)."""
+    if len(kernel) == 1:
+        return segs
+    N, R = int(H_shape[0]), int(H_shape[1])
+    s_pad = tuple(
+        int(s) + (0 if d == 0 else int(kernel[d]) - 1)
+        for d, s in enumerate(H_shape[2:])
+    )
+    full = segs.reshape((N, R) + s_pad)
+    for d, s in enumerate(H_shape[2:]):
+        if d > 0:
+            full = lax.slice_in_dim(full, 0, int(s), axis=2 + d)
+    return full
 
 
 def _make_pallas_unfold_deconv(interpret: bool):

@@ -130,6 +130,15 @@ def _hgrad_scoped_bytes(T_geo: int, L_in: int, R: int) -> int:
     return 4 * (rows * 128 + 2 * R * lw + 2 * _ND_TK * R * 128)
 
 
+def _wgrad_scoped_bytes(T_geo: int, Lp: int, R: int) -> int:
+    """The wgrad kernel's scoped-VMEM residents: the whole padded
+    activation (rows × R), double-buffered cotangent blocks (≤1024×512)
+    and double-buffered output blocks.  Only binds at large N·L·R
+    (batched stacking makes the activation resident grow with N)."""
+    rows = _ceil_to(Lp, 1024) + T_geo
+    return 4 * (rows * R + 2 * 1024 * 512 + 2 * _ND_TK * R * 512)
+
+
 def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
     """Shape gate for the fused deconv kernels: 1-D, f32, a length axis
     long enough that the 128-lane output padding is noise, and the hgrad
@@ -151,9 +160,14 @@ def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
         return False
     T = int(V_shape[2]) - L_in + 1
     R = int(H_shape[1])
-    # N > 1: hgrad runs over the stacked N·(L_in + T - 1) flat positions
+    # N > 1: both kernels run over the stacked N·(L_in + T - 1) flat
+    # positions; the wgrad activation resident grows with N too
     L_h = L_in if N == 1 else N * (L_in + T - 1)
-    return _hgrad_scoped_bytes(T, L_h, R) <= _ND_HGRAD_SCOPED_BYTES
+    Lp = N * (L_in + T - 1)
+    return (
+        _hgrad_scoped_bytes(T, L_h, R) <= _ND_HGRAD_SCOPED_BYTES
+        and _wgrad_scoped_bytes(T, Lp, R) <= _ND_HGRAD_SCOPED_BYTES
+    )
 
 
 # Mosaic's scoped-vmem stack is 16 MB; the hgrad kernel's residents are
@@ -167,17 +181,18 @@ _ND_TK = 16  # must match fast_nmfd._PALLAS_TK
 
 def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
     """Shape gate for the 2-D/3-D fused deconv kernels (flat-offset
-    mode): single batch, f32, flattened length ≥ 256, and the hgrad
-    kernel's total scoped VMEM (cotangent window + output accumulator +
-    W2 blocks) under the Mosaic 16 MB stack.  Bigger problems keep the
-    XLA unfold/conv engines."""
+    mode): f32, flattened length ≥ 256, and both kernels' total scoped
+    VMEM under the Mosaic 16 MB stack.  ``N > 1`` runs the
+    segment-stacked mode (per-batch separators on the flat axis).
+    Bigger problems keep the XLA unfold/conv engines."""
     if not pallas_supported():
         return False
     nd = len(V_shape) - 2
-    if nd not in (2, 3) or int(V_shape[0]) != 1:
+    if nd not in (2, 3):
         return False
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
+    N = int(V_shape[0])
     kernel = tuple(
         int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:])
     )
@@ -186,12 +201,17 @@ def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
     l_in = s_in[0]
     for s in s_pad:
         l_in *= s
-    if l_in < 256:
+    if N * l_in < 256:
         return False
     R = int(H_shape[1])
     geom = nd_geom(kernel, (s_in[0],) + s_pad)
-    scoped = _hgrad_scoped_bytes(_flat_T(geom), l_in, R)
-    return scoped <= _ND_HGRAD_SCOPED_BYTES
+    T_geo = _flat_T(geom)
+    l_h = l_in if N == 1 else N * (l_in + T_geo - 1)
+    lp = N * (l_in + T_geo - 1)
+    return (
+        _hgrad_scoped_bytes(T_geo, l_h, R) <= _ND_HGRAD_SCOPED_BYTES
+        and _wgrad_scoped_bytes(T_geo, lp, R) <= _ND_HGRAD_SCOPED_BYTES
+    )
 
 
 def _base_gate(V_shape, H_shape, dtype) -> int:

@@ -470,6 +470,27 @@ def test_nmfd_pallas_batched_matches_unfold(beta):
     assert float(jnp.abs(Wp - Wu).max()) < 1e-4
     assert float(jnp.abs(Hp - Hu).max()) < 1e-4
 
+    # 2-D batched: the cot segments carry kx-1 pad rows to match the
+    # stacked activation's stride
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        nmf2d_pallas_interpret_factory,
+        nmf2d_unfold_updater_factory,
+    )
+    from pytorch_nmf_tpu.ops.pallas_deconv import deconv_pallas_nd_supported
+
+    N, C, R = 2, 7, 5
+    Y_in, X_in, ky, kx = 12, 14, 3, 4
+    Vs2 = (N, C, Y_in + ky - 1, X_in + kx - 1)
+    Hs2 = (N, R, Y_in, X_in)
+    assert deconv_pallas_nd_supported(Vs2, Hs2, np.float32)
+    V2 = jnp.asarray(RNG.rand(*Vs2).astype("f") + 0.01)
+    W02 = jnp.asarray(RNG.rand(C, R, ky, kx).astype("f") + 0.1)
+    H02 = jnp.asarray(RNG.rand(*Hs2).astype("f") + 0.1)
+    Wp, Hp = run_iters(nmf2d_pallas_interpret_factory, V2, W02, H02, beta)
+    Wu, Hu = run_iters(nmf2d_unfold_updater_factory, V2, W02, H02, beta)
+    assert float(jnp.abs(Wp - Wu).max()) < 1e-4
+    assert float(jnp.abs(Hp - Hu).max()) < 1e-4
+
 
 @pytest.mark.parametrize("beta", [1.0, 2.0])
 def test_deconv_pallas_w_hybrid_matches_unfold(beta):
