@@ -804,7 +804,7 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         """(N, Lp_flat, C) → (N·seg_stride, C): zero-pad each segment to
         the stacked activation's stride (the pad is 0 in 1-D; kx-1 rows
         in 2-D, …) so the flat patch relation holds across segments."""
-        N, Lp_flat, C_ = cot.shape
+        Lp_flat, C_ = cot.shape[1:]
         cotp = jnp.pad(cot, ((0, 0), (0, seg_stride - Lp_flat), (0, 0)))
         return cotp.reshape(-1, C_)
 

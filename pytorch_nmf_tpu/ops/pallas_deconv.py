@@ -442,7 +442,6 @@ def wgrad(cots2, H2, R: int, Tk: int, T: int, interpret=None,
     assert not (mu_epilogue and len(cots2) != 1)
     n_cots = len(cots2)
     Lp, C = cots2[0].shape
-    L_in = H2.shape[0]
     K = T  # flat kernel rows; for N-D the row count is prod(kdims), not
     if geom is not None:  # the geometric flat extent T
         K = 1

@@ -294,7 +294,6 @@ def _get_sharded_deconv_fit(
         nkr = -(-T_ // Tk)
         kern = (T_,)
         pad1 = (False,)
-        need_pos = beta != 1
 
         def recon(w2f, hh):
             # no varying_axis tag: this mode's shard_map runs with
