@@ -402,12 +402,12 @@ def autotune_halo_mode(
     kernel = tuple(int(k) for k in kernel)
     lead_shapes = tuple(int(s) for s in lead_shapes)
 
-    if allow_pallas and len(kernel) == 1 and n_batch == 1 \
+    if allow_pallas and len(kernel) == 1 \
             and os.environ.get("PNT_NMFD_PALLAS", "") != "0":
         from .pallas_deconv import deconv_pallas_supported
 
-        v_proxy = (1, C, chunk + kernel[0] - 1)
-        h_proxy = (1, R, chunk)
+        v_proxy = (n_batch, C, chunk + kernel[0] - 1)
+        h_proxy = (n_batch, R, chunk)
         if deconv_pallas_supported(v_proxy, h_proxy, None):
             if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
                 return "pallas"

@@ -272,14 +272,21 @@ def _get_sharded_deconv_fit(
         return _w_from_w3(W3, kernel, R), Hp, n_iter
 
     def pallas_local_fit(V, W, Hp):
-        """Per-shard fused Mosaic contractions (1-D, local batch 1; the
-        measured ``"pallas"`` halo mode): same collectives as the stream
-        mode — one ``psum`` of the W numerators *before* the relu/eps
-        clamps (so the update equals the single-device trajectory), one
-        reverse ``ppermute`` (:func:`halo_adjoint`) for the activation
+        """Per-shard fused Mosaic contractions (1-D; the measured
+        ``"pallas"`` halo mode): same collectives as the stream mode —
+        one ``psum`` of the W numerators *before* the relu/eps clamps
+        (so the update equals the single-device trajectory), one reverse
+        ``ppermute`` (:func:`halo_adjoint`) for the activation
         cotangent's halo frames — with the per-shard patch/fold
         contractions running :mod:`pytorch_nmf_tpu.ops.pallas_deconv` in
-        VALID (halo'd) mode."""
+        VALID (halo'd) mode.
+
+        ``N > 1`` stacks the batches on the flat axis with the halo
+        frames as per-segment leads (stride ``chunk + T - 1`` on both
+        operands); the W-side cotangent segments carry ``T - 1``
+        trailing zero rows, the H-side ``T - 1`` leading ones — every
+        cross-segment patch read lands in a neighbor's halo/zero lead
+        (overrun provably < T - 1)."""
         from ..ops.fast_nmfd import _PALLAS_TK
         from ..ops.pallas_deconv import hgrad, wgrad
         from ..ops.pallas_mu import _interpret_mode
@@ -289,6 +296,7 @@ def _get_sharded_deconv_fit(
         C, R = int(W.shape[0]), int(W.shape[1])
         N = V.shape[0]
         chunk = int(V.shape[2])
+        seg = chunk + T_ - 1  # stacked per-batch stride (both operands)
         V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
         Tk = _PALLAS_TK
         nkr = -(-T_ // Tk)
@@ -312,15 +320,26 @@ def _get_sharded_deconv_fit(
         def one_iter(state):
             w2f, hp = state
             hh = left_halo(hp, halo, seq_axis)
-            H2h = jnp.moveaxis(hh[0], 0, 1)  # (chunk + T - 1, R)
+            # stacked halo'd activation: (N·(chunk+T-1), R); for N = 1
+            # this is exactly the single-batch layout
+            H2h = jnp.moveaxis(hh, 1, 2).reshape(-1, R)
 
             if update_W:
                 WH2 = recon(w2f, hh)
                 neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+
+                def w_stack(cot):
+                    # trailing T-1 zero rows equalize the cot segment
+                    # stride with the activation's; zero cot rows
+                    # contribute nothing to the contraction
+                    return jnp.pad(
+                        cot, ((0, 0), (0, T_ - 1), (0, 0))
+                    ).reshape(-1, C)
+
                 # psum the raw numerators BEFORE the clamps — elementwise
                 # identical to the stream mode's per-chunk psums
                 neg = lax.psum(
-                    wgrad([neg_cot[0]], H2h, R, Tk, T_,
+                    wgrad([w_stack(neg_cot)], H2h, R, Tk, T_,
                           interpret=interpret, lead_pad=False)[0],
                     seq_axis,
                 )
@@ -332,7 +351,7 @@ def _get_sharded_deconv_fit(
                     pos = jnp.tile(s, nkr * Tk)[:, None]
                 else:
                     pos = lax.psum(
-                        wgrad([pos_cot[0]], H2h, R, Tk, T_,
+                        wgrad([w_stack(pos_cot)], H2h, R, Tk, T_,
                               interpret=interpret, lead_pad=False)[0],
                         seq_axis,
                     )
@@ -346,9 +365,15 @@ def _get_sharded_deconv_fit(
                 neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
                 def h_contract(cot):
-                    cotpad = jnp.pad(cot[0], ((T_ - 1, 0), (0, 0)))
-                    out = hgrad(cotpad, w2f, R, Tk, chunk + T_ - 1,
-                                interpret=interpret)[None]
+                    # leading T-1 zero rows per segment: the fold reads
+                    # past a segment's real cotangent land in the NEXT
+                    # segment's lead zeros (overrun ≤ T-2)
+                    cotpad = jnp.pad(
+                        cot, ((0, 0), (T_ - 1, 0), (0, 0))
+                    ).reshape(-1, C)
+                    out = hgrad(cotpad, w2f, R, Tk, N * seg,
+                                interpret=interpret)
+                    out = jnp.moveaxis(out.reshape(R, N, seg), 1, 0)
                     return halo_adjoint(out, halo, seq_axis)
 
                 neg = jax.nn.relu(h_contract(neg_cot)) + eps

@@ -419,19 +419,20 @@ def test_halo_stream_matches_conv_formulation(beta):
 
 
 @needs_8
-@pytest.mark.parametrize("beta", [1, 2])
-def test_halo_pallas_matches_conv_formulation(beta):
+@pytest.mark.parametrize("beta, N", [(1, 1), (2, 1), (1, 2)])
+def test_halo_pallas_matches_conv_formulation(beta, N):
     """The fused Mosaic per-shard mode (``"pallas"``: VALID-mode wgrad /
     hgrad inside shard_map, psum'd numerators, reverse-ppermute halo
     adjoint) must match the conv/vjp formulation.  Forced via
     PNT_NMFD_PALLAS=1 with the interpreter; chunk=256 clears the
-    ``deconv_pallas_supported`` length gate."""
+    ``deconv_pallas_supported`` length gate.  ``N=2`` exercises the
+    segment-stacked batched mode (halo frames as per-segment leads)."""
     import os
 
     from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
 
     rng = np.random.RandomState(13)
-    N, C, R, T = 1, 12, 5, 6
+    C, R, T = 12, 5, 6
     L_out = 4 * 256  # chunk 256 over 4 devices
     V = rng.rand(N, C, L_out).astype("f") + 0.01
     W0 = rng.rand(C, R, T).astype("f") + 0.1
