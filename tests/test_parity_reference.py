@@ -438,6 +438,71 @@ def test_fuzz_parity_deconv_random_configs():
         assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
 
 
+def test_fuzz_parity_pallas_engines_random_configs():
+    """Randomized sweep of the forced fused-Mosaic engines (interpreter)
+    against the torch reference: 1-D (incl. batched segment stacking)
+    and 2-D (flat-offset mode), random shapes inside the support
+    gates."""
+    import os
+
+    from pytorch_nmf_tpu.nmf import NMF2D
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+    )
+
+    rng = np.random.RandomState(4242)
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    os.environ["PNT_PALLAS_INTERPRET"] = "1"
+    try:
+        for case in range(4):
+            N = int(rng.randint(1, 4))
+            C = int(rng.randint(4, 14))
+            T = int(rng.randint(2, 12))
+            R = int(rng.randint(2, 7))
+            L_in = int(-(-280 // N) + rng.randint(0, 30))
+            L_out = L_in + T - 1
+            beta = float(rng.choice([0.5, 1.0, 2.0]))
+            assert deconv_pallas_supported(
+                (N, C, L_out), (N, R, L_in), np.float32
+            )
+            V = rng.rand(N, C, L_out).astype("f") + 0.01
+            W0 = rng.rand(C, R, T).astype("f") + 0.1
+            H0 = rng.rand(N, R, L_in).astype("f") + 0.1
+            tm = torchnmf.nmf.NMFD(W=torch.tensor(W0), H=torch.tensor(H0))
+            tm.fit(torch.tensor(V), beta, 0, 5)
+            jm = NMFD(W=W0, H=H0)
+            jm.fit(V, beta, 0, 5)
+            ctx = (case, N, C, T, L_in, R, beta)
+            assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+            assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+
+        for case in range(3):
+            N = int(rng.randint(1, 3))
+            C = int(rng.randint(4, 10))
+            ky, kx = int(rng.randint(2, 5)), int(rng.randint(2, 6))
+            R = int(rng.randint(2, 6))
+            Y_in = int(rng.randint(10, 18))
+            X_in = int(-(-300 // (N * Y_in)) + kx + rng.randint(0, 8))
+            beta = float(rng.choice([1.0, 2.0]))
+            Vs = (N, C, Y_in + ky - 1, X_in + kx - 1)
+            Hs = (N, R, Y_in, X_in)
+            assert deconv_pallas_nd_supported(Vs, Hs, np.float32)
+            V = rng.rand(*Vs).astype("f") + 0.01
+            W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+            H0 = rng.rand(*Hs).astype("f") + 0.1
+            tm = torchnmf.nmf.NMF2D(W=torch.tensor(W0), H=torch.tensor(H0))
+            tm.fit(torch.tensor(V), beta, 0, 5)
+            jm = NMF2D(W=W0, H=H0)
+            jm.fit(V, beta, 0, 5)
+            ctx = (case, N, C, ky, kx, Y_in, X_in, R, beta)
+            assert _maxdiff(tm.W, jm.W.data) < 2e-5, ctx
+            assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+        os.environ.pop("PNT_PALLAS_INTERPRET", None)
+
+
 @pytest.mark.parametrize("beta, alpha, l1_ratio",
                          [(1, 0.0, 0.0), (1, 0.2, 0.3), (0.5, 0.0, 0.0),
                           (2, 0.1, 1.0)])
