@@ -402,13 +402,25 @@ def autotune_halo_mode(
     kernel = tuple(int(k) for k in kernel)
     lead_shapes = tuple(int(s) for s in lead_shapes)
 
-    if allow_pallas and len(kernel) == 1 \
+    nd_k = len(kernel)
+    if allow_pallas and nd_k in (1, 2, 3) \
+            and (nd_k == 1 or n_batch == 1) \
             and os.environ.get("PNT_NMFD_PALLAS", "") != "0":
-        from .pallas_deconv import deconv_pallas_supported
+        from .pallas_deconv import (
+            deconv_pallas_nd_supported,
+            deconv_pallas_supported,
+        )
 
-        v_proxy = (n_batch, C, chunk + kernel[0] - 1)
-        h_proxy = (n_batch, R, chunk)
-        if deconv_pallas_supported(v_proxy, h_proxy, None):
+        lead_out = tuple(
+            s + k - 1 for s, k in zip(lead_shapes, kernel[:-1])
+        )
+        v_proxy = (n_batch, C) + lead_out + (chunk + kernel[-1] - 1,)
+        h_proxy = (n_batch, R) + lead_shapes + (chunk,)
+        ok = (
+            deconv_pallas_supported(v_proxy, h_proxy, None) if nd_k == 1
+            else deconv_pallas_nd_supported(v_proxy, h_proxy, None)
+        )
+        if ok:
             if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
                 return "pallas"
             min_flops = float(
@@ -420,14 +432,18 @@ def autotune_halo_mode(
 
                 from . import recon as _recon
 
+                recon_nd = {
+                    1: _recon.deconv1d, 2: _recon.deconv2d,
+                    3: _recon.deconv3d,
+                }[nd_k]
                 rng = np.random.RandomState(0)
                 Vp = jnp.asarray(rng.rand(*v_proxy).astype("f") + 0.01)
                 Wp = jnp.asarray(
-                    rng.rand(C, R, kernel[0]).astype("f") + 0.1
+                    rng.rand(*((C, R) + kernel)).astype("f") + 0.1
                 )
                 Hpp = jnp.asarray(rng.rand(*h_proxy).astype("f") + 0.1)
                 if autotune_winner(
-                    Vp, Wp, Hpp, beta, 1, _recon.deconv1d
+                    Vp, Wp, Hpp, beta, nd_k, recon_nd
                 ) == "pallas":
                     return "pallas"
 

@@ -398,9 +398,164 @@ def _get_sharded_deconv_fit(
 
         return _w_from_w2(W2f[: T_ * R], kern, R), Hp, n_iter
 
+    def pallas_nd_local_fit(V, W, Hp):
+        """2-D/3-D fused per-shard mode (local batch 1): the flat-offset
+        kernels with a VALID (halo'd) trailing axis.  Middle spatial
+        axes are padded to their *output* widths (trailing zeros) and
+        the global ``T_flat - 1`` lead comes from the kernels' own
+        ``lead_pad`` — the single-device flat-mode exactness argument
+        carries over verbatim, with the halo frames playing the role of
+        the trailing axis's padding (reads never wrap on the VALID
+        axis: ``x + kx-1-dx ≤ Xa - 1``).  Collectives are identical to
+        the 1-D mode: psum'd raw W numerators, reverse-ppermute halo
+        adjoint."""
+        from ..ops.fast_nmfd import _PALLAS_TK
+        from ..ops.pallas_deconv import _flat_T, hgrad, nd_geom, wgrad
+        from ..ops.pallas_mu import _interpret_mode
+
+        interpret = _interpret_mode()
+        kernel = tuple(int(k) for k in W.shape[2:])
+        kx = kernel[-1]
+        C, R = int(W.shape[0]), int(W.shape[1])
+        chunk = int(V.shape[-1])
+        lead_in = tuple(int(s) for s in Hp.shape[2:-1])
+        lead_out = tuple(
+            s + k - 1 for s, k in zip(lead_in, kernel[:-1])
+        )
+        Xa = chunk + kx - 1
+        geom = nd_geom(kernel, lead_out + (Xa,))
+        T_flat = _flat_T(geom)
+        K = _prod(kernel)
+        Tk = _PALLAS_TK
+        nkr = -(-K // Tk)
+        padv = (True,) * (nd - 1) + (False,)
+        V2 = jnp.moveaxis(V, 1, -1).reshape(1, -1, C)
+
+        def recon(w2f, hh):
+            return _stream_recon(
+                w2f.reshape(nkr, Tk * R, C), hh, kernel, padv,
+            )
+
+        # the VALID trailing axis contributes NO lead: the activation's
+        # global lead is Σ_{ax<last} (k_ax - 1)·stride_ax = T_flat - kx
+        lead_mid = T_flat - kx
+
+        def act_flat(hh):
+            # (1, R, *lead_in, Xa) → middle axes padded to output
+            # widths, row-major flat, with the middle-axis lead zeros
+            # prepended — the wgrad patch index l + T_flat-1 - τ then
+            # reads hh[y-dy, x + kx-1-dx] exactly (the x part of
+            # T_flat-1 - τ is kx-1-dx, resolved by the halo frames)
+            H2 = jnp.moveaxis(hh[0], 0, -1)  # (*lead_in, Xa, R)
+            pads = tuple(
+                (0, int(k) - 1) for k in kernel[:-1]
+            ) + ((0, 0), (0, 0))
+            flat = jnp.pad(H2, pads).reshape(-1, R)
+            return jnp.pad(flat, ((lead_mid, 0), (0, 0)))
+
+        def cot_flat_w(cot):
+            # W side: (prod(S_out_local), C) → x padded TRAILING to the
+            # activation's Xa stride (zero rows contribute nothing)
+            c = cot.reshape(lead_out + (chunk, C))
+            c = jnp.pad(
+                c, ((0, 0),) * (nd - 1) + ((0, kx - 1), (0, 0))
+            )
+            return c.reshape(-1, C)
+
+        def cot_flat_h(cot):
+            # H side: x padded LEADING by kx-1 — the fold index
+            # l' + τ then reads cot[y'+dy, x_h + dx - (kx-1)] exactly
+            # (no global lead: the middle axes fold without shift)
+            c = cot.reshape(lead_out + (chunk, C))
+            c = jnp.pad(
+                c, ((0, 0),) * (nd - 1) + ((kx - 1, 0), (0, 0))
+            )
+            return c.reshape(-1, C)
+
+        def loss_of(state):
+            w2f, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+            part = beta_div(recon(w2f, hh), V2, beta)
+            total = lax.psum(part, seq_axis) - loss_offset
+            return jnp.sqrt(2.0 * jnp.maximum(total, 0.0))
+
+        def one_iter(state):
+            w2f, hp = state
+            hh = left_halo(hp, halo, seq_axis)
+            H2h = act_flat(hh)
+
+            if update_W:
+                WH2 = recon(w2f, hh)
+                neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+                neg = lax.psum(
+                    wgrad([cot_flat_w(neg_cot[0])], H2h, R, Tk, T_flat,
+                          interpret=interpret, geom=geom,
+                          lead_pad=False)[0],
+                    seq_axis,
+                )
+                neg = jax.nn.relu(neg) + eps
+                if beta == 1:
+                    s = lax.psum(
+                        jnp.sum(hp, axis=tuple(
+                            d for d in range(hp.ndim) if d != 1
+                        )),
+                        seq_axis,
+                    )  # (R,)
+                    pos = jnp.tile(s, nkr * Tk)[:, None]
+                else:
+                    pos = lax.psum(
+                        wgrad([cot_flat_w(pos_cot[0])], H2h, R, Tk,
+                              T_flat, interpret=interpret, geom=geom,
+                              lead_pad=False)[0],
+                        seq_axis,
+                    )
+                    pos = jax.nn.relu(pos) + eps
+                w2f = w2f * mu_multiplier(
+                    neg, pos, w2f, gamma, l1_reg, l2_reg
+                )
+
+            if update_H:
+                WH2 = recon(w2f, hh)
+                neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
+
+                def h_contract(cot):
+                    out = hgrad(
+                        cot_flat_h(cot[0]), w2f, R, Tk,
+                        _prod(lead_out) * Xa,
+                        interpret=interpret, geom=geom,
+                    )
+                    full = out.reshape((R,) + lead_out + (Xa,))
+                    for d, s in enumerate(lead_in):
+                        full = lax.slice_in_dim(
+                            full, 0, s, axis=1 + d
+                        )
+                    return halo_adjoint(full[None], halo, seq_axis)
+
+                neg = jax.nn.relu(h_contract(neg_cot)) + eps
+                if beta == 1:
+                    s2 = jnp.sum(w2f.reshape(-1, R, C), axis=(0, 2))
+                    pos = s2.reshape((1, R) + (1,) * nd)
+                else:
+                    pos = jax.nn.relu(h_contract(pos_cot)) + eps
+                hp = hp * mu_multiplier(
+                    neg, pos, hp, gamma, l1_reg, l2_reg
+                )
+            return w2f, hp
+
+        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
+        (W2f, Hp), k, converged, _ = _converging_loop(
+            one_iter, loss_of, (W2f, Hp), tol, max_iter, False
+        )
+        n_iter = jnp.where(converged, k * 10, max_iter)
+        from ..ops.fast_nmfd import _w_from_w2
+
+        return _w_from_w2(W2f[: K * R], kernel, R), Hp, n_iter
+
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
         if mode == "pallas":
+            if nd >= 2:
+                return pallas_nd_local_fit(V, W, Hp)
             return pallas_local_fit(V, W, Hp)
         if mode == "stream":
             return stream_local_fit(V, W, Hp)

@@ -464,6 +464,56 @@ def test_halo_pallas_matches_conv_formulation(beta, N):
 
 
 @needs_8
+@pytest.mark.parametrize("nd", [2, 3])
+def test_halo_pallas_nd_matches_conv_formulation(nd):
+    """The 2-D/3-D fused per-shard halo mode (flat-offset kernels with a
+    VALID trailing axis: middle axes padded to output widths, the
+    activation's middle-axis lead prepended manually, W-side cot padded
+    trailing / H-side leading on x) must match the conv/vjp
+    formulation."""
+    import os
+
+    from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit, sharded_nmf3d_fit
+
+    rng = np.random.RandomState(17)
+    mesh = make_mesh({"seq": 4})
+    if nd == 2:
+        N, C, R, Y_in, ky, kx = 1, 8, 5, 10, 3, 4
+        L = 4 * 128
+        V = rng.rand(N, C, Y_in + ky - 1, L).astype("f") + 0.01
+        W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(N, R, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf2d_fit
+    else:
+        N, C, R, Z_in, Y_in, kz, ky, kx = 1, 5, 4, 4, 6, 2, 3, 3
+        L = 4 * 32
+        V = rng.rand(
+            N, C, Z_in + kz - 1, Y_in + ky - 1, L
+        ).astype("f") + 0.01
+        W0 = rng.rand(C, R, kz, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(N, R, Z_in, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf3d_fit
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    os.environ["PNT_PALLAS_INTERPRET"] = "1"
+    try:
+        Wp, Hp, np_ = fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=8)
+    finally:
+        del os.environ["PNT_NMFD_PALLAS"]
+        del os.environ["PNT_PALLAS_INTERPRET"]
+    os.environ["PNT_NMFD_PALLAS"] = "0"
+    os.environ["PNT_NMFD_AUTOTUNE"] = "0"
+    try:
+        Wc, Hc, nc = fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=8)
+    finally:
+        del os.environ["PNT_NMFD_PALLAS"]
+        del os.environ["PNT_NMFD_AUTOTUNE"]
+    assert int(np_) == int(nc)
+    assert float(jnp.abs(Wp - Wc).max()) < 1e-5
+    assert float(jnp.abs(Hp - Hc).max()) < 1e-5
+
+
+@needs_8
 @pytest.mark.parametrize("beta", [0.5, 1, 2])
 def test_sharded_sparse_matches_single_device_ell(beta):
     """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
