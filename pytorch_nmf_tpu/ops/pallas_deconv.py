@@ -215,19 +215,19 @@ def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
 
 
 def _base_gate(V_shape, H_shape, dtype) -> int:
-    """Common N=1/f32/length gate; returns the flat activation length
-    (0 when unsupported)."""
+    """Common f32/length gate; returns the flat activation length per
+    batch element (0 when unsupported)."""
     if not pallas_supported():
         return 0
     nd = len(V_shape) - 2
-    if nd not in (1, 2, 3) or int(V_shape[0]) != 1:
+    if nd not in (1, 2, 3):
         return 0
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return 0
     l_in = int(H_shape[2])
     for s in V_shape[3:]:
         l_in *= int(s)
-    return l_in if l_in >= 256 else 0
+    return l_in if int(V_shape[0]) * l_in >= 256 else 0
 
 
 def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
@@ -235,22 +235,26 @@ def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
     applies where the full fused mode is VMEM-gated out by the hgrad
     accumulator — the wgrad kernel holds only the (rows, R) activation
     resident plus streamed cotangent blocks, so its bound is far
-    higher.  Offered as the ``"pallas_w"`` autotune candidate exactly
-    when the full mode is not."""
+    higher.  ``N > 1`` runs the segment-stacked W side (the streamed
+    fold handles batches natively).  Offered as the ``"pallas_w"``
+    autotune candidate exactly when the full mode is not."""
     l_in = _base_gate(V_shape, H_shape, dtype)
     if not l_in:
         return False
     nd = len(V_shape) - 2
+    N = int(V_shape[0])
     kernel = tuple(
         int(v) - int(h) + 1 for v, h in zip(V_shape[2:], H_shape[2:])
     )
     if nd == 1:
         T_geo = kernel[0]
     else:
+        if N > 1:
+            return False  # batched N-D stacking not wired for hybrid
         s_pad = (int(H_shape[2]),) + tuple(int(s) for s in V_shape[3:])
         T_geo = _flat_T(nd_geom(kernel, s_pad))
     R = int(H_shape[1])
-    lp = l_in + T_geo - 1
+    lp = N * (l_in + T_geo - 1)
     rows = _ceil_to(lp, 1024) + T_geo
     # hp resident + double-buffered cot blocks (Lc=1024 × Cc≤512) +
     # double-buffered outs

@@ -533,6 +533,26 @@ def test_deconv_pallas_w_hybrid_matches_unfold(beta):
     assert float(jnp.abs(Wp - Wu).max() / jnp.abs(Wu).max()) < 5e-5
     assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
 
+    # batched 1-D hybrid: full mode rejected (stacked hgrad residents),
+    # W gate accepts — the stacked wgrad + native-batch fold band
+    from pytorch_nmf_tpu.ops.fast_nmfd import nmfd_unfold_updater_factory
+    from pytorch_nmf_tpu.ops.pallas_deconv import deconv_pallas_supported
+
+    N, C, R, T, L_in = 4, 6, 24, 10, 8000
+    Vs1 = (N, C, L_in + T - 1)
+    Hs1 = (N, R, L_in)
+    assert not deconv_pallas_supported(Vs1, Hs1, np.float32)
+    assert deconv_pallas_w_supported(Vs1, Hs1, np.float32)
+    V1 = jnp.asarray(RNG.rand(*Vs1).astype("f") + 0.01)
+    W01 = jnp.asarray(RNG.rand(C, R, T).astype("f") + 0.1)
+    H01 = jnp.asarray(RNG.rand(*Hs1).astype("f") + 0.1)
+    Wp, Hp = run_iters(_PALLAS_W_INTERPRET_FACTORIES[1], V1, W01, H01,
+                       beta, n=1)
+    Wu, Hu = run_iters(nmfd_unfold_updater_factory, V1, W01, H01, beta,
+                       n=1)
+    assert float(jnp.abs(Wp - Wu).max()) < 1e-4
+    assert float(jnp.abs(Hp - Hu).max()) < 1e-4
+
 
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
 def test_nmf2d_pallas_engine_matches_unfold(beta):
