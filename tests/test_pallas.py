@@ -437,6 +437,34 @@ def test_deconv_nd_kernels_match_direct(Y_in, X_in, ky, kx, Tk):
     )
 
 
+def test_forced_pallas_rejected_shape_raises_clearly():
+    """An explicit PNT_NMFD_PALLAS=1 force at a gate-rejected shape must
+    fail with the support-gate ValueError (the autotuned default absorbs
+    candidate failures instead)."""
+    from pytorch_nmf_tpu.nmf import NMFD
+    from pytorch_nmf_tpu.ops.pallas_deconv import deconv_pallas_supported
+
+    N, C, R, T, L_in = 1, 5, 3, 4, 60  # flat length < 256
+    Vs = (N, C, L_in + T - 1)
+    assert not deconv_pallas_supported(Vs, (N, R, L_in), np.float32)
+    V = RNG.rand(*Vs).astype("f") + 0.01
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_in).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = NMFD(W=W0, H=H0)
+        with pytest.raises(ValueError, match="pallas deconv engine"):
+            m.fit(V, 1, tol=0, max_iter=2)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+    # the autotuned default at the same shape fits fine (below the FLOP
+    # threshold it keeps the static engine without timing anything)
+    m2 = NMFD(W=W0, H=H0)
+    m2.fit(V, 1, tol=0, max_iter=2)
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
 def test_nmfd_pallas_batched_matches_unfold(beta):
     """N > 1 NMFD through the segment-stacked fused engine must track
