@@ -519,6 +519,28 @@ def test_nmfd_pallas_batched_matches_unfold(beta):
     assert float(jnp.abs(Wp - Wu).max()) < 1e-4
     assert float(jnp.abs(Hp - Hu).max()) < 1e-4
 
+    if beta == 1.0:
+        # 3-D batched (two trailing axes padded per segment)
+        from pytorch_nmf_tpu.ops.fast_nmfd import (
+            nmf3d_pallas_interpret_factory,
+            nmf3d_unfold_updater_factory,
+        )
+
+        N, C, R = 2, 5, 4
+        Z_in, Y_in3, X_in3, kz, ky3, kx3 = 4, 6, 8, 2, 3, 3
+        Vs3 = (N, C, Z_in + kz - 1, Y_in3 + ky3 - 1, X_in3 + kx3 - 1)
+        Hs3 = (N, R, Z_in, Y_in3, X_in3)
+        assert deconv_pallas_nd_supported(Vs3, Hs3, np.float32)
+        V3 = jnp.asarray(RNG.rand(*Vs3).astype("f") + 0.01)
+        W03 = jnp.asarray(RNG.rand(C, R, kz, ky3, kx3).astype("f") + 0.1)
+        H03 = jnp.asarray(RNG.rand(*Hs3).astype("f") + 0.1)
+        Wp, Hp = run_iters(nmf3d_pallas_interpret_factory, V3, W03, H03,
+                           beta)
+        Wu, Hu = run_iters(nmf3d_unfold_updater_factory, V3, W03, H03,
+                           beta)
+        assert float(jnp.abs(Wp - Wu).max()) < 1e-4
+        assert float(jnp.abs(Hp - Hu).max()) < 1e-4
+
 
 @pytest.mark.parametrize("beta", [1.0, 2.0])
 def test_deconv_pallas_w_hybrid_matches_unfold(beta):
