@@ -390,7 +390,7 @@ def autotune_halo_mode(
     and timing inside ``shard_map`` is never needed.  The
     ``"unrolled"``-vs-``"conv"`` decision is tuned directly (``"stream"``
     exists only where unrolled is impossible); the fused-kernel
-    ``"pallas"`` mode (1-D, local batch 1) is adopted when the
+    ``"pallas"`` mode (every rank, batched included) is adopted when the
     single-device engine autotune picks the Mosaic candidate for the
     equivalent local-shape problem (:func:`autotune_winner` — same
     update pair, same kernels, VALID-vs-full cost delta is the T-1 halo
@@ -404,7 +404,6 @@ def autotune_halo_mode(
 
     nd_k = len(kernel)
     if allow_pallas and nd_k in (1, 2, 3) \
-            and (nd_k == 1 or n_batch == 1) \
             and os.environ.get("PNT_NMFD_PALLAS", "") != "0":
         from .pallas_deconv import (
             deconv_pallas_nd_supported,
@@ -420,6 +419,18 @@ def autotune_halo_mode(
             deconv_pallas_supported(v_proxy, h_proxy, None) if nd_k == 1
             else deconv_pallas_nd_supported(v_proxy, h_proxy, None)
         )
+        if ok and nd_k > 1 and n_batch > 1:
+            # batched N-D halo stacking reuses each segment's own
+            # lead_mid zeros as the W-side separator — valid only when
+            # they cover the ≤ kx-1 cross-segment patch overrun
+            # (parallel/halo.py::pallas_nd_local_fit)
+            from .pallas_deconv import _flat_T, nd_geom
+
+            kx = kernel[-1]
+            T_flat = _flat_T(
+                nd_geom(kernel, lead_out + (chunk + kx - 1,))
+            )
+            ok = T_flat - kx >= kx - 1
         if ok:
             if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
                 return "pallas"

@@ -751,8 +751,8 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         if not ok or len(V_shape) != nd + 2:
             raise ValueError(
                 "pallas deconv engine: unsupported shape "
-                f"{V_shape}/{H_shape} (needs N=1, flat L_in >= 256, "
-                "VMEM-bounded window)"
+                f"{V_shape}/{H_shape} (needs f32, stacked flat length "
+                ">= 256, VMEM-bounded window)"
             )
         kernel, geom, T_geo, _ = _flat_geom(V_shape, H_shape)
         return kernel, geom, T_geo, -(-_prod(kernel) // Tk)
@@ -783,30 +783,6 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
 
     def _batched(H_shape):
         return int(H_shape[0]) > 1
-
-    def _h_stacked(H, kernel, T_geo):
-        """Segment-stacked activation for the batched mode: per-batch
-        flat-offset layout (trailing axes padded to output widths) with
-        ``T_geo - 1`` leading zeros per segment — the separators absorb
-        every cross-batch patch read exactly (the overrun past a
-        segment's real frames is under ``T_geo - 1``)."""
-        H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
-        pads = (
-            ((0, 0), (0, 0))
-            + tuple((0, int(k) - 1) for k in kernel[1:])
-            + ((0, 0),)
-        )
-        flat = jnp.pad(H2, pads).reshape(H.shape[0], -1, H.shape[1])
-        flat = jnp.pad(flat, ((0, 0), (T_geo - 1, 0), (0, 0)))
-        return flat.reshape(-1, H.shape[1])
-
-    def _cot_stacked(cot, seg_stride):
-        """(N, Lp_flat, C) → (N·seg_stride, C): zero-pad each segment to
-        the stacked activation's stride (the pad is 0 in 1-D; kx-1 rows
-        in 2-D, …) so the flat patch relation holds across segments."""
-        Lp_flat, C_ = cot.shape[1:]
-        cotp = jnp.pad(cot, ((0, 0), (0, seg_stride - Lp_flat), (0, 0)))
-        return cotp.reshape(-1, C_)
 
     def upd_W(V, w, H):
         kernel, geom, T_geo, _ = _dims(V.shape, H.shape)
@@ -997,6 +973,32 @@ def _h_unflat_batched(segs, H_shape, kernel):
     return full
 
 
+def _h_stacked(H, kernel, T_geo):
+    """Segment-stacked activation for the batched (N > 1) fused mode:
+    per-batch flat-offset layout (trailing axes padded to output widths)
+    with ``T_geo - 1`` leading zeros per segment — the separators absorb
+    every cross-batch patch read exactly (the overrun past a segment's
+    real frames is under ``T_geo - 1``)."""
+    H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
+    pads = (
+        ((0, 0), (0, 0))
+        + tuple((0, int(k) - 1) for k in kernel[1:])
+        + ((0, 0),)
+    )
+    flat = jnp.pad(H2, pads).reshape(H.shape[0], -1, H.shape[1])
+    flat = jnp.pad(flat, ((0, 0), (T_geo - 1, 0), (0, 0)))
+    return flat.reshape(-1, H.shape[1])
+
+
+def _cot_stacked(cot, seg_stride):
+    """(N, Lp_flat, C) → (N·seg_stride, C): zero-pad each segment to
+    the stacked activation's stride (the pad is 0 in 1-D; kx-1 rows
+    in 2-D, …) so the flat patch relation holds across segments."""
+    Lp_flat, C_ = cot.shape[1:]
+    cotp = jnp.pad(cot, ((0, 0), (0, seg_stride - Lp_flat), (0, 0)))
+    return cotp.reshape(-1, C_)
+
+
 def _make_pallas_unfold_deconv(interpret: bool):
     """``custom_vjp`` deconvolution whose adjoints run the fused Mosaic
     kernels: forward = the streaming patch GEMMs, ``dH`` =
@@ -1006,9 +1008,10 @@ def _make_pallas_unfold_deconv(interpret: bool):
     Differentiating a reconstruction is exactly what the PLCA/SIPLCA EM
     E-step and the Hoyer solver do (reference plca.py:252-253), so this
     hands them the MU engine's kernel speedup without touching their
-    solver code.  ``N == 1``, f32 only; 2-D/3-D run the flat-offset
-    kernel mode — callers gate via
-    :func:`~.pallas_deconv.deconv_pallas_supported` /
+    solver code.  f32 only; 2-D/3-D run the flat-offset kernel mode and
+    ``N > 1`` the segment-stacked mode (per-batch ``T_geo - 1`` zero
+    separators, identical to the updater factory's batched path) —
+    callers gate via :func:`~.pallas_deconv.deconv_pallas_supported` /
     ``deconv_pallas_nd_supported`` (the EM autotuner offers it as a
     measured candidate)."""
     from .pallas_deconv import hgrad, wgrad
@@ -1041,17 +1044,35 @@ def _make_pallas_unfold_deconv(interpret: bool):
     def bwd(res, ct):
         H, W = res
         C, R = W.shape[:2]
+        N = int(H.shape[0])
         kernel, geom, T_geo, L_flat = _flat_geom(ct.shape, H.shape)
         K = _prod(kernel)
-        ct2 = jnp.moveaxis(ct, 1, -1).reshape(-1, C)  # (Lp, C); N == 1
-        dH = _h_unflat_nd(
-            hgrad(ct2, _w2f(W), R, Tk, L_flat, interpret=interpret,
-                  geom=geom),
-            H.shape, kernel,
-        )
-        H2 = _h_flat_nd(H, kernel)
-        dW2 = wgrad([ct2], H2, R, Tk, T_geo, interpret=interpret,
-                    geom=geom)[0][: K * R]
+        if N == 1:
+            ct2 = jnp.moveaxis(ct, 1, -1).reshape(-1, C)  # (Lp, C)
+            dH = _h_unflat_nd(
+                hgrad(ct2, _w2f(W), R, Tk, L_flat, interpret=interpret,
+                      geom=geom),
+                H.shape, kernel,
+            )
+            H2 = _h_flat_nd(H, kernel)
+            dW2 = wgrad([ct2], H2, R, Tk, T_geo, interpret=interpret,
+                        geom=geom)[0][: K * R]
+        else:
+            # segment-stacked batched adjoints (per-batch T_geo-1 zero
+            # separators; each segment's trailing garbage cropped)
+            seg = T_geo - 1 + L_flat
+            ctf = _cot_stacked(
+                jnp.moveaxis(ct, 1, -1).reshape(N, -1, C), seg
+            )
+            out = hgrad(ctf, _w2f(W), R, Tk, N * seg,
+                        interpret=interpret, geom=geom)
+            segs = jnp.moveaxis(
+                out.reshape(R, N, seg)[:, :, :L_flat], 1, 0
+            )
+            dH = _h_unflat_batched(segs, H.shape, kernel)
+            H2 = _h_stacked(H, kernel, T_geo)
+            dW2 = wgrad([ctf], H2, R, Tk, T_geo, interpret=interpret,
+                        geom=geom, lead_pad=False)[0][: K * R]
         return dH, _w_from_w2(dW2, kernel, R)
 
     pallas_deconv.defvjp(fwd, bwd)

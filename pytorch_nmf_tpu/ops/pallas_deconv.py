@@ -236,8 +236,10 @@ def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
     accumulator — the wgrad kernel holds only the (rows, R) activation
     resident plus streamed cotangent blocks, so its bound is far
     higher.  ``N > 1`` runs the segment-stacked W side (the streamed
-    fold handles batches natively).  Offered as the ``"pallas_w"``
-    autotune candidate exactly when the full mode is not."""
+    fold handles batches natively; the stacked stride
+    ``T_geo - 1 + l_in`` is exactly the gate's per-batch ``lp`` term).
+    Offered as the ``"pallas_w"`` autotune candidate exactly when the
+    full mode is not."""
     l_in = _base_gate(V_shape, H_shape, dtype)
     if not l_in:
         return False
@@ -249,8 +251,6 @@ def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
     if nd == 1:
         T_geo = kernel[0]
     else:
-        if N > 1:
-            return False  # batched N-D stacking not wired for hybrid
         s_pad = (int(H_shape[2]),) + tuple(int(s) for s in V_shape[3:])
         T_geo = _flat_T(nd_geom(kernel, s_pad))
     R = int(H_shape[1])

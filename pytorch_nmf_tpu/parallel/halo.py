@@ -399,16 +399,25 @@ def _get_sharded_deconv_fit(
         return _w_from_w2(W2f[: T_ * R], kern, R), Hp, n_iter
 
     def pallas_nd_local_fit(V, W, Hp):
-        """2-D/3-D fused per-shard mode (local batch 1): the flat-offset
-        kernels with a VALID (halo'd) trailing axis.  Middle spatial
-        axes are padded to their *output* widths (trailing zeros) and
-        the global ``T_flat - 1`` lead comes from the kernels' own
-        ``lead_pad`` — the single-device flat-mode exactness argument
-        carries over verbatim, with the halo frames playing the role of
-        the trailing axis's padding (reads never wrap on the VALID
-        axis: ``x + kx-1-dx ≤ Xa - 1``).  Collectives are identical to
-        the 1-D mode: psum'd raw W numerators, reverse-ppermute halo
-        adjoint."""
+        """2-D/3-D fused per-shard mode: the flat-offset kernels with a
+        VALID (halo'd) trailing axis.  Middle spatial axes are padded to
+        their *output* widths (trailing zeros) and the global
+        ``T_flat - 1`` lead comes from the kernels' own ``lead_pad`` —
+        the single-device flat-mode exactness argument carries over
+        verbatim, with the halo frames playing the role of the trailing
+        axis's padding (reads never wrap on the VALID axis:
+        ``x + kx-1-dx ≤ Xa - 1``).  Collectives are identical to the
+        1-D mode: psum'd raw W numerators, reverse-ppermute halo
+        adjoint.
+
+        ``N > 1`` stacks the batches on the flat axis with NO extra
+        separators: on the W side each segment's own ``lead_mid``
+        zeros (the middle-axis lead it carries anyway) absorb the
+        ≤ ``kx - 1`` cross-segment patch overrun (the autotune gate
+        requires ``lead_mid ≥ kx - 1``); on the H side the per-row
+        ``kx - 1`` leading cotangent pads absorb the ≤ ``kx - 2``
+        overrun of every *used* (non-cropped) output row, and cropped
+        rows may read the next segment's real values harmlessly."""
         from ..ops.fast_nmfd import _PALLAS_TK
         from ..ops.pallas_deconv import _flat_T, hgrad, nd_geom, wgrad
         from ..ops.pallas_mu import _interpret_mode
@@ -417,6 +426,7 @@ def _get_sharded_deconv_fit(
         kernel = tuple(int(k) for k in W.shape[2:])
         kx = kernel[-1]
         C, R = int(W.shape[0]), int(W.shape[1])
+        N = int(V.shape[0])
         chunk = int(V.shape[-1])
         lead_in = tuple(int(s) for s in Hp.shape[2:-1])
         lead_out = tuple(
@@ -429,7 +439,7 @@ def _get_sharded_deconv_fit(
         Tk = _PALLAS_TK
         nkr = -(-K // Tk)
         padv = (True,) * (nd - 1) + (False,)
-        V2 = jnp.moveaxis(V, 1, -1).reshape(1, -1, C)
+        V2 = jnp.moveaxis(V, 1, -1).reshape(N, -1, C)
 
         def recon(w2f, hh):
             return _stream_recon(
@@ -439,36 +449,43 @@ def _get_sharded_deconv_fit(
         # the VALID trailing axis contributes NO lead: the activation's
         # global lead is Σ_{ax<last} (k_ax - 1)·stride_ax = T_flat - kx
         lead_mid = T_flat - kx
+        La = _prod(lead_out) * Xa  # per-segment flat activation length
 
         def act_flat(hh):
-            # (1, R, *lead_in, Xa) → middle axes padded to output
-            # widths, row-major flat, with the middle-axis lead zeros
-            # prepended — the wgrad patch index l + T_flat-1 - τ then
-            # reads hh[y-dy, x + kx-1-dx] exactly (the x part of
+            # (N, R, *lead_in, Xa) → per batch: middle axes padded to
+            # output widths, row-major flat, with the middle-axis lead
+            # zeros prepended (per segment: stride lead_mid + La) — the
+            # wgrad patch index l + T_flat-1 - τ then reads
+            # hh[y-dy, x + kx-1-dx] exactly (the x part of
             # T_flat-1 - τ is kx-1-dx, resolved by the halo frames)
-            H2 = jnp.moveaxis(hh[0], 0, -1)  # (*lead_in, Xa, R)
-            pads = tuple(
+            H2 = jnp.moveaxis(hh, 1, -1)  # (N, *lead_in, Xa, R)
+            pads = ((0, 0),) + tuple(
                 (0, int(k) - 1) for k in kernel[:-1]
             ) + ((0, 0), (0, 0))
-            flat = jnp.pad(H2, pads).reshape(-1, R)
-            return jnp.pad(flat, ((lead_mid, 0), (0, 0)))
+            flat = jnp.pad(H2, pads).reshape(N, -1, R)  # (N, La, R)
+            flat = jnp.pad(flat, ((0, 0), (lead_mid, 0), (0, 0)))
+            return flat.reshape(-1, R)
 
         def cot_flat_w(cot):
-            # W side: (prod(S_out_local), C) → x padded TRAILING to the
-            # activation's Xa stride (zero rows contribute nothing)
-            c = cot.reshape(lead_out + (chunk, C))
+            # W side: (N, prod(S_out_local), C) → x padded TRAILING to
+            # the activation's Xa stride (zero rows contribute
+            # nothing), then per-segment lead_mid trailing zeros to
+            # match the stacked activation's stride
+            c = cot.reshape((N,) + lead_out + (chunk, C))
             c = jnp.pad(
-                c, ((0, 0),) * (nd - 1) + ((0, kx - 1), (0, 0))
-            )
+                c, ((0, 0),) * nd + ((0, kx - 1), (0, 0))
+            ).reshape(N, -1, C)
+            c = jnp.pad(c, ((0, 0), (0, lead_mid), (0, 0)))
             return c.reshape(-1, C)
 
         def cot_flat_h(cot):
             # H side: x padded LEADING by kx-1 — the fold index
             # l' + τ then reads cot[y'+dy, x_h + dx - (kx-1)] exactly
-            # (no global lead: the middle axes fold without shift)
-            c = cot.reshape(lead_out + (chunk, C))
+            # (no global lead: the middle axes fold without shift);
+            # segments stack at stride La
+            c = cot.reshape((N,) + lead_out + (chunk, C))
             c = jnp.pad(
-                c, ((0, 0),) * (nd - 1) + ((kx - 1, 0), (0, 0))
+                c, ((0, 0),) * nd + ((kx - 1, 0), (0, 0))
             )
             return c.reshape(-1, C)
 
@@ -488,7 +505,7 @@ def _get_sharded_deconv_fit(
                 WH2 = recon(w2f, hh)
                 neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
                 neg = lax.psum(
-                    wgrad([cot_flat_w(neg_cot[0])], H2h, R, Tk, T_flat,
+                    wgrad([cot_flat_w(neg_cot)], H2h, R, Tk, T_flat,
                           interpret=interpret, geom=geom,
                           lead_pad=False)[0],
                     seq_axis,
@@ -504,7 +521,7 @@ def _get_sharded_deconv_fit(
                     pos = jnp.tile(s, nkr * Tk)[:, None]
                 else:
                     pos = lax.psum(
-                        wgrad([cot_flat_w(pos_cot[0])], H2h, R, Tk,
+                        wgrad([cot_flat_w(pos_cot)], H2h, R, Tk,
                               T_flat, interpret=interpret, geom=geom,
                               lead_pad=False)[0],
                         seq_axis,
@@ -520,16 +537,16 @@ def _get_sharded_deconv_fit(
 
                 def h_contract(cot):
                     out = hgrad(
-                        cot_flat_h(cot[0]), w2f, R, Tk,
-                        _prod(lead_out) * Xa,
+                        cot_flat_h(cot), w2f, R, Tk, N * La,
                         interpret=interpret, geom=geom,
                     )
-                    full = out.reshape((R,) + lead_out + (Xa,))
+                    full = out.reshape((R, N) + lead_out + (Xa,))
                     for d, s in enumerate(lead_in):
                         full = lax.slice_in_dim(
-                            full, 0, s, axis=1 + d
+                            full, 0, s, axis=2 + d
                         )
-                    return halo_adjoint(full[None], halo, seq_axis)
+                    full = jnp.moveaxis(full, 1, 0)  # (N, R, …, Xa)
+                    return halo_adjoint(full, halo, seq_axis)
 
                 neg = jax.nn.relu(h_contract(neg_cot)) + eps
                 if beta == 1:

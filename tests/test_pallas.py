@@ -354,6 +354,77 @@ def test_siplca2_em_pallas_recon_matches_default():
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
 
 
+def test_pallas_custom_vjp_deconv_batched_adjoints():
+    """Regression: the custom-vjp fused deconv's backward must run the
+    segment-stacked mode for N > 1 (its shape gate accepts batched
+    targets, so a plain flatten would silently corrupt the SIPLCA EM
+    E-step's cotangents — caught at ~30-65 absolute error before the
+    fix)."""
+    import jax
+
+    from pytorch_nmf_tpu.ops import recon
+    from pytorch_nmf_tpu.ops.fast_nmfd import unfold_deconv_pallas_interpret
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+    )
+
+    cases = []
+    N, C, R, T, L_in = 3, 11, 6, 9, 120
+    H1 = jnp.asarray(RNG.rand(N, R, L_in).astype("f"))
+    W1 = jnp.asarray(RNG.rand(C, R, T).astype("f"))
+    assert deconv_pallas_supported((N, C, L_in + T - 1), H1.shape,
+                                   np.float32)
+    cases.append((H1, W1, recon.deconv1d))
+    N, C, R, ky, kx, Y, X = 2, 7, 5, 3, 4, 12, 14
+    H2 = jnp.asarray(RNG.rand(N, R, Y, X).astype("f"))
+    W2 = jnp.asarray(RNG.rand(C, R, ky, kx).astype("f"))
+    assert deconv_pallas_nd_supported(
+        (N, C, Y + ky - 1, X + kx - 1), H2.shape, np.float32
+    )
+    cases.append((H2, W2, recon.deconv2d))
+
+    for H, W, ref in cases:
+        def loss_p(H_, W_):
+            return jnp.sum(jnp.sin(unfold_deconv_pallas_interpret(H_, W_)))
+
+        def loss_r(H_, W_, _ref=ref):
+            return jnp.sum(jnp.sin(_ref(H_, W_)))
+
+        gp = jax.grad(loss_p, argnums=(0, 1))(H, W)
+        gr = jax.grad(loss_r, argnums=(0, 1))(H, W)
+        for a, b in zip(gp, gr):
+            scale = float(jnp.abs(b).max())
+            assert float(jnp.abs(a - b).max()) < 2e-6 * max(scale, 1.0)
+
+
+def test_siplca_em_pallas_recon_batched_matches_default():
+    """Batched (N > 1) SIPLCA EM through the forced fused-adjoint
+    reconstruction must track the default engine — end-to-end exercise
+    of the segment-stacked custom-vjp backward."""
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    N, C, L, R, T = 2, 12, 200, 5, 11  # N·L_in = 380 clears the gate
+    V = RNG.rand(N, C, L).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f")
+    H0 = RNG.rand(N, R, L - T + 1).astype("f")
+    Z0 = RNG.rand(R).astype("f")
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = SIPLCA(W=W0, H=H0, Z=Z0)
+        n, _ = m.fit(V, tol=0, max_iter=10)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+    ref = SIPLCA(W=W0, H=H0, Z=Z0)
+    n2, _ = ref.fit(V, tol=0, max_iter=10)
+    assert n == n2
+    for nm in ("W", "H", "Z"):
+        a, b = getattr(m, nm).data, getattr(ref, nm).data
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
+
+
 def test_autotune_offers_pallas_candidate():
     """The measured candidate set must include the fused engine exactly
     when Mosaic kernels can run (here: interpreter mode) — for every
@@ -602,6 +673,25 @@ def test_deconv_pallas_w_hybrid_matches_unfold(beta):
                        n=1)
     assert float(jnp.abs(Wp - Wu).max()) < 1e-4
     assert float(jnp.abs(Hp - Hu).max()) < 1e-4
+
+    # batched 2-D hybrid: segment-stacked wgrad (stride T_geo-1 + flat
+    # L_in, the gate's per-batch lp term) + native-batch streamed fold
+    N, C, R = 2, 8, 32
+    Y_in = X_in = 121
+    ky = kx = 8
+    Vs2 = (N, C, Y_in + ky - 1, X_in + kx - 1)
+    Hs2 = (N, R, Y_in, X_in)
+    assert not deconv_pallas_nd_supported(Vs2, Hs2, np.float32)
+    assert deconv_pallas_w_supported(Vs2, Hs2, np.float32)
+    V2 = jnp.asarray(RNG.rand(*Vs2).astype("f") + 0.01)
+    W02 = jnp.asarray(RNG.rand(C, R, ky, kx).astype("f") + 0.1)
+    H02 = jnp.asarray(RNG.rand(*Hs2).astype("f") + 0.1)
+    Wp, Hp = run_iters(_PALLAS_W_INTERPRET_FACTORIES[2], V2, W02, H02,
+                       beta, n=1)
+    Wu, Hu = run_iters(nmf2d_unfold_updater_factory, V2, W02, H02, beta,
+                       n=1)
+    assert float(jnp.abs(Wp - Wu).max() / jnp.abs(Wu).max()) < 5e-5
+    assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
 
 
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])

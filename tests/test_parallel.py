@@ -464,13 +464,14 @@ def test_halo_pallas_matches_conv_formulation(beta, N):
 
 
 @needs_8
-@pytest.mark.parametrize("nd", [2, 3])
-def test_halo_pallas_nd_matches_conv_formulation(nd):
+@pytest.mark.parametrize("nd, N", [(2, 1), (3, 1), (2, 2), (3, 2)])
+def test_halo_pallas_nd_matches_conv_formulation(nd, N):
     """The 2-D/3-D fused per-shard halo mode (flat-offset kernels with a
     VALID trailing axis: middle axes padded to output widths, the
     activation's middle-axis lead prepended manually, W-side cot padded
     trailing / H-side leading on x) must match the conv/vjp
-    formulation."""
+    formulation.  ``N=2`` exercises the batched stacking that reuses
+    each segment's lead_mid zeros as the W-side separator."""
     import os
 
     from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit, sharded_nmf3d_fit
@@ -478,14 +479,14 @@ def test_halo_pallas_nd_matches_conv_formulation(nd):
     rng = np.random.RandomState(17)
     mesh = make_mesh({"seq": 4})
     if nd == 2:
-        N, C, R, Y_in, ky, kx = 1, 8, 5, 10, 3, 4
+        C, R, Y_in, ky, kx = 8, 5, 10, 3, 4
         L = 4 * 128
         V = rng.rand(N, C, Y_in + ky - 1, L).astype("f") + 0.01
         W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
         H0 = rng.rand(N, R, Y_in, L - kx + 1).astype("f") + 0.1
         fit = sharded_nmf2d_fit
     else:
-        N, C, R, Z_in, Y_in, kz, ky, kx = 1, 5, 4, 4, 6, 2, 3, 3
+        C, R, Z_in, Y_in, kz, ky, kx = 5, 4, 4, 6, 2, 3, 3
         L = 4 * 32
         V = rng.rand(
             N, C, Z_in + kz - 1, Y_in + ky - 1, L
