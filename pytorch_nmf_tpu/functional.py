@@ -189,7 +189,8 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     fit = get_hoyer_fit(
-        None if is_sp else model_cls._fit_recon2(),
+        None if is_sp
+        else model_cls._resolve_fit_recon2_shaped(V, W, H, beta),
         model_cls._sp_pos_neg if is_sp else None,
         float(beta),
         int(max_iter),
@@ -224,6 +225,8 @@ def nmf_hoyer_fit_batched(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     fit = get_batched_hoyer_fit(
+        # static hook on purpose: the batched solver vmaps over problems
+        # and the custom-vjp Mosaic recon is not offered under vmap
         model_cls._fit_recon2(),
         float(beta),
         int(max_iter),

@@ -150,6 +150,14 @@ class BaseComponent(Module):
         patch-GEMM contractions; defaults to ``reconstruct``."""
         return cls.reconstruct
 
+    @classmethod
+    def _resolve_fit_recon2_shaped(cls, V, W, H, beta):
+        """Shape-aware variant of :meth:`_fit_recon2` for dense-target
+        gradient solvers (Hoyer); the deconvolutional family overrides
+        this with the runtime recon autotune
+        (:func:`~pytorch_nmf_tpu.ops.autotune.resolve_hoyer_recon2`)."""
+        return cls._fit_recon2()
+
     # hooks supplied by subclasses that support sparse targets / fast paths
     _sp_pos_neg = None  # staticmethod (V, H, W, beta) -> (pos, neg)
     # whether the dual-ELL gather-regime fast path applies (the ELL
@@ -344,7 +352,8 @@ class BaseComponent(Module):
         H_col_dim = int(H.data.size // H.shape[1])
 
         fit_fn = _solver.get_hoyer_fit(
-            None if is_sp else type(self)._fit_recon2(),
+            None if is_sp
+            else type(self)._resolve_fit_recon2_shaped(V, W.data, H.data, beta),
             self._sp_pos_neg if is_sp else None,
             float(beta),
             int(max_iter),
@@ -465,6 +474,12 @@ class _DeconvBase(BaseComponent):
         return resolve_deconv_factory(
             V, W, H, beta, self._spatial_ndim, type(self).reconstruct
         )
+
+    @classmethod
+    def _resolve_fit_recon2_shaped(cls, V, W, H, beta):
+        from ..ops.autotune import resolve_hoyer_recon2
+
+        return resolve_hoyer_recon2(cls, V, W, H, beta)
 
     def _try_halo_fit(
         self, V, W, H, beta, tol, max_iter, l1_reg, l2_reg, verbose

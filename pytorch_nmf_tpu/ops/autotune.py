@@ -567,6 +567,125 @@ def resolve_plca_recon3(cls, V, W, H, Z):
     return conv if winner == "conv" else unfold
 
 
+def _hoyer_timing_loop(recon2, beta):
+    """Jitted ``run(V, W, H, n) -> scalar``: ``n`` projected-gradient
+    steps — one ``jax.grad`` through the reconstruction per factor, the
+    Hoyer solver's dominant cost (the backtracking line search re-evaluates
+    the loss, not the gradient, so the grad pass is the faithful proxy)."""
+    from ..constants import eps
+    from ..metrics import beta_div
+
+    def run(V, W, H, n):
+        def body(i, s):
+            w, h = s
+            gW = jax.grad(lambda w_: beta_div(recon2(h, w_), V, beta))(w)
+            w = jnp.maximum(w - 1e-3 * gW, eps)
+            gH = jax.grad(lambda h_: beta_div(recon2(h_, w), V, beta))(h)
+            h = jnp.maximum(h - 1e-3 * gH, eps)
+            return w, h
+
+        w, h = lax.fori_loop(0, n, body, (W, H))
+        return h.ravel()[0]
+
+    return jax.jit(run)
+
+
+def autotune_hoyer_recon2(V, W, H, beta, conv_recon2, unfold_recon2,
+                          pallas_recon2=None) -> str:
+    """Winner ('conv' | 'unfold' | 'pallas') for the reconstruction the
+    dense-target Hoyer solver differentiates through (reference
+    nmf.py:510-543) — the projected-gradient steps have the same
+    engine-inversion surface as the deconv MU engine and the SIPLCA EM
+    recon (the adjoints ARE the patch-GEMM contractions)."""
+    key = (
+        jax.devices()[0].platform,
+        "hoyer-recon2",
+        float(beta),
+        tuple(int(s) for s in V.shape),
+        tuple(int(s) for s in H.shape),
+    )
+    if key in _WINNERS:
+        return _WINNERS[key]
+    persisted = _load_persisted(key)
+    if persisted is not None:
+        _WINNERS[key] = persisted
+        return persisted
+
+    cands = [("conv", conv_recon2), ("unfold", unfold_recon2)]
+    if pallas_recon2 is not None:
+        cands.append(("pallas", pallas_recon2))
+    results = {}
+    for name, recon2 in cands:
+        try:
+            run = _hoyer_timing_loop(recon2, beta)
+            best = min(results.values()) if results else None
+            results[name] = _time_candidate(
+                run, V, W, H,
+                reject_above=(3.0 * best if best is not None else None),
+            )
+        except Exception:
+            continue
+    winner = min(results, key=results.get) if results else "unfold"
+    _WINNERS[key] = winner
+    _save_persisted(key, winner)
+    return winner
+
+
+def _deconv_pallas_recon2(V_shape, H_shape, dtype):
+    """The deconvolutional family's fused-adjoint reconstruction
+    candidate for gradient-based solvers (``dH``/``dW`` run the Mosaic
+    kernels via the custom-vjp recon), or ``None`` where it cannot apply
+    (unsupported shape/backend, kill switch).  1-D runs the kernels
+    directly; 2-D/3-D ride the flat-offset mode."""
+    from .pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+    )
+    from .pallas_mu import pallas_supported
+
+    if not pallas_supported() or os.environ.get("PNT_NMFD_PALLAS", "") == "0":
+        return None
+    ok = (
+        deconv_pallas_supported(V_shape, H_shape, dtype)
+        if len(V_shape) == 3
+        else deconv_pallas_nd_supported(V_shape, H_shape, dtype)
+    )
+    if not ok:
+        return None
+    from .fast_nmfd import resolve_pallas_unfold_deconv
+
+    return resolve_pallas_unfold_deconv()
+
+
+def resolve_hoyer_recon2(cls, V, W, H, beta):
+    """Per-fit reconstruction selection for dense-target Hoyer fits on
+    the deconvolutional family (``sparse_fit`` / ``nmf_hoyer_fit``):
+    env forces → FLOP threshold (static hook) → measured winner,
+    mirroring :func:`resolve_plca_recon3`."""
+    static = cls._fit_recon2()
+    conv = cls.reconstruct
+    if static is conv:  # kill switch / non-deconv model: nothing to tune
+        return static
+    if V.dtype == jnp.float64:  # x64 keeps the generic conv formulation
+        return conv
+    pallas = _deconv_pallas_recon2(V.shape, H.shape, V.dtype)
+    if pallas is not None and os.environ.get("PNT_NMFD_PALLAS", "") == "1":
+        return pallas
+    mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
+    if mode == "0":
+        return static
+    if mode != "1":
+        min_flops = float(
+            os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
+        )
+        if _conv_macs_per_iter(V.shape, H.shape) < min_flops:
+            return static
+    winner = autotune_hoyer_recon2(V, W, H, beta, conv, static, pallas)
+    if winner == "pallas" and pallas is not None:
+        return pallas
+    return conv if winner == "conv" else static
+
+
 def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
     """Per-fit engine selection for the deconvolutional family.
 

@@ -151,6 +151,29 @@ def test_plca_em_autotune(monkeypatch):
     assert float(np.abs(np.asarray(m.H.data) - np.asarray(ref.H.data)).max()) < 5e-6
 
 
+def test_hoyer_recon2_autotune(monkeypatch):
+    """Dense-target Hoyer fits on the deconv family consult the recon
+    autotuner (the projected-gradient steps differentiate through the
+    reconstruction, same inversion surface as the MU engine); either
+    winner reproduces the static-path trajectory."""
+    V = RNG.rand(1, 10, 36).astype("f")
+    W0 = RNG.rand(10, 3, 5).astype("f") + 0.1
+    H0 = RNG.rand(1, 3, 32).astype("f") + 0.1
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "0")
+    ref = NMFD(W=W0, H=H0)
+    ref.sparse_fit(V, beta=2, max_iter=6, sH=0.4)
+
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
+    m = NMFD(W=W0, H=H0)
+    m.sparse_fit(V, beta=2, max_iter=6, sH=0.4)
+    assert any(k[1] == "hoyer-recon2" for k in autotune._WINNERS)
+    assert float(np.abs(np.asarray(m.W.data)
+                        - np.asarray(ref.W.data)).max()) < 5e-5
+    assert float(np.abs(np.asarray(m.H.data)
+                        - np.asarray(ref.H.data)).max()) < 5e-5
+
+
 def test_halo_mode_autotune(monkeypatch):
     """The halo solvers consult a single-device proxy autotune for their
     per-shard conv-vs-unrolled decision; either winner matches the

@@ -425,6 +425,49 @@ def test_siplca_em_pallas_recon_batched_matches_default():
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
 
 
+def test_nmfd_hoyer_pallas_recon_matches_default():
+    """Dense-target Hoyer ``sparse_fit`` through the forced fused-adjoint
+    reconstruction (PNT_NMFD_PALLAS=1, interpreter) must track the default
+    unfold recon's trajectory — the projected-gradient steps differentiate
+    through the custom-vjp recon, closing the ROADMAP lead that the Hoyer
+    ``_fit_recon2`` hook lacked the autotune surface the EM already had."""
+    from pytorch_nmf_tpu.nmf import NMFD
+    from pytorch_nmf_tpu.ops.autotune import resolve_hoyer_recon2
+    from pytorch_nmf_tpu.ops.fast_nmfd import resolve_pallas_unfold_deconv
+
+    N, C, L, R, T = 1, 16, 360, 5, 14
+    V = RNG.rand(N, C, L).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L - T + 1).astype("f") + 0.1
+
+    os.environ["PNT_NMFD_PALLAS"] = "1"
+    try:
+        m = NMFD(W=W0, H=H0)
+        r2 = resolve_hoyer_recon2(
+            NMFD, jnp.asarray(V), m.W.data, m.H.data, 2.0
+        )
+        assert r2 is resolve_pallas_unfold_deconv()
+        m.sparse_fit(V, beta=2, max_iter=5, sH=0.4)
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+    ref = NMFD(W=W0, H=H0)
+    ref.sparse_fit(V, beta=2, max_iter=5, sH=0.4)
+    for nm in ("W", "H"):
+        a, b = getattr(m, nm).data, getattr(ref, nm).data
+        # discrete line-search decisions amplify f32 reorder noise
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-4, nm
+
+    # the kill switch removes the candidate
+    os.environ["PNT_NMFD_PALLAS"] = "0"
+    try:
+        from pytorch_nmf_tpu.ops.autotune import _deconv_pallas_recon2
+
+        assert _deconv_pallas_recon2(V.shape, H0.shape, V.dtype) is None
+    finally:
+        os.environ.pop("PNT_NMFD_PALLAS", None)
+
+
 def test_autotune_offers_pallas_candidate():
     """The measured candidate set must include the fused engine exactly
     when Mosaic kernels can run (here: interpreter mode) — for every
