@@ -398,6 +398,64 @@ def test_pallas_custom_vjp_deconv_batched_adjoints():
             assert float(jnp.abs(a - b).max()) < 2e-6 * max(scale, 1.0)
 
 
+def test_fuzz_pallas_custom_vjp_adjoints_random_shapes():
+    """Randomized sweep of the fused custom-vjp deconv adjoints
+    (1-D/2-D/3-D, batched included) against the plain reconstruction's
+    autodiff — the net under the segment-stacking index arithmetic."""
+    import jax
+
+    from pytorch_nmf_tpu.ops import recon
+    from pytorch_nmf_tpu.ops.fast_nmfd import unfold_deconv_pallas_interpret
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+    )
+
+    rng = np.random.RandomState(2026)
+    for case in range(6):
+        nd = 1 + case % 3
+        N = int(rng.randint(1, 4))
+        C = int(rng.randint(3, 9))
+        R = int(rng.randint(2, 6))
+        if nd == 1:
+            ks = (int(rng.randint(2, 10)),)
+            L_in = int(-(-280 // N) + rng.randint(0, 20))
+            Hs = (N, R, L_in)
+        elif nd == 2:
+            ks = (int(rng.randint(2, 4)), int(rng.randint(2, 5)))
+            Y_in = int(rng.randint(6, 12))
+            X_in = int(-(-300 // (N * Y_in)) + ks[1] + rng.randint(0, 6))
+            Hs = (N, R, Y_in, X_in)
+        else:
+            ks = (2, int(rng.randint(2, 3)), int(rng.randint(2, 4)))
+            Z_in, Y_in = int(rng.randint(3, 5)), int(rng.randint(4, 7))
+            X_in = int(
+                -(-300 // (N * Z_in * Y_in)) + ks[2] + rng.randint(0, 4)
+            )
+            Hs = (N, R, Z_in, Y_in, X_in)
+        Vs = (N, C) + tuple(s + k - 1 for s, k in zip(Hs[2:], ks))
+        ok = (
+            deconv_pallas_supported(Vs, Hs, np.float32) if nd == 1
+            else deconv_pallas_nd_supported(Vs, Hs, np.float32)
+        )
+        assert ok, (case, Vs, Hs)
+        H = jnp.asarray(RNG.rand(*Hs).astype("f"))
+        W = jnp.asarray(RNG.rand(C, R, *ks).astype("f"))
+        ref = getattr(recon, f"deconv{nd}d")
+        gp = jax.grad(
+            lambda h, w: jnp.sum(jnp.sin(unfold_deconv_pallas_interpret(h, w))),
+            argnums=(0, 1),
+        )(H, W)
+        gr = jax.grad(
+            lambda h, w, _ref=ref: jnp.sum(jnp.sin(_ref(h, w))),
+            argnums=(0, 1),
+        )(H, W)
+        for a, b in zip(gp, gr):
+            scale = max(float(jnp.abs(b).max()), 1.0)
+            assert float(jnp.abs(a - b).max()) < 3e-6 * scale, \
+                (case, nd, N, Vs, Hs)
+
+
 def test_siplca_em_pallas_recon_batched_matches_default():
     """Batched (N > 1) SIPLCA EM through the forced fused-adjoint
     reconstruction must track the default engine — end-to-end exercise
