@@ -390,12 +390,15 @@ def autotune_halo_mode(
     and timing inside ``shard_map`` is never needed.  The
     ``"unrolled"``-vs-``"conv"`` decision is tuned directly (``"stream"``
     exists only where unrolled is impossible); the fused-kernel
-    ``"pallas"`` mode (every rank, batched included) is adopted when the
-    single-device engine autotune picks the Mosaic candidate for the
-    equivalent local-shape problem (:func:`autotune_winner` — same
-    update pair, same kernels, VALID-vs-full cost delta is the T-1 halo
-    frames).  Below the FLOP threshold or with autotune disabled the
-    memory-based heuristic stands."""
+    ``"pallas"`` mode (every rank, batched included) — or, where the
+    full mode's hgrad accumulator is VMEM-gated out, the hybrid
+    ``"pallas_w"`` mode (fused wgrad + streamed XLA fold) — is adopted
+    when the single-device engine autotune picks the matching Mosaic
+    candidate for the equivalent local-shape problem
+    (:func:`autotune_winner` — same update pair, same kernels,
+    VALID-vs-full cost delta is the T-1 halo frames).  Below the FLOP
+    threshold or with autotune disabled the memory-based heuristic
+    stands."""
     mode = os.environ.get("PNT_NMFD_AUTOTUNE", "")
     if mode == "0":
         return heuristic_mode
@@ -408,6 +411,7 @@ def autotune_halo_mode(
         from .pallas_deconv import (
             deconv_pallas_nd_supported,
             deconv_pallas_supported,
+            deconv_pallas_w_supported,
         )
 
         lead_out = tuple(
@@ -415,25 +419,33 @@ def autotune_halo_mode(
         )
         v_proxy = (n_batch, C) + lead_out + (chunk + kernel[-1] - 1,)
         h_proxy = (n_batch, R) + lead_shapes + (chunk,)
-        ok = (
+        full_ok = (
             deconv_pallas_supported(v_proxy, h_proxy, None) if nd_k == 1
             else deconv_pallas_nd_supported(v_proxy, h_proxy, None)
         )
-        if ok and nd_k > 1 and n_batch > 1:
+        # hybrid fused-W/streamed-H per-shard mode: applies exactly where
+        # the full mode's hgrad accumulator is VMEM-gated out (mirrors
+        # the single-device candidate semantics, fast_nmfd.py)
+        w_ok = (not full_ok) and deconv_pallas_w_supported(
+            v_proxy, h_proxy, None
+        )
+        if (full_ok or w_ok) and nd_k > 1 and n_batch > 1:
             # batched N-D halo stacking reuses each segment's own
             # lead_mid zeros as the W-side separator — valid only when
             # they cover the ≤ kx-1 cross-segment patch overrun
-            # (parallel/halo.py::pallas_nd_local_fit)
+            # (parallel/halo.py::pallas_nd_local_fit; the W side is
+            # shared by both fused modes)
             from .pallas_deconv import _flat_T, nd_geom
 
             kx = kernel[-1]
             T_flat = _flat_T(
                 nd_geom(kernel, lead_out + (chunk + kx - 1,))
             )
-            ok = T_flat - kx >= kx - 1
-        if ok:
+            if T_flat - kx < kx - 1:
+                full_ok = w_ok = False
+        if full_ok or w_ok:
             if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
-                return "pallas"
+                return "pallas" if full_ok else "pallas_w"
             min_flops = float(
                 os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
             )
@@ -453,10 +465,13 @@ def autotune_halo_mode(
                     rng.rand(*((C, R) + kernel)).astype("f") + 0.1
                 )
                 Hpp = jnp.asarray(rng.rand(*h_proxy).astype("f") + 0.1)
-                if autotune_winner(
+                winner = autotune_winner(
                     Vp, Wp, Hpp, beta, nd_k, recon_nd
-                ) == "pallas":
+                )
+                if winner == "pallas" and full_ok:
                     return "pallas"
+                if winner == "pallas_w" and w_ok:
+                    return "pallas_w"
 
     if heuristic_mode != "unrolled":
         return heuristic_mode

@@ -361,6 +361,35 @@ def _get_sharded_deconv_fit(
                 )
 
             if update_H:
+                if mode == "pallas_w":
+                    # hybrid: streamed XLA fold (identical contraction,
+                    # no VMEM-resident flat output) on the Tk-chunked
+                    # kernel operand — τ-padded rows are zero and
+                    # contribute nothing
+                    need_pos = beta != 1
+                    negHh, posHh = _stream_contractions_h(
+                        V2, w2f.reshape(nkr, Tk * R, C), hh, kern, beta,
+                        need_pos, pad1,
+                    )
+                    neg = (
+                        jax.nn.relu(halo_adjoint(negHh, halo, seq_axis))
+                        + eps
+                    )
+                    if beta == 1:
+                        s2 = jnp.sum(w2f.reshape(-1, R, C), axis=(0, 2))
+                        pos = s2.reshape(1, R, 1)
+                    else:
+                        pos = (
+                            jax.nn.relu(
+                                halo_adjoint(posHh, halo, seq_axis)
+                            )
+                            + eps
+                        )
+                    hp = hp * mu_multiplier(
+                        neg, pos, hp, gamma, l1_reg, l2_reg
+                    )
+                    return w2f, hp
+
                 WH2 = recon(w2f, hh)
                 neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
@@ -532,6 +561,35 @@ def _get_sharded_deconv_fit(
                 )
 
             if update_H:
+                if mode == "pallas_w":
+                    # hybrid: streamed flat-τ fold in place of the
+                    # VMEM-gated hgrad accumulator (kernel rows share
+                    # the _w2 flat ordering, only the chunk size — Tk
+                    # vs Tc — differs)
+                    need_pos = beta != 1
+                    negHh, posHh = _stream_contractions_h(
+                        V2, w2f.reshape(nkr, Tk * R, C), hh, kernel,
+                        beta, need_pos, padv,
+                    )
+                    neg = (
+                        jax.nn.relu(halo_adjoint(negHh, halo, seq_axis))
+                        + eps
+                    )
+                    if beta == 1:
+                        s2 = jnp.sum(w2f.reshape(-1, R, C), axis=(0, 2))
+                        pos = s2.reshape((1, R) + (1,) * nd)
+                    else:
+                        pos = (
+                            jax.nn.relu(
+                                halo_adjoint(posHh, halo, seq_axis)
+                            )
+                            + eps
+                        )
+                    hp = hp * mu_multiplier(
+                        neg, pos, hp, gamma, l1_reg, l2_reg
+                    )
+                    return w2f, hp
+
                 WH2 = recon(w2f, hh)
                 neg_cot, pos_cot = mu_cotangents(V2, WH2, beta)
 
@@ -570,7 +628,7 @@ def _get_sharded_deconv_fit(
 
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
-        if mode == "pallas":
+        if mode in ("pallas", "pallas_w"):
             if nd >= 2:
                 return pallas_nd_local_fit(V, W, Hp)
             return pallas_local_fit(V, W, Hp)
@@ -646,7 +704,7 @@ def _get_sharded_deconv_fit(
         out_specs=(P(), sharded_spec, P()),
         # Mosaic calls don't carry vma annotations — same opt-out the
         # fused sharded-NMF updaters use (parallel/sharded.py)
-        check_vma=(mode != "pallas"),
+        check_vma=(mode not in ("pallas", "pallas_w")),
     )
     return jax.jit(mapped)
 

@@ -515,6 +515,69 @@ def test_halo_pallas_nd_matches_conv_formulation(nd, N):
 
 
 @needs_8
+@pytest.mark.parametrize(
+    "nd, N, beta", [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 2.0), (2, 2, 1.0)]
+)
+def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
+    """The hybrid fused-W/streamed-H per-shard halo mode (``pallas_w``) —
+    offered exactly where the full fused mode's hgrad accumulator is
+    VMEM-gated out; here the full gate is stubbed off so the forced
+    route lands on the hybrid at a test-sized shape — must match the
+    conv/vjp formulation."""
+    from pytorch_nmf_tpu.ops import pallas_deconv
+    from pytorch_nmf_tpu.parallel import halo as halo_mod
+    from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    rng = np.random.RandomState(29)
+    mesh = make_mesh({"seq": 4})
+    if nd == 1:
+        C, R, T = 12, 5, 6
+        L = 4 * 256
+        V = rng.rand(N, C, L).astype("f") + 0.01
+        W0 = rng.rand(C, R, T).astype("f") + 0.1
+        H0 = rng.rand(N, R, L - T + 1).astype("f") + 0.1
+        fit = sharded_nmfd_fit
+        monkeypatch.setattr(
+            pallas_deconv, "deconv_pallas_supported", lambda *a: False
+        )
+    else:
+        C, R, Y_in, ky, kx = 8, 5, 10, 3, 4
+        L = 4 * 128
+        V = rng.rand(N, C, Y_in + ky - 1, L).astype("f") + 0.01
+        W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(N, R, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf2d_fit
+        monkeypatch.setattr(
+            pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
+        )
+
+    # spy on the mode handed to the solver factory (positional arg 10)
+    seen = []
+    orig = halo_mod._get_sharded_deconv_fit
+
+    def spy(*args, **kw):
+        seen.append(args[10] if len(args) > 10 else kw.get("mode"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(halo_mod, "_get_sharded_deconv_fit", spy)
+
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "1")
+    monkeypatch.setenv("PNT_PALLAS_INTERPRET", "1")
+    Wp, Hp, np_ = fit(V, W0, H0, mesh, beta=beta, tol=0, max_iter=8)
+    assert seen[-1] == "pallas_w", seen
+
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "0")
+    monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "0")
+    Wc, Hc, nc = fit(V, W0, H0, mesh, beta=beta, tol=0, max_iter=8)
+    assert seen[-1] != "pallas_w"
+    assert int(np_) == int(nc)
+    assert float(jnp.abs(Wp - Wc).max()) < 1e-5
+    assert float(jnp.abs(Hp - Hc).max()) < 1e-5
+    assert bool(jnp.all(jnp.isfinite(Wp))) and bool(jnp.all(Wp >= 0))
+
+
+@needs_8
 @pytest.mark.parametrize("beta", [0.5, 1, 2])
 def test_sharded_sparse_matches_single_device_ell(beta):
     """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
