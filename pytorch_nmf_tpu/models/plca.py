@@ -368,6 +368,16 @@ class SIPLCA(_SIPLCABase):
             H, _recon.scaled_kernel(W, Z, 1)
         )
 
+    @staticmethod
+    def _fit_reconstruct_pallas_w(H, W, Z):
+        # hybrid fused-W/streamed-H EM adjoints for shapes where the
+        # full fused recon's hgrad accumulator is VMEM-gated out
+        from ..ops.fast_nmfd import resolve_pallas_w_unfold_deconv
+
+        return resolve_pallas_w_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 1)
+        )
+
 
 class SIPLCA2(_SIPLCABase):
     r"""Shift-Invariant PLCA across 2 dimensions
@@ -411,6 +421,14 @@ class SIPLCA2(_SIPLCABase):
             H, _recon.scaled_kernel(W, Z, 2)
         )
 
+    @staticmethod
+    def _fit_reconstruct_pallas_w(H, W, Z):
+        from ..ops.fast_nmfd import resolve_pallas_w_unfold_deconv
+
+        return resolve_pallas_w_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 2)
+        )
+
 
 class SIPLCA3(_SIPLCABase):
     r"""Shift-Invariant PLCA across 3 dimensions
@@ -449,5 +467,13 @@ class SIPLCA3(_SIPLCABase):
         from ..ops.fast_nmfd import resolve_pallas_unfold_deconv
 
         return resolve_pallas_unfold_deconv()(
+            H, _recon.scaled_kernel(W, Z, 3)
+        )
+
+    @staticmethod
+    def _fit_reconstruct_pallas_w(H, W, Z):
+        from ..ops.fast_nmfd import resolve_pallas_w_unfold_deconv
+
+        return resolve_pallas_w_unfold_deconv()(
             H, _recon.scaled_kernel(W, Z, 3)
         )

@@ -356,10 +356,13 @@ def _plca_pallas_recon3(cls, V, H):
     """The SIPLCA family's fused-adjoint EM reconstruction candidate, or
     ``None`` where it cannot apply (unsupported shapes/backends, kill
     switch).  1-D runs the kernels directly; 2-D/3-D ride the
-    flat-offset mode."""
+    flat-offset mode; where the full mode's hgrad accumulator is
+    VMEM-gated out, the hybrid fused-W/streamed-H recon
+    (``_fit_reconstruct_pallas_w``) stands in."""
     from .pallas_deconv import (
         deconv_pallas_nd_supported,
         deconv_pallas_supported,
+        deconv_pallas_w_supported,
     )
 
     recon3 = getattr(cls, "_fit_reconstruct_pallas", None)
@@ -372,9 +375,14 @@ def _plca_pallas_recon3(cls, V, H):
         if len(V.shape) == 3
         else deconv_pallas_nd_supported(V.shape, H.shape, V.dtype)
     )
-    if not ok:
-        return None
-    return recon3
+    if ok:
+        return recon3
+    hybrid = getattr(cls, "_fit_reconstruct_pallas_w", None)
+    if hybrid is not None and deconv_pallas_w_supported(
+        V.shape, H.shape, V.dtype
+    ):
+        return hybrid
+    return None
 
 
 def autotune_halo_mode(
@@ -651,10 +659,12 @@ def _deconv_pallas_recon2(V_shape, H_shape, dtype):
     candidate for gradient-based solvers (``dH``/``dW`` run the Mosaic
     kernels via the custom-vjp recon), or ``None`` where it cannot apply
     (unsupported shape/backend, kill switch).  1-D runs the kernels
-    directly; 2-D/3-D ride the flat-offset mode."""
+    directly; 2-D/3-D ride the flat-offset mode; VMEM-gated shapes fall
+    to the hybrid fused-W/streamed-H recon."""
     from .pallas_deconv import (
         deconv_pallas_nd_supported,
         deconv_pallas_supported,
+        deconv_pallas_w_supported,
     )
     from .pallas_mu import pallas_supported
 
@@ -665,11 +675,15 @@ def _deconv_pallas_recon2(V_shape, H_shape, dtype):
         if len(V_shape) == 3
         else deconv_pallas_nd_supported(V_shape, H_shape, dtype)
     )
-    if not ok:
-        return None
-    from .fast_nmfd import resolve_pallas_unfold_deconv
+    if ok:
+        from .fast_nmfd import resolve_pallas_unfold_deconv
 
-    return resolve_pallas_unfold_deconv()
+        return resolve_pallas_unfold_deconv()
+    if deconv_pallas_w_supported(V_shape, H_shape, dtype):
+        from .fast_nmfd import resolve_pallas_w_unfold_deconv
+
+        return resolve_pallas_w_unfold_deconv()
+    return None
 
 
 def resolve_hoyer_recon2(cls, V, W, H, beta):

@@ -1083,6 +1083,76 @@ unfold_deconv_pallas = _make_pallas_unfold_deconv(False)
 unfold_deconv_pallas_interpret = _make_pallas_unfold_deconv(True)
 
 
+def _make_pallas_w_unfold_deconv(interpret: bool):
+    """Hybrid custom-vjp deconvolution — the ``pallas_w`` split for the
+    gradient-based solvers: forward = the streaming patch GEMMs, ``dW``
+    = :func:`~.pallas_deconv.wgrad` (fused Mosaic, segment-stacked for
+    ``N > 1``), ``dH`` = the streamed flat-τ fold
+    (:func:`_stream_h_contract` — no VMEM-resident flat output).
+    Applies exactly where the full fused recon's hgrad accumulator is
+    VMEM-gated out; callers gate via
+    :func:`~.pallas_deconv.deconv_pallas_w_supported`."""
+    from .pallas_deconv import wgrad
+
+    Tk = _PALLAS_TK
+
+    def _w2f(W):
+        C, R = W.shape[:2]
+        K = _prod(W.shape[2:])
+        nkr = -(-K // Tk)
+        return jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
+
+    @jax.custom_vjp
+    def pallas_w_deconv(H, W):
+        R = H.shape[1]
+        W2f = _w2f(W)
+        v_sp = tuple(
+            int(s) + int(k) - 1 for s, k in zip(H.shape[2:], W.shape[2:])
+        )
+        WH2 = _stream_recon(
+            W2f.reshape(-1, Tk * R, W.shape[0]), H, W.shape[2:]
+        )  # (N, Lp, C)
+        return jnp.moveaxis(WH2, -1, 1).reshape(
+            (H.shape[0], W.shape[0]) + v_sp
+        )
+
+    def fwd(H, W):
+        return pallas_w_deconv(H, W), (H, W)
+
+    def bwd(res, ct):
+        H, W = res
+        C, R = W.shape[:2]
+        N = int(H.shape[0])
+        kernel, geom, T_geo, L_flat = _flat_geom(ct.shape, H.shape)
+        K = _prod(kernel)
+        W2f = _w2f(W)
+        ctv = jnp.moveaxis(ct, 1, -1).reshape(N, -1, C)
+        dH = _stream_h_contract(
+            W2f.reshape(-1, Tk * R, C), (ctv,), H, kernel, False
+        )[0]
+        if N == 1:
+            H2 = _h_flat_nd(H, kernel)
+            dW2 = wgrad([ctv[0]], H2, R, Tk, T_geo, interpret=interpret,
+                        geom=geom)[0][: K * R]
+        else:
+            # segment-stacked batched W side (identical to the full
+            # fused recon's batched path; the gate's per-batch lp term
+            # IS this stacked stride)
+            seg = T_geo - 1 + L_flat
+            H2 = _h_stacked(H, kernel, T_geo)
+            dW2 = wgrad([_cot_stacked(ctv, seg)], H2, R, Tk, T_geo,
+                        interpret=interpret, geom=geom,
+                        lead_pad=False)[0][: K * R]
+        return dH, _w_from_w2(dW2, kernel, R)
+
+    pallas_w_deconv.defvjp(fwd, bwd)
+    return pallas_w_deconv
+
+
+unfold_deconv_pallas_w = _make_pallas_w_unfold_deconv(False)
+unfold_deconv_pallas_w_interpret = _make_pallas_w_unfold_deconv(True)
+
+
 def resolve_pallas_unfold_deconv():
     """Trace-time pick of the compiled vs interpreter custom-vjp deconv
     (two distinct function objects — solver caches keyed on the recon
@@ -1092,6 +1162,17 @@ def resolve_pallas_unfold_deconv():
     return (
         unfold_deconv_pallas_interpret if _interpret_mode()
         else unfold_deconv_pallas
+    )
+
+
+def resolve_pallas_w_unfold_deconv():
+    """Trace-time pick for the hybrid custom-vjp deconv (fused wgrad +
+    streamed fold)."""
+    from .pallas_mu import _interpret_mode
+
+    return (
+        unfold_deconv_pallas_w_interpret if _interpret_mode()
+        else unfold_deconv_pallas_w
     )
 
 

@@ -398,6 +398,109 @@ def test_pallas_custom_vjp_deconv_batched_adjoints():
             assert float(jnp.abs(a - b).max()) < 2e-6 * max(scale, 1.0)
 
 
+def test_pallas_w_custom_vjp_deconv_adjoints():
+    """The hybrid custom-vjp recon (fused wgrad + streamed fold) must
+    produce the reference gradients — 1-D and 2-D, batched included."""
+    import jax
+
+    from pytorch_nmf_tpu.ops import recon
+    from pytorch_nmf_tpu.ops.fast_nmfd import unfold_deconv_pallas_w_interpret
+
+    cases = []
+    N, C, R, T, L_in = 2, 9, 5, 7, 140
+    cases.append((
+        jnp.asarray(RNG.rand(N, R, L_in).astype("f")),
+        jnp.asarray(RNG.rand(C, R, T).astype("f")),
+        recon.deconv1d,
+    ))
+    N, C, R, ky, kx, Y, X = 2, 6, 4, 3, 4, 11, 15
+    cases.append((
+        jnp.asarray(RNG.rand(N, R, Y, X).astype("f")),
+        jnp.asarray(RNG.rand(C, R, ky, kx).astype("f")),
+        recon.deconv2d,
+    ))
+
+    for H, W, ref in cases:
+        gp = jax.grad(
+            lambda h, w: jnp.sum(
+                jnp.sin(unfold_deconv_pallas_w_interpret(h, w))
+            ),
+            argnums=(0, 1),
+        )(H, W)
+        gr = jax.grad(
+            lambda h, w, _ref=ref: jnp.sum(jnp.sin(_ref(h, w))),
+            argnums=(0, 1),
+        )(H, W)
+        for a, b in zip(gp, gr):
+            scale = max(float(jnp.abs(b).max()), 1.0)
+            assert float(jnp.abs(a - b).max()) < 3e-6 * scale
+
+
+def test_hybrid_recon_stands_in_at_vmem_gated_shapes(monkeypatch):
+    """Where the full fused recon's hgrad accumulator is VMEM-gated out
+    (here: the full gates stubbed off), the EM and Hoyer resolvers hand
+    out the hybrid fused-W/streamed-H custom-vjp recon, and forced fits
+    through it track the default engines."""
+    import jax
+
+    from pytorch_nmf_tpu.nmf import NMFD
+    from pytorch_nmf_tpu.ops import pallas_deconv
+    from pytorch_nmf_tpu.ops.autotune import (
+        _deconv_pallas_recon2,
+        _plca_pallas_recon3,
+        resolve_hoyer_recon2,
+    )
+    from pytorch_nmf_tpu.ops.fast_nmfd import unfold_deconv_pallas_w_interpret
+    from pytorch_nmf_tpu.plca import SIPLCA
+
+    monkeypatch.setattr(
+        pallas_deconv, "deconv_pallas_supported", lambda *a: False
+    )
+    monkeypatch.setattr(
+        pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
+    )
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "1")
+
+    N, C, L, R, T = 1, 14, 340, 5, 12
+    V = RNG.rand(N, C, L).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L - T + 1).astype("f") + 0.1
+    Z0 = RNG.rand(R).astype("f")
+
+    # resolvers hand out the hybrid
+    assert _deconv_pallas_recon2(
+        V.shape, H0.shape, np.float32
+    ) is unfold_deconv_pallas_w_interpret
+    r3 = _plca_pallas_recon3(SIPLCA, jnp.asarray(V), jnp.asarray(H0))
+    assert r3 is SIPLCA._fit_reconstruct_pallas_w
+    r2 = resolve_hoyer_recon2(
+        NMFD, jnp.asarray(V), jnp.asarray(W0), jnp.asarray(H0), 2.0
+    )
+    assert r2 is unfold_deconv_pallas_w_interpret
+
+    # forced EM through the hybrid tracks the default engine
+    m = SIPLCA(W=W0, H=H0, Z=Z0)
+    n, _ = m.fit(V, tol=0, max_iter=10)
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "0")
+    ref = SIPLCA(W=W0, H=H0, Z=Z0)
+    n2, _ = ref.fit(V, tol=0, max_iter=10)
+    assert n == n2
+    for nm in ("W", "H", "Z"):
+        a, b = getattr(m, nm).data, getattr(ref, nm).data
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
+
+    # forced Hoyer through the hybrid tracks the default recon
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "1")
+    mh = NMFD(W=W0, H=H0)
+    mh.sparse_fit(V, beta=2, max_iter=5, sH=0.4)
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "0")
+    rh = NMFD(W=W0, H=H0)
+    rh.sparse_fit(V, beta=2, max_iter=5, sH=0.4)
+    for nm in ("W", "H"):
+        a, b = getattr(mh, nm).data, getattr(rh, nm).data
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-4, nm
+
+
 def test_fuzz_pallas_custom_vjp_adjoints_random_shapes():
     """Randomized sweep of the fused custom-vjp deconv adjoints
     (1-D/2-D/3-D, batched included) against the plain reconstruction's
