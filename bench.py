@@ -378,6 +378,36 @@ def main():
         "iters_per_sec": round(1000.0 / ms, 1),
     })
 
+    # NMF2D at the VMEM-gated scale: the full fused mode's hgrad
+    # accumulator exceeds the Mosaic scoped-vmem bound (measured 17.01M >
+    # 16M at this shape), so the candidate set here is unfold vs conv vs
+    # the hybrid fused-W/streamed-H "pallas_w" engine — the row that
+    # tracks the hybrid's win/loss on device (unfold measured 2.676
+    # ms/iter in r3)
+    N, C, Hs, Ws_, R2, kh, kw = (
+        (1, 12, 24, 24, 6, 3, 3) if TINY else (1, 256, 128, 128, 64, 8, 8)
+    )
+    V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
+    W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
+    H2d = jnp.asarray(
+        rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
+    )
+    fac2dw = resolve_deconv_factory(V2d, W2d, H2d, 1.0, 2, NMF2D.reconstruct)
+
+    def make_fit_2dw(n):
+        return get_dense_fit(
+            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac2dw,
+        )
+
+    ms = _marginal_ms_per_iter(make_fit_2dw, (V2d, W2d, H2d))
+    grid.append({
+        "metric": f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}_beta1",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
+
     # Hoyer sparseness-constrained fit (projected gradient + line search)
     from pytorch_nmf_tpu.ops.solver import get_hoyer_fit
 
