@@ -209,6 +209,58 @@ def main():
         "ms_sharded": round(ms_halo_f, 5),
     })
 
+    # ---- NMF2D halo at the VMEM-gated fused shape --------------------
+    # at C=256/r64/128² the full fused mode's hgrad accumulator exceeds
+    # the Mosaic scoped-vmem bound on the n=1 local shape, so the halo
+    # autotune's fused candidate here is the hybrid fused-W/streamed-H
+    # "pallas_w" per-shard mode (smaller pods shrink the local chunk and
+    # may re-admit the full mode — the per-shard autotune decides)
+    if tiny:
+        C2, R2, Y2, ky2, kx2, L2 = 6, 4, 10, 3, 3, 8 * n_dev
+    else:
+        C2, R2, Y2, ky2, kx2, L2 = 256, 64, 121, 8, 8, 128
+    V2 = rng.rand(1, C2, Y2 + ky2 - 1, L2).astype("f")
+    W20 = rng.rand(C2, R2, ky2, kx2).astype("f") + 0.1
+    H20 = rng.rand(1, R2, Y2, L2 - kx2 + 1).astype("f") + 0.1
+    fac2 = resolve_deconv_factory(
+        jnp.asarray(V2), jnp.asarray(W20), jnp.asarray(H20), 1.0, 2,
+        _recon.deconv2d,
+    )
+
+    def make_plain_2d(n):
+        from pytorch_nmf_tpu.models.nmf import NMF2D
+
+        return get_dense_fit(
+            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac2,
+        )
+
+    ms_plain_2d = _marginal_ms_per_iter(
+        make_plain_2d, (jnp.asarray(V2), jnp.asarray(W20), jnp.asarray(H20)),
+    )
+
+    def make_halo_2d(n):
+        def fit(V, W, H):
+            return _sharded_deconv_fit(
+                V, W, H, seq_mesh, 2, 1.0, float("-inf"), n, 0.0, 0.0,
+                "seq",
+            )
+        return fit
+
+    ms_halo_2d = _marginal_ms_per_iter(
+        make_halo_2d, (jnp.asarray(V2), jnp.asarray(W20), jnp.asarray(H20))
+    )
+    grid.append({
+        "metric": (
+            f"nmf2d_halo_overhead_n{n_dev}_{C2}x{Y2}x{L2 // n_dev}loc"
+            f"_r{R2}_k{ky2}x{kx2}_beta1"
+        ),
+        "value": round(ms_halo_2d / ms_plain_2d, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_2d, 5),
+        "ms_sharded": round(ms_halo_2d, 5),
+    })
+
     # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
     Msp_loc, Ksp, Rsp = (64, 64, 4) if tiny else (8192, 8192, 64)
     Msp = Msp_loc * n_dev

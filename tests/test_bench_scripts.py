@@ -23,7 +23,8 @@ def test_bench_multichip_tiny_smoke():
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["n_devices"] == 8
-    assert len(out["grid"]) == 4
+    assert len(out["grid"]) == 5
+    assert any("nmf2d_halo" in row["metric"] for row in out["grid"])
     for row in out["grid"]:
         assert row["value"] > 0
 

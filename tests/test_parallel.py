@@ -516,7 +516,8 @@ def test_halo_pallas_nd_matches_conv_formulation(nd, N):
 
 @needs_8
 @pytest.mark.parametrize(
-    "nd, N, beta", [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 2.0), (2, 2, 1.0)]
+    "nd, N, beta",
+    [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 2.0), (2, 2, 1.0), (3, 2, 1.0)],
 )
 def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
     """The hybrid fused-W/streamed-H per-shard halo mode (``pallas_w``) —
@@ -541,13 +542,27 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
         monkeypatch.setattr(
             pallas_deconv, "deconv_pallas_supported", lambda *a: False
         )
-    else:
+    elif nd == 2:
         C, R, Y_in, ky, kx = 8, 5, 10, 3, 4
         L = 4 * 128
         V = rng.rand(N, C, Y_in + ky - 1, L).astype("f") + 0.01
         W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
         H0 = rng.rand(N, R, Y_in, L - kx + 1).astype("f") + 0.1
         fit = sharded_nmf2d_fit
+        monkeypatch.setattr(
+            pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
+        )
+    else:
+        from pytorch_nmf_tpu.parallel import sharded_nmf3d_fit
+
+        C, R, Z_in, Y_in, kz, ky, kx = 5, 4, 4, 6, 2, 3, 3
+        L = 4 * 32
+        V = rng.rand(
+            N, C, Z_in + kz - 1, Y_in + ky - 1, L
+        ).astype("f") + 0.01
+        W0 = rng.rand(C, R, kz, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(N, R, Z_in, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf3d_fit
         monkeypatch.setattr(
             pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
         )
