@@ -94,6 +94,20 @@ def _load_persisted(key):
         return None
 
 
+def _cached(key):
+    """Process-local → persistent winner lookup (``None`` on miss).
+    Hoisted out of the autotune entry points so mode selectors can check
+    for a hit BEFORE building proxy arrays (a cache hit must cost no
+    device transfers — the relay backend charges ~35-40 ms per
+    dispatch)."""
+    if key in _WINNERS:
+        return _WINNERS[key]
+    persisted = _load_persisted(key)
+    if persisted is not None:
+        _WINNERS[key] = persisted
+    return persisted
+
+
 def _save_persisted(key, winner: str) -> None:
     path = _persist_path()
     if not path:
@@ -255,12 +269,9 @@ def autotune_winner(V, W, H, beta: float, spatial_ndim: int, recon2) -> str:
         tuple(int(s) for s in V.shape),
         tuple(int(s) for s in H.shape),
     )
-    if key in _WINNERS:
-        return _WINNERS[key]
-    persisted = _load_persisted(key)
-    if persisted is not None:
-        _WINNERS[key] = persisted
-        return persisted
+    hit = _cached(key)
+    if hit is not None:
+        return hit
 
     gamma = gamma_from_beta(beta)
     results = {}
@@ -321,12 +332,9 @@ def autotune_plca_recon3(V, W, H, Z, conv_recon3, unfold_recon3,
         tuple(int(s) for s in V.shape),
         tuple(int(s) for s in H.shape),
     )
-    if key in _WINNERS:
-        return _WINNERS[key]
-    persisted = _load_persisted(key)
-    if persisted is not None:
-        _WINNERS[key] = persisted
-        return persisted
+    hit = _cached(key)
+    if hit is not None:
+        return hit
 
     cands = [("conv", conv_recon3), ("unfold", unfold_recon3)]
     if pallas_recon3 is not None:
@@ -399,10 +407,11 @@ def autotune_halo_mode(
     ``"unrolled"``-vs-``"conv"`` decision is tuned directly (``"stream"``
     exists only where unrolled is impossible); the fused-kernel
     ``"pallas"`` mode (every rank, batched included) — or, where the
-    full mode's hgrad accumulator is VMEM-gated out, the hybrid
+    halo layout's hgrad accumulator is VMEM-gated out, the hybrid
     ``"pallas_w"`` mode (fused wgrad + streamed XLA fold) — is adopted
-    when the single-device engine autotune picks the matching Mosaic
-    candidate for the equivalent local-shape problem
+    when ``pallas_deconv.halo_pallas_mode`` admits it for the ACTUAL
+    per-shard flat layout AND the single-device engine autotune picks a
+    Mosaic candidate for the equivalent local-shape problem
     (:func:`autotune_winner` — same update pair, same kernels,
     VALID-vs-full cost delta is the T-1 halo frames).  Below the FLOP
     threshold or with autotune disabled the memory-based heuristic
@@ -416,70 +425,64 @@ def autotune_halo_mode(
     nd_k = len(kernel)
     if allow_pallas and nd_k in (1, 2, 3) \
             and os.environ.get("PNT_NMFD_PALLAS", "") != "0":
-        from .pallas_deconv import (
-            deconv_pallas_nd_supported,
-            deconv_pallas_supported,
-            deconv_pallas_w_supported,
-        )
+        from . import pallas_deconv
 
-        lead_out = tuple(
-            s + k - 1 for s, k in zip(lead_shapes, kernel[:-1])
+        # which fused per-shard mode the halo solvers' ACTUAL flat
+        # layout admits — the layout differs from the single-device one
+        # (leading axes padded to output widths, per-segment halo leads),
+        # so the single-device gates must never stand in for this
+        # (pallas_deconv.halo_pallas_mode owns the layout invariants,
+        # including the batched N-D lead_mid >= kx-1 separator rule)
+        admissible = pallas_deconv.halo_pallas_mode(
+            n_batch, C, lead_shapes, chunk, kernel, R
         )
-        v_proxy = (n_batch, C) + lead_out + (chunk + kernel[-1] - 1,)
-        h_proxy = (n_batch, R) + lead_shapes + (chunk,)
-        full_ok = (
-            deconv_pallas_supported(v_proxy, h_proxy, None) if nd_k == 1
-            else deconv_pallas_nd_supported(v_proxy, h_proxy, None)
-        )
-        # hybrid fused-W/streamed-H per-shard mode: applies exactly where
-        # the full mode's hgrad accumulator is VMEM-gated out (mirrors
-        # the single-device candidate semantics, fast_nmfd.py)
-        w_ok = (not full_ok) and deconv_pallas_w_supported(
-            v_proxy, h_proxy, None
-        )
-        if (full_ok or w_ok) and nd_k > 1 and n_batch > 1:
-            # batched N-D halo stacking reuses each segment's own
-            # lead_mid zeros as the W-side separator — valid only when
-            # they cover the ≤ kx-1 cross-segment patch overrun
-            # (parallel/halo.py::pallas_nd_local_fit; the W side is
-            # shared by both fused modes)
-            from .pallas_deconv import _flat_T, nd_geom
-
-            kx = kernel[-1]
-            T_flat = _flat_T(
-                nd_geom(kernel, lead_out + (chunk + kx - 1,))
-            )
-            if T_flat - kx < kx - 1:
-                full_ok = w_ok = False
-        if full_ok or w_ok:
+        if admissible is not None:
             if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
-                return "pallas" if full_ok else "pallas_w"
+                return admissible
+            lead_out = tuple(
+                s + k - 1 for s, k in zip(lead_shapes, kernel[:-1])
+            )
+            v_proxy = (n_batch, C) + lead_out + (chunk + kernel[-1] - 1,)
+            h_proxy = (n_batch, R) + lead_shapes + (chunk,)
             min_flops = float(
                 os.environ.get("PNT_AUTOTUNE_MIN_FLOPS", _MIN_FLOPS_DEFAULT)
             )
             if mode == "1" or \
                     _conv_macs_per_iter(v_proxy, h_proxy) >= min_flops:
-                import numpy as np
-
-                from . import recon as _recon
-
-                recon_nd = {
-                    1: _recon.deconv1d, 2: _recon.deconv2d,
-                    3: _recon.deconv3d,
-                }[nd_k]
-                rng = np.random.RandomState(0)
-                Vp = jnp.asarray(rng.rand(*v_proxy).astype("f") + 0.01)
-                Wp = jnp.asarray(
-                    rng.rand(*((C, R) + kernel)).astype("f") + 0.1
+                # single-device timing of the equivalent local problem
+                # (same update pair, same kernels; the VALID-vs-full cost
+                # delta is the halo frames).  Cache first: a hit must not
+                # build or transfer the proxy arrays.
+                key = (
+                    jax.devices()[0].platform, nd_k, float(beta),
+                    v_proxy, h_proxy,
                 )
-                Hpp = jnp.asarray(rng.rand(*h_proxy).astype("f") + 0.1)
-                winner = autotune_winner(
-                    Vp, Wp, Hpp, beta, nd_k, recon_nd
-                )
-                if winner == "pallas" and full_ok:
-                    return "pallas"
-                if winner == "pallas_w" and w_ok:
-                    return "pallas_w"
+                winner = _cached(key)
+                if winner is None:
+                    import numpy as np
+
+                    from . import recon as _recon
+
+                    recon_nd = {
+                        1: _recon.deconv1d, 2: _recon.deconv2d,
+                        3: _recon.deconv3d,
+                    }[nd_k]
+                    rng = np.random.RandomState(0)
+                    Vp = jnp.asarray(rng.rand(*v_proxy).astype("f") + 0.01)
+                    Wp = jnp.asarray(
+                        rng.rand(*((C, R) + kernel)).astype("f") + 0.1
+                    )
+                    Hpp = jnp.asarray(rng.rand(*h_proxy).astype("f") + 0.1)
+                    winner = autotune_winner(
+                        Vp, Wp, Hpp, beta, nd_k, recon_nd
+                    )
+                # a Mosaic win on the proxy adopts the halo-admissible
+                # fused mode (the proxy's full-vs-hybrid split follows
+                # the single-device gates, which can differ from the
+                # halo layout's — the W-side kernel, shared by both
+                # modes, carries the bulk of the measured win)
+                if winner in ("pallas", "pallas_w"):
+                    return admissible
 
     if heuristic_mode != "unrolled":
         return heuristic_mode
@@ -502,12 +505,9 @@ def autotune_halo_mode(
         v_local,
         (R,) + kernel,
     )
-    if key in _WINNERS:
-        return _WINNERS[key]
-    persisted = _load_persisted(key)
-    if persisted is not None:
-        _WINNERS[key] = persisted
-        return persisted
+    hit = _cached(key)
+    if hit is not None:
+        return hit
 
     import numpy as np
 
@@ -627,12 +627,9 @@ def autotune_hoyer_recon2(V, W, H, beta, conv_recon2, unfold_recon2,
         tuple(int(s) for s in V.shape),
         tuple(int(s) for s in H.shape),
     )
-    if key in _WINNERS:
-        return _WINNERS[key]
-    persisted = _load_persisted(key)
-    if persisted is not None:
-        _WINNERS[key] = persisted
-        return persisted
+    hit = _cached(key)
+    if hit is not None:
+        return hit
 
     cands = [("conv", conv_recon2), ("unfold", unfold_recon2)]
     if pallas_recon2 is not None:

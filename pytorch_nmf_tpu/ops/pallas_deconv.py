@@ -61,7 +61,8 @@ from .pallas_mu import _interpret_mode, pallas_supported  # noqa: F401
 
 __all__ = [
     "hgrad", "wgrad", "deconv_pallas_supported",
-    "deconv_pallas_nd_supported", "deconv_pallas_w_supported", "nd_geom",
+    "deconv_pallas_nd_supported", "deconv_pallas_w_supported",
+    "halo_pallas_mode", "nd_geom",
 ]
 
 
@@ -255,11 +256,82 @@ def deconv_pallas_w_supported(V_shape, H_shape, dtype) -> bool:
         T_geo = _flat_T(nd_geom(kernel, s_pad))
     R = int(H_shape[1])
     lp = N * (l_in + T_geo - 1)
-    rows = _ceil_to(lp, 1024) + T_geo
-    # hp resident + double-buffered cot blocks (Lc=1024 × Cc≤512) +
-    # double-buffered outs
-    scoped = 4 * (rows * R + 2 * 1024 * 512 + 2 * _ND_TK * R * 512)
-    return scoped <= _ND_HGRAD_SCOPED_BYTES
+    return _wgrad_scoped_bytes(T_geo, lp, R) <= _ND_HGRAD_SCOPED_BYTES
+
+
+def halo_pallas_mode(n_batch, C, lead_in, chunk, kernel, R,
+                     dtype=None):
+    """Which fused per-shard mode the halo solvers' ACTUAL flat layout
+    admits: ``"pallas"`` (full fused), ``"pallas_w"`` (hybrid fused-W /
+    streamed-H fold), or ``None`` (keep the XLA per-shard engines).
+
+    The single-device gates above model the single-device flat layout
+    (leading spatial axis unpadded; batches at stride ``l_in + T - 1``).
+    The halo solvers lay shards out differently
+    (``parallel/halo.py::pallas_local_fit`` / ``pallas_nd_local_fit``),
+    so gating them on the single-device predicates under-counts the
+    kernels' residents — a VMEM-over-budget compile the remote Mosaic
+    compiler may 500-and-wedge on (CLAUDE.md).  This gate owns the halo
+    layout's invariants:
+
+    * 1-D: both kernels run over ``n_batch`` segments of stride
+      ``chunk + T - 1`` (the halo frames are per-segment leads), so the
+      hgrad accumulator covers ``N·(chunk+T-1)`` flat rows even at
+      ``N = 1``;
+    * 2-D/3-D: ALL leading local axes are padded to their *output*
+      widths (``lead_out = lead_in + k - 1``) before flattening, the
+      trailing axis is VALID at ``Xa = chunk + kx - 1``, and the wgrad
+      activation/cotangent carry ``lead_mid = T_flat - kx`` extra rows
+      per segment;
+    * batched (``N > 1``) N-D stacking reuses each segment's own
+      ``lead_mid`` zeros as the W-side separator, valid only when they
+      cover the ≤ ``kx - 1`` cross-segment patch overrun
+      (``lead_mid ≥ kx - 1``).
+
+    ``lead_in``: the leading (unsharded) spatial extents of the LOCAL
+    activation; ``chunk``: the local trailing-axis activation length.
+    Mode selection (``ops/autotune.py::autotune_halo_mode``) trusts this
+    predicate and never re-derives the layout."""
+    if not pallas_supported():
+        return None
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return None
+    kernel = tuple(int(k) for k in kernel)
+    nd = len(kernel)
+    if nd not in (1, 2, 3) or nd != len(tuple(lead_in)) + 1:
+        return None
+    n_batch, R, chunk = int(n_batch), int(R), int(chunk)
+    lead_in = tuple(int(s) for s in lead_in)
+    kx = kernel[-1]
+    l_flat = chunk
+    for s in lead_in:
+        l_flat *= s
+    if n_batch * l_flat < 256:
+        return None
+    if nd == 1:
+        T_geo = kx
+        seg = chunk + T_geo - 1
+        l_h = n_batch * seg
+        lp = n_batch * seg
+    else:
+        lead_out = tuple(
+            s + k - 1 for s, k in zip(lead_in, kernel[:-1])
+        )
+        xa = chunk + kx - 1
+        T_geo = _flat_T(nd_geom(kernel, lead_out + (xa,)))
+        lead_mid = T_geo - kx
+        if n_batch > 1 and lead_mid < kx - 1:
+            return None
+        la = xa
+        for s in lead_out:
+            la *= s
+        l_h = n_batch * la
+        lp = n_batch * (la + lead_mid)
+    if _wgrad_scoped_bytes(T_geo, lp, R) > _ND_HGRAD_SCOPED_BYTES:
+        return None
+    if _hgrad_scoped_bytes(T_geo, l_h, R) <= _ND_HGRAD_SCOPED_BYTES:
+        return "pallas"
+    return "pallas_w"
 
 
 def _hgrad_kernel(R: int, Tk: int, C: int, Lw: int, Cc: int, geom=None):

@@ -1073,3 +1073,61 @@ def test_annotation_path_uses_sharded_pallas_factory(model_axis):
     ref.fit(V, 0.5, 0, 5)
     assert float(jnp.abs(m.W.data - ref.W.data).max()) < 2e-5
     assert float(jnp.abs(m.H.data - ref.H.data).max()) < 2e-5
+
+
+def test_halo_pallas_mode_models_the_halo_layout(monkeypatch):
+    """``halo_pallas_mode`` gates the fused per-shard halo modes on the
+    halo solvers' ACTUAL flat layout — which is strictly bigger than the
+    single-device layout the ``deconv_pallas*_supported`` gates model
+    (leading local axes padded to output widths; per-segment halo
+    leads).  Regression: the single-device gates previously stood in
+    and admitted VMEM-over-budget halo layouts (a Mosaic scoped-vmem
+    OOM the remote compiler can wedge on)."""
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        _ND_HGRAD_SCOPED_BYTES,
+        _hgrad_scoped_bytes,
+        deconv_pallas_nd_supported,
+        deconv_pallas_supported,
+        halo_pallas_mode,
+    )
+
+    monkeypatch.setenv("PNT_PALLAS_INTERPRET", "1")
+
+    # 2-D, N=1: the halo layout pads the leading axis to its OUTPUT
+    # width (lead_out = 2+4-1 = 5), so the hgrad accumulator covers
+    # 5*(4096+7) flat rows (~16.8 MB > the Mosaic bound) while the
+    # single-device model (2*(4096+7) rows, ~10.4 MB) passes
+    lead_in, k0, kx, chunk, R = (2,), 4, 8, 4096, 4
+    v_proxy = (1, 64, lead_in[0] + k0 - 1, chunk + kx - 1)
+    h_proxy = (1, R) + lead_in + (chunk,)
+    assert deconv_pallas_nd_supported(v_proxy, h_proxy, np.float32)
+    xa = chunk + kx - 1
+    assert _hgrad_scoped_bytes(
+        (k0 - 1) * xa + kx, (lead_in[0] + k0 - 1) * xa, R
+    ) > _ND_HGRAD_SCOPED_BYTES
+    assert halo_pallas_mode(1, 64, lead_in, chunk, (k0, kx), R) \
+        == "pallas_w"
+
+    # 1-D, N=1: the per-shard kernels run over chunk + T - 1 rows (the
+    # halo frames are the segment lead); at a boundary shape the
+    # single-device model passes while the halo layout crosses the
+    # hgrad bound and must fall to the hybrid
+    T, R1, chunk1 = 400, 8, 26272
+    v1 = (1, 32, chunk1 + T - 1)
+    h1 = (1, R1, chunk1)
+    assert deconv_pallas_supported(v1, h1, np.float32)
+    assert halo_pallas_mode(1, 32, (), chunk1, (T,), R1) == "pallas_w"
+    # well inside the bound the full fused mode stands
+    assert halo_pallas_mode(1, 32, (), 2048, (T,), R1) == "pallas"
+
+    # batched N-D separator rule lives in the gate: k0 = 1 gives
+    # lead_mid = 0 < kx - 1, so N > 1 cannot reuse the middle-axis lead
+    # as the W-side separator — N = 1 is unaffected
+    assert halo_pallas_mode(1, 16, (6,), 120, (1, 8), 5) is not None
+    assert halo_pallas_mode(2, 16, (6,), 120, (1, 8), 5) is None
+
+    # f64 and sub-256 flat lengths keep the XLA per-shard engines
+    assert halo_pallas_mode(
+        1, 16, (6,), 120, (1, 8), 5, dtype=np.float64
+    ) is None
+    assert halo_pallas_mode(1, 16, (2,), 100, (2, 8), 5) is None

@@ -521,10 +521,10 @@ def test_halo_pallas_nd_matches_conv_formulation(nd, N):
 )
 def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
     """The hybrid fused-W/streamed-H per-shard halo mode (``pallas_w``) —
-    offered exactly where the full fused mode's hgrad accumulator is
-    VMEM-gated out; here the full gate is stubbed off so the forced
-    route lands on the hybrid at a test-sized shape — must match the
-    conv/vjp formulation."""
+    offered exactly where the halo layout's hgrad accumulator is
+    VMEM-gated out; here the hgrad VMEM model is stubbed huge so
+    ``halo_pallas_mode`` lands on the hybrid at a test-sized shape —
+    must match the conv/vjp formulation."""
     from pytorch_nmf_tpu.ops import pallas_deconv
     from pytorch_nmf_tpu.parallel import halo as halo_mod
     from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit
@@ -532,6 +532,9 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
 
     rng = np.random.RandomState(29)
     mesh = make_mesh({"seq": 4})
+    monkeypatch.setattr(
+        pallas_deconv, "_hgrad_scoped_bytes", lambda *a: 1 << 40
+    )
     if nd == 1:
         C, R, T = 12, 5, 6
         L = 4 * 256
@@ -539,9 +542,6 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
         W0 = rng.rand(C, R, T).astype("f") + 0.1
         H0 = rng.rand(N, R, L - T + 1).astype("f") + 0.1
         fit = sharded_nmfd_fit
-        monkeypatch.setattr(
-            pallas_deconv, "deconv_pallas_supported", lambda *a: False
-        )
     elif nd == 2:
         C, R, Y_in, ky, kx = 8, 5, 10, 3, 4
         L = 4 * 128
@@ -549,9 +549,6 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
         W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
         H0 = rng.rand(N, R, Y_in, L - kx + 1).astype("f") + 0.1
         fit = sharded_nmf2d_fit
-        monkeypatch.setattr(
-            pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
-        )
     else:
         from pytorch_nmf_tpu.parallel import sharded_nmf3d_fit
 
@@ -563,9 +560,6 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
         W0 = rng.rand(C, R, kz, ky, kx).astype("f") + 0.1
         H0 = rng.rand(N, R, Z_in, Y_in, L - kx + 1).astype("f") + 0.1
         fit = sharded_nmf3d_fit
-        monkeypatch.setattr(
-            pallas_deconv, "deconv_pallas_nd_supported", lambda *a: False
-        )
 
     # spy on the mode handed to the solver factory (positional arg 10)
     seen = []
