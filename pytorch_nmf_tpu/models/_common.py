@@ -13,6 +13,7 @@ from ..module import next_rng_key
 __all__ = [
     "is_tensor_like",
     "to_f32",
+    "to_param",
     "rand_abs_normal",
     "assert_nonneg",
     "validate_target",
@@ -69,6 +70,20 @@ def to_f32(x):
             return jnp.asarray(x, jnp.float64)
         warnings.warn(_F64_WARNING, UserWarning, stacklevel=3)
     return jnp.asarray(x, jnp.float32)
+
+
+def to_param(x):
+    """Factor/state dtype: like :func:`to_f32` but bfloat16 promotes to
+    float32.  bf16 is a TARGET-storage capacity knob (``V`` streams from
+    HBM at half width; compute still accumulates in f32) — the factors
+    are solver *state* carried through the update loop, so a bf16 factor
+    would force a downcast of the loop carry every iteration, losing the
+    reference-parity trajectories (and the fast-path engines pin their
+    GEMM outputs to f32, which would type-mismatch the carry outright)."""
+    x = to_f32(x)
+    if getattr(x, "dtype", None) == jnp.bfloat16:
+        return x.astype(jnp.float32)
+    return x
 
 
 _F64_WARNING = (

@@ -40,6 +40,7 @@ from ._common import (
     rand_abs_normal,
     single,
     to_f32,
+    to_param,
     trailing_seq_axis,
     triple,
     validate_target,
@@ -79,7 +80,7 @@ class BaseComponent(Module):
         infer_rank = None
         if is_tensor_like(W):
             assert_nonneg(as_array(W), "W")
-            self.register_parameter("W", Parameter(to_f32(W), trainable_W))
+            self.register_parameter("W", Parameter(to_param(W), trainable_W))
             infer_rank = self._parameters["W"].shape[1]
         elif isinstance(W, Iterabc):
             W = tuple(W)
@@ -90,7 +91,7 @@ class BaseComponent(Module):
 
         if is_tensor_like(H):
             assert_nonneg(as_array(H), "H")
-            self.register_parameter("H", Parameter(to_f32(H), trainable_H))
+            self.register_parameter("H", Parameter(to_param(H), trainable_H))
             infer_rank = self._parameters["H"].shape[1]
         elif isinstance(H, Iterabc):
             H = tuple(H)

@@ -29,6 +29,7 @@ from ._common import (
     rand_abs_normal,
     single,
     to_f32,
+    to_param,
     triple,
     validate_target,
 )
@@ -71,7 +72,7 @@ class BaseComponent(Module):
         infer_rank = None
         if is_tensor_like(W):
             assert_nonneg(as_array(W), "W")
-            self.register_parameter("W", Parameter(to_f32(W), trainable_W))
+            self.register_parameter("W", Parameter(to_param(W), trainable_W))
         elif isinstance(W, Iterabc):
             self.register_parameter("W", Parameter(rand_abs_normal(tuple(W))))
         else:
@@ -84,7 +85,7 @@ class BaseComponent(Module):
 
         if is_tensor_like(H):
             assert_nonneg(as_array(H), "H")
-            self.register_parameter("H", Parameter(to_f32(H), trainable_H))
+            self.register_parameter("H", Parameter(to_param(H), trainable_H))
         elif isinstance(H, Iterabc):
             self.register_parameter("H", Parameter(rand_abs_normal(tuple(H))))
         else:
@@ -96,7 +97,7 @@ class BaseComponent(Module):
             infer_rank = p.shape[1]
 
         if is_tensor_like(Z):
-            Zarr = to_f32(Z)
+            Zarr = to_param(Z)
             assert Zarr.ndim == 1, "Z should be one dimensional."
             assert_nonneg(Zarr, "Z")
             rank = int(Zarr.shape[0])

@@ -108,19 +108,10 @@ def unfold_patches_nd(H, kernel, pad=None):
     """
     d = len(kernel)
     N, R = H.shape[:2]
-    S_in = H.shape[2:]
     if pad is None:
         pad = (True,) * d
-    S_out = tuple(
-        s + k - 1 if p else s - k + 1 for s, k, p in zip(S_in, kernel, pad)
-    )
-    H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
-    pads = (
-        ((0, 0),)
-        + tuple((k - 1, k - 1) if p else (0, 0) for k, p in zip(kernel, pad))
-        + ((0, 0),)
-    )
-    Hp2 = jnp.pad(H2, pads)
+    S_out = _pad_s_out(H.shape[2:], kernel, pad)
+    Hp2 = _h2_padded(H, kernel, pad)
     cols = []
     for tau in _taus(kernel):
         sl = Hp2
@@ -173,6 +164,47 @@ def _w2(W):
     d = W.ndim - 2
     perm = tuple(range(2, 2 + d)) + (1, 0)
     return jnp.transpose(W, perm).reshape(-1, C)
+
+
+def _w2f_padded(W):
+    """:func:`_w2` padded to a whole number of ``_PALLAS_TK``-row flat-τ
+    tiles — the Mosaic engines' kernel operand.  Padded rows are exact
+    zeros and stay zero through every multiplicative update."""
+    C, R = W.shape[:2]
+    K = _prod(W.shape[2:])
+    nkr = -(-K // _PALLAS_TK)
+    return jnp.pad(_w2(W), ((0, (nkr * _PALLAS_TK - K) * R), (0, 0)))
+
+
+def _kl_pos_w_rows(H, rows):
+    """Analytic β=1 KL denominator for W tiled over the flat
+    τ-major/rank-minor rows: ``(rows, 1)`` (the positive term of the KL
+    gradient is the per-rank activation sum)."""
+    s = kl_pos_W(H).reshape(-1)
+    return jnp.tile(s, rows // s.shape[0])[:, None]
+
+
+def _kl_pos_h_ranks(w, R):
+    """Analytic β=1 KL denominator for H from the GEMM-layout kernel:
+    per-rank sums over every (τ, c) row — padded τ rows are exact
+    zeros, so they contribute nothing."""
+    return jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
+
+
+def _h2_padded(H, kernel, pad):
+    """Spatial-major activation with the full-conv ``k - 1`` zero pads
+    on the ``True`` axes (a VALID axis is consumed un-padded — the
+    halo'd trailing axis already carries its neighbor frames):
+    ``(N, *S_pad, R)``.  The single source of the boundary convention
+    shared by the unrolled and streaming patch builders."""
+    return jnp.pad(
+        jnp.moveaxis(H, 1, -1),
+        ((0, 0),)
+        + tuple(
+            (k - 1, k - 1) if p else (0, 0) for k, p in zip(kernel, pad)
+        )
+        + ((0, 0),),
+    )
 
 
 # max patch-matrix columns before the τ axis is streamed through lax.scan
@@ -274,13 +306,7 @@ def _patch_chunk_fn(H, kernel, Tc: int, pad=None):
         pad = (True,) * len(kernel)
     S_out = _pad_s_out(H.shape[2:], kernel, pad)
     Lp = _prod(S_out)
-    H2 = jnp.moveaxis(H, 1, -1)  # (N, *S_in, R)
-    Hp2 = jnp.pad(
-        H2,
-        ((0, 0),)
-        + tuple((k - 1, k - 1) if p else (0, 0) for k, p in zip(kernel, pad))
-        + ((0, 0),),
-    )
+    Hp2 = _h2_padded(H, kernel, pad)
 
     def patch_chunk(t):
         cols = []
@@ -521,10 +547,6 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
             l1_reg, l2_reg, pos_pre,
         )
 
-    def _v2(V):
-        # flatten spatial dims; channels last
-        return jnp.moveaxis(V, 1, -1).reshape(V.shape[0], -1, V.shape[1])
-
     def _contractions(V, w, H, mode, w_side: bool):
         """(neg, pos_or_None) for one factor via the patch GEMMs; w-side
         outputs stay in ``w``'s GEMM layout.
@@ -536,7 +558,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
         R = H.shape[1]
         kernel = _kernel_dims(V.shape, H.shape)
         S_in = H.shape[2:]
-        V2 = _v2(V)
+        V2 = _v2_flat(V)
         need_pos = beta != 1
 
         if mode == "unrolled":
@@ -566,19 +588,16 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
     def _pos_w_tiled(H, w, mode):
         """Analytic KL denominator for W in ``w``'s layout: the per-rank
         activation sums tiled over the τ rows."""
-        s = kl_pos_W(H).reshape(-1)  # (R,)
         if mode == "unrolled":
-            reps = w.shape[0] // s.shape[0]
-            return jnp.tile(s, reps)[:, None]
+            return _kl_pos_w_rows(H, w.shape[0])
+        s = kl_pos_W(H).reshape(-1)  # (R,)
         reps = w.shape[1] // s.shape[0]
         return jnp.tile(s, reps)[None, :, None]
 
     def _pos_h_from_w(w, R):
-        """Analytic KL denominator for H from the GEMM-layout kernel:
-        per-rank sums over all (τ, c) — padded rows are zero.  Shaped to
-        broadcast against ``H (N, R, *S_in)``."""
-        s = jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
-        return s.reshape((R,) + (1,) * spatial_ndim)
+        """Analytic KL denominator for H, broadcast against
+        ``H (N, R, *S_in)``."""
+        return _kl_pos_h_ranks(w, R).reshape((R,) + (1,) * spatial_ndim)
 
     def upd_W(V, w, H):
         mode = _mode(V.shape, H.shape, V.dtype)
@@ -592,7 +611,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
                 else None
             )
             return _stream_upd_w(
-                _v2(V), w, H, _kernel_dims(V.shape, H.shape),
+                _v2_flat(V), w, H, _kernel_dims(V.shape, H.shape),
                 beta, gamma, l1_reg, l2_reg, pos_tiled,
             )
         neg, pos = _contractions(V, w, H, mode, w_side=True)
@@ -631,7 +650,7 @@ def _deconv_unfold_updater_factory(spatial_ndim, beta, gamma, l1_reg, l2_reg):
             WH2 = _dot(unfold_patches_nd(H, kernel), w)
         else:
             WH2 = _stream_recon(w, H, kernel)
-        return beta_div(WH2, _v2(V), beta)
+        return beta_div(WH2, _v2_flat(V), beta)
 
     return upd_W, upd_H, loss_terms, prepare, finish
 
@@ -760,11 +779,8 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     def prepare(V, W, H):
         if V.dtype != jnp.float32:
             raise ValueError("pallas deconv engine: float32 targets only")
-        kernel, _, _, nkr = _dims(V.shape, H.shape)
-        R = H.shape[1]
-        K = _prod(kernel)
-        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
-        return W2f, H
+        _dims(V.shape, H.shape)  # shape gate (raises when unsupported)
+        return _w2f_padded(W), H
 
     def finish(V, w, h):
         kernel, _, _, _ = _dims(V.shape, h.shape)
@@ -884,13 +900,10 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
     def _tiled_kl_pos_w(H, w):
-        s = kl_pos_W(H).reshape(-1)  # (R,)
-        reps = w.shape[0] // s.shape[0]
-        return jnp.tile(s, reps)[:, None]
+        return _kl_pos_w_rows(H, w.shape[0])
 
     def _pos_h_flat(w, R):
-        s = jnp.sum(w.reshape(-1, R, w.shape[-1]), axis=(0, 2))
-        return s.reshape((1, R) + (1,) * nd)
+        return _kl_pos_h_ranks(w, R).reshape((1, R) + (1,) * nd)
 
     def loss_terms(V, w, H):
         from ..metrics import beta_div
@@ -942,18 +955,7 @@ def _h_unflat_nd(out, H_shape, kernel):
     """``(R, L_flat)`` → ``(1, R, *S_in)``: undo :func:`_h_flat_nd`
     (crop the trailing-axis pads — their columns carry harmless
     garbage, never real cotangent)."""
-    R = H_shape[1]
-    if len(kernel) == 1:
-        return out[None]
-    s_pad = tuple(
-        int(s) + (0 if d == 0 else int(kernel[d]) - 1)
-        for d, s in enumerate(H_shape[2:])
-    )
-    full = out.reshape((R,) + s_pad)
-    for d, s in enumerate(H_shape[2:]):
-        if d > 0:
-            full = lax.slice_in_dim(full, 0, int(s), axis=1 + d)
-    return full[None]
+    return _h_unflat_batched(out[None], H_shape, kernel)
 
 
 def _h_unflat_batched(segs, H_shape, kernel):
@@ -999,6 +1001,24 @@ def _cot_stacked(cot, seg_stride):
     return cotp.reshape(-1, C_)
 
 
+
+def _pallas_recon_forward(H, W):
+    """The custom-vjp deconv makers' shared primal: streaming patch-GEMM
+    reconstruction on the ``_PALLAS_TK``-tiled flat kernel, model layout
+    out (``(N, C, *S_out)``)."""
+    R = H.shape[1]
+    W2f = _w2f_padded(W)
+    v_sp = tuple(
+        int(s) + int(k) - 1 for s, k in zip(H.shape[2:], W.shape[2:])
+    )
+    WH2 = _stream_recon(
+        W2f.reshape(-1, _PALLAS_TK * R, W.shape[0]), H, W.shape[2:]
+    )  # (N, Lp, C)
+    return jnp.moveaxis(WH2, -1, 1).reshape(
+        (H.shape[0], W.shape[0]) + v_sp
+    )
+
+
 def _make_pallas_unfold_deconv(interpret: bool):
     """``custom_vjp`` deconvolution whose adjoints run the fused Mosaic
     kernels: forward = the streaming patch GEMMs, ``dH`` =
@@ -1018,25 +1038,9 @@ def _make_pallas_unfold_deconv(interpret: bool):
 
     Tk = _PALLAS_TK
 
-    def _w2f(W):
-        C, R = W.shape[:2]
-        K = _prod(W.shape[2:])
-        nkr = -(-K // Tk)
-        return jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
-
     @jax.custom_vjp
     def pallas_deconv(H, W):
-        R = H.shape[1]
-        W2f = _w2f(W)
-        v_sp = tuple(
-            int(s) + int(k) - 1 for s, k in zip(H.shape[2:], W.shape[2:])
-        )
-        WH2 = _stream_recon(
-            W2f.reshape(-1, Tk * R, W.shape[0]), H, W.shape[2:]
-        )  # (N, Lp, C)
-        return jnp.moveaxis(WH2, -1, 1).reshape(
-            (H.shape[0], W.shape[0]) + v_sp
-        )
+        return _pallas_recon_forward(H, W)
 
     def fwd(H, W):
         return pallas_deconv(H, W), (H, W)
@@ -1050,7 +1054,7 @@ def _make_pallas_unfold_deconv(interpret: bool):
         if N == 1:
             ct2 = jnp.moveaxis(ct, 1, -1).reshape(-1, C)  # (Lp, C)
             dH = _h_unflat_nd(
-                hgrad(ct2, _w2f(W), R, Tk, L_flat, interpret=interpret,
+                hgrad(ct2, _w2f_padded(W), R, Tk, L_flat, interpret=interpret,
                       geom=geom),
                 H.shape, kernel,
             )
@@ -1064,7 +1068,7 @@ def _make_pallas_unfold_deconv(interpret: bool):
             ctf = _cot_stacked(
                 jnp.moveaxis(ct, 1, -1).reshape(N, -1, C), seg
             )
-            out = hgrad(ctf, _w2f(W), R, Tk, N * seg,
+            out = hgrad(ctf, _w2f_padded(W), R, Tk, N * seg,
                         interpret=interpret, geom=geom)
             segs = jnp.moveaxis(
                 out.reshape(R, N, seg)[:, :, :L_flat], 1, 0
@@ -1096,25 +1100,9 @@ def _make_pallas_w_unfold_deconv(interpret: bool):
 
     Tk = _PALLAS_TK
 
-    def _w2f(W):
-        C, R = W.shape[:2]
-        K = _prod(W.shape[2:])
-        nkr = -(-K // Tk)
-        return jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
-
     @jax.custom_vjp
     def pallas_w_deconv(H, W):
-        R = H.shape[1]
-        W2f = _w2f(W)
-        v_sp = tuple(
-            int(s) + int(k) - 1 for s, k in zip(H.shape[2:], W.shape[2:])
-        )
-        WH2 = _stream_recon(
-            W2f.reshape(-1, Tk * R, W.shape[0]), H, W.shape[2:]
-        )  # (N, Lp, C)
-        return jnp.moveaxis(WH2, -1, 1).reshape(
-            (H.shape[0], W.shape[0]) + v_sp
-        )
+        return _pallas_recon_forward(H, W)
 
     def fwd(H, W):
         return pallas_w_deconv(H, W), (H, W)
@@ -1125,7 +1113,7 @@ def _make_pallas_w_unfold_deconv(interpret: bool):
         N = int(H.shape[0])
         kernel, geom, T_geo, L_flat = _flat_geom(ct.shape, H.shape)
         K = _prod(kernel)
-        W2f = _w2f(W)
+        W2f = _w2f_padded(W)
         ctv = jnp.moveaxis(ct, 1, -1).reshape(N, -1, C)
         dH = _stream_h_contract(
             W2f.reshape(-1, Tk * R, C), (ctv,), H, kernel, False

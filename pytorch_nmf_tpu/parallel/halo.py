@@ -49,6 +49,7 @@ from ..ops.fast_nmfd import (
     _stream_upd_w,
     _streaming_dims,
     _w2,
+    _w2f_padded,
     _w3_from_w,
     _w_from_w3,
     unfold_patches_nd,
@@ -416,9 +417,7 @@ def _get_sharded_deconv_fit(
                 )
             return w2f, hp
 
-        W2f = jnp.pad(
-            _w2(W), ((0, (nkr * Tk - T_) * R), (0, 0))
-        )
+        W2f = _w2f_padded(W)
         (W2f, Hp), k, converged, _ = _converging_loop(
             one_iter, loss_of, (W2f, Hp), tol, max_iter, False
         )
@@ -617,7 +616,7 @@ def _get_sharded_deconv_fit(
                 )
             return w2f, hp
 
-        W2f = jnp.pad(_w2(W), ((0, (nkr * Tk - K) * R), (0, 0)))
+        W2f = _w2f_padded(W)
         (W2f, Hp), k, converged, _ = _converging_loop(
             one_iter, loss_of, (W2f, Hp), tol, max_iter, False
         )

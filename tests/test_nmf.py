@@ -224,3 +224,27 @@ def test_bf16_target_storage(beta):
     # same optimization result to bf16 input-rounding accuracy
     assert abs(la - lb) / lb < 2e-2, (la, lb)
     assert a.W.data.dtype == jnp.float32  # factors stay f32
+
+
+def test_bf16_factors_promote_to_f32():
+    """bfloat16 is a TARGET-storage knob only: user-supplied bf16 factors
+    promote to float32 at Parameter registration (to_param) — bf16 solver
+    state would type-mismatch the f32-pinned fast-path loop carries
+    (regression: NMFD with bf16 factors crashed in the unfold engine)."""
+    import jax.numpy as jnp
+
+    V = RNG.rand(1, 24, 300).astype("f") + 0.01
+    W0 = RNG.rand(24, 4, 8).astype("f") + 0.1
+    H0 = RNG.rand(1, 4, 293).astype("f") + 0.1
+
+    a = NMFD(W=jnp.asarray(W0, jnp.bfloat16), H=jnp.asarray(H0, jnp.bfloat16))
+    assert a.W.data.dtype == jnp.float32
+    assert a.H.data.dtype == jnp.float32
+    n = a.fit(jnp.asarray(V, jnp.bfloat16), 1, 0, 5)
+    assert n == 5 and bool(jnp.all(jnp.isfinite(a.W.data)))
+
+    m = NMF(W=jnp.asarray(RNG.rand(30, 3).astype("f"), jnp.bfloat16),
+            H=jnp.asarray(RNG.rand(50, 3).astype("f"), jnp.bfloat16))
+    assert m.W.data.dtype == jnp.float32
+    m.fit(RNG.rand(50, 30).astype("f"), 2, 0, 5)
+    assert bool(jnp.all(jnp.isfinite(m.H.data)))
