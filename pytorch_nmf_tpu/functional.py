@@ -47,9 +47,22 @@ __all__ = [
 ]
 
 
+
+
+def _params(*xs):
+    """Factor-state dtype normalization shared with the model layer
+    (``models/_common.to_param``): bf16 promotes to f32 — bfloat16 is a
+    TARGET-storage knob, and the solvers' f32-pinned loop carries
+    type-mismatch on bf16 state — while f64-under-x64 is honored."""
+    from .models._common import to_param
+
+    return tuple(to_param(x) for x in xs)
+
+
 def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
          l1_reg, l2_reg):
     _validate(V, beta)
+    W, H = _params(W, H)
     if isinstance(V, SparseCOO):
         if model_cls._sp_pos_neg is None:
             raise NotImplementedError(
@@ -107,6 +120,7 @@ def nmf_fit_batched(V, W, H, beta=1, tol=1e-4, max_iter=200, update_W=True,
 
     model_cls = model_cls or _nmf_models.NMF
     _validate(V, beta)
+    W, H = _params(W, H)
     if model_cls is _nmf_models.NMF:
         # the Gram-trick beta=2 updaters are plain GEMMs and vmap cleanly;
         # other beta values use the generic VJP engine under vmap
@@ -134,6 +148,7 @@ def plca_fit_batched(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     from .ops.solver import alpha_is_active, get_batched_plca_fit
 
     model_cls = model_cls or _plca_models.PLCA
+    W, H, Z = _params(W, H, Z)
     recon3 = model_cls._resolve_fit_recon3()
     fit = get_batched_plca_fit(
         recon3, float(tol), int(max_iter),
@@ -177,8 +192,6 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     ``model_cls`` defaults to plain ``NMF``; any NMF-family class works for
     dense targets.  Sparse COO targets are supported for ``NMF`` only.
     """
-    import jax.numpy as jnp
-
     _validate(V, beta)
     model_cls = model_cls or _nmf_models.NMF
     is_sp = isinstance(V, SparseCOO)
@@ -186,8 +199,7 @@ def nmf_hoyer_fit(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
         raise NotImplementedError(
             f"{model_cls.__name__} does not support sparse targets"
         )
-    W = jnp.asarray(W)
-    H = jnp.asarray(H)
+    W, H = _params(W, H)
     fit = get_hoyer_fit(
         None if is_sp
         else model_cls._resolve_fit_recon2_shaped(V, W, H, beta),
@@ -212,8 +224,6 @@ def nmf_hoyer_fit_batched(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
     with ``n_iter (B,)``.  Each problem's backtracking trajectories match
     running it alone through :func:`nmf_hoyer_fit`.
     """
-    import jax.numpy as jnp
-
     from .ops.solver import get_batched_hoyer_fit
 
     _validate(V, beta)
@@ -222,8 +232,7 @@ def nmf_hoyer_fit_batched(V, W, H, beta=2, max_iter=200, sW=None, sH=None,
         raise NotImplementedError(
             "batched Hoyer fits support dense targets only"
         )
-    W = jnp.asarray(W)
-    H = jnp.asarray(H)
+    W, H = _params(W, H)
     fit = get_batched_hoyer_fit(
         # static hook on purpose: the batched solver vmaps over problems
         # and the custom-vjp Mosaic recon is not offered under vmap
@@ -253,6 +262,7 @@ def plca_fit(V, W, H, Z, model_cls=None, tol=1e-4, max_iter=200,
     from .ops.solver import alpha_is_active
 
     model_cls = model_cls or _plca_models.PLCA
+    W, H, Z = _params(W, H, Z)
     recon3 = model_cls._resolve_fit_recon3()
     fit = get_plca_fit(
         recon3, float(tol), int(max_iter),

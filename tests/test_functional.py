@@ -397,3 +397,29 @@ def test_batched_hoyer_mixed_constraint():
         )
         assert float(jnp.abs(Wb[b] - Ws).max()) < 1e-5
         assert float(jnp.abs(Hb[b] - Hs).max()) < 1e-5
+
+
+def test_functional_bf16_factors_promote_to_f32():
+    """The functional surface shares the model layer's factor-dtype rule
+    (to_param): bf16 W/H promote to f32 instead of type-mismatching the
+    f32-pinned solver carries (regression: nmfd_fit with bf16 factors
+    crashed at trace time)."""
+    import jax.numpy as jnp
+
+    from pytorch_nmf_tpu.functional import nmf_fit, nmf_hoyer_fit, nmfd_fit
+
+    V = RNG.rand(1, 16, 280).astype("f") + 0.01
+    W0 = jnp.asarray(RNG.rand(16, 3, 6).astype("f") + 0.1, jnp.bfloat16)
+    H0 = jnp.asarray(RNG.rand(1, 3, 275).astype("f") + 0.1, jnp.bfloat16)
+    W, H, n = nmfd_fit(V, W0, H0, beta=1, tol=0, max_iter=4)
+    assert W.dtype == jnp.float32 and H.dtype == jnp.float32
+    assert int(n) == 4 and bool(jnp.all(jnp.isfinite(W)))
+
+    Vd = RNG.rand(40, 30).astype("f") + 0.01
+    Wb = jnp.asarray(RNG.rand(30, 4).astype("f") + 0.1, jnp.bfloat16)
+    Hb = jnp.asarray(RNG.rand(40, 4).astype("f") + 0.1, jnp.bfloat16)
+    W, H, _ = nmf_fit(Vd, Wb, Hb, beta=2, tol=0, max_iter=4)
+    assert W.dtype == jnp.float32
+
+    W, H, _ = nmf_hoyer_fit(Vd, Wb, Hb, beta=2, max_iter=3, sW=0.4)
+    assert W.dtype == jnp.float32 and bool(jnp.all(jnp.isfinite(H)))
