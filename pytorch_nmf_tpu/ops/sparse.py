@@ -125,8 +125,8 @@ def sparse_coo_tensor(indices, values, shape) -> SparseCOO:
     if res is not None:
         uniq, summed = res
     else:
-        order = np.argsort(flat, kind="stable")
-        flat, vals = flat[order], vals[order]
+        # np.unique handles unsorted input; duplicate summation via
+        # np.add.at is order-independent, so no pre-sort is needed
         uniq, inv = np.unique(flat, return_inverse=True)
         summed = np.zeros(uniq.shape[0], dtype=vals.dtype)
         np.add.at(summed, inv, vals)

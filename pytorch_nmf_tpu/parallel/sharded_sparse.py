@@ -99,7 +99,11 @@ def _build_sharded_ell(V: SparseCOO, n_dev: int):
                 Lc_stack,
                 min(int(np.bincount(jj[s:e], minlength=K).max()), cap_c),
             )
-    max_bytes = int(os.environ.get("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3))
+    from ..ops.budget import budget_bytes
+
+    # same HBM-aware budget as the single-device builder (ops/sparse.py
+    # build_ell) so the accept/reject rule cannot drift between paths
+    max_bytes = budget_bytes("PNT_SPARSE_ELL_MAX_BYTES", 4 * 1024**3, 0.25)
     per_shard = 8 * (M_loc * Lr_stack + K * Lc_stack)
     if per_shard > max_bytes:
         raise ValueError(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .constants import eps
 from .module import Parameter
-from .ops.mu import gamma_from_beta
+from .ops.mu import gamma_from_beta, mu_cotangents
 from .ops.projection import proj_columns
 
 __all__ = ["BetaMu", "SparsityProj"]
@@ -126,6 +126,14 @@ def _closure_fingerprint(closure, optimized_params=()):
     refs.extend(getattr(closure, "__defaults__", None) or ())
     globs = getattr(closure, "__globals__", {})
     refs.extend(globs[n] for n in code.co_names if n in globs)
+    # bound methods capture through the instance (``self.V``), not cells:
+    # the instance and its attribute values join the key, so rebinding
+    # ``obj.V = new_target`` between steps misses the cache instead of
+    # replaying a sweep with the old target baked in as a constant
+    self_obj = getattr(closure, "__self__", None)
+    if self_obj is not None:
+        refs.append(self_obj)
+        refs.extend(getattr(self_obj, "__dict__", {}).values())
     # data ids of any captured NON-OPTIMIZED Parameter (directly or inside a
     # captured Module): their values are baked constants, so rebinding
     # .data must miss the cache.  The optimizer's own parameters are jit
@@ -290,18 +298,11 @@ class BetaMu(_Optimizer):
                     return WH, jnp.asarray(V)
 
                 WH, vjp, V = jax.vjp(f, cur[i], has_aux=True)
-                if beta == 2:
-                    neg_cot, pos_cot = V, WH
-                elif beta == 1:
-                    neg_cot = V / (WH + eps)
-                    pos_cot = jnp.ones_like(WH)
-                elif beta == 0:
-                    recip = 1.0 / (WH + eps)
-                    neg_cot, pos_cot = recip * recip * V, recip
-                else:
-                    WH_eps = WH + eps
-                    neg_cot = WH_eps ** (beta - 2) * V
-                    pos_cot = WH_eps ** (beta - 1)
+                # β-specific cotangent pair; β=1 uses ones for the
+                # positive side (reference trainer.py:83)
+                neg_cot, pos_cot = mu_cotangents(
+                    V, WH, beta, kl_pos_ones=True
+                )
 
                 neg_raw = vjp(neg_cot)[0]
                 pos_raw = vjp(pos_cot)[0]
@@ -485,18 +486,9 @@ class BetaMu(_Optimizer):
 
                 # β-specific cotangent pair; β=1 uses ones for the positive
                 # side here (reference trainer.py:83), unlike the fit solver.
-                if beta == 2:
-                    neg_cot, pos_cot = V, WH
-                elif beta == 1:
-                    neg_cot = V / (WH + eps)
-                    pos_cot = jnp.ones_like(WH)
-                elif beta == 0:
-                    recip = 1.0 / (WH + eps)
-                    neg_cot, pos_cot = recip * recip * V, recip
-                else:
-                    WH_eps = WH + eps
-                    neg_cot = WH_eps ** (beta - 2) * V
-                    pos_cot = WH_eps ** (beta - 1)
+                neg_cot, pos_cot = mu_cotangents(
+                    V, WH, beta, kl_pos_ones=True
+                )
 
                 neg_raw = vjp(neg_cot)[0]
                 pos_raw = vjp(pos_cot)[0]

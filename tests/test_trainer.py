@@ -378,3 +378,32 @@ def test_sparsityproj_run_matches_repeated_step():
         np.asarray(m_step.W.grad), np.asarray(m_run.W.grad),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_closure_fingerprint_tracks_bound_method_state():
+    """Bound-method closures capture through the instance, not cells:
+    rebinding an instance attribute between steps must miss the compiled
+    cache (regression: the key was just the code object, so a rebound
+    target replayed a sweep with the old array baked in)."""
+    import jax.numpy as jnp
+
+    from pytorch_nmf_tpu.trainer import _closure_fingerprint
+
+    class Holder:
+        def __init__(self, V):
+            self.V = V
+
+        def closure(self):
+            return self.V
+
+    h = Holder(jnp.ones(3))
+    k1, _ = _closure_fingerprint(h.closure)
+    k1b, _ = _closure_fingerprint(h.closure)
+    assert k1 == k1b  # unchanged state hits the cache
+    h.V = jnp.zeros(3)
+    k2, _ = _closure_fingerprint(h.closure)
+    assert k1 != k2  # rebinding the captured target misses it
+
+    h2 = Holder(jnp.ones(3))
+    k3, _ = _closure_fingerprint(h2.closure)
+    assert k3 != k1  # a different instance is a different capture
