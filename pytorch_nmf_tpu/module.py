@@ -188,6 +188,20 @@ class Parameter:
     def __lt__(self, o):
         return self.value < o
 
+    # elementwise like every other comparison above; hashing stays
+    # object-identity (Parameters key caches and sets by identity)
+    __hash__ = object.__hash__
+
+    def __eq__(self, o):
+        if isinstance(o, Parameter):
+            o = o.value
+        return self.value == o
+
+    def __ne__(self, o):
+        if isinstance(o, Parameter):
+            o = o.value
+        return self.value != o
+
     def sum(self, *a, **k):
         return self.value.sum(*a, **k)
 
@@ -218,6 +232,14 @@ def as_array(x):
     return jnp.asarray(x)
 
 
+def _to_param(v):
+    """Factor-state dtype rule at the checkpoint/params boundary (lazy
+    import: ``models._common`` imports from this module)."""
+    from .models._common import to_param
+
+    return to_param(v)
+
+
 class Module:
     """Tiny registration/checkpoint container for model classes."""
 
@@ -234,6 +256,16 @@ class Module:
             self._parameters[name] = value
         elif isinstance(value, Module):
             self._modules[name] = value
+        elif name in getattr(self, "_parameters", {}):
+            # torch parity (nn.Module.__setattr__): a plain array assigned
+            # to a registered parameter name would silently shadow the
+            # Parameter — fit/state_dict would keep using the old factor.
+            # Assign ``model.W.data = new_W`` or a Parameter instead.
+            raise TypeError(
+                f"cannot assign {type(value).__name__!r} as parameter "
+                f"{name!r} (Parameter expected; use .{name}.data = ... "
+                "to rebind the value)"
+            )
         else:
             object.__setattr__(self, name, value)
 
@@ -289,7 +321,7 @@ class Module:
                     f"Shape mismatch for {k!r}: "
                     f"{tuple(own[k].data.shape)} vs {tuple(jnp.shape(v))}"
                 )
-            own[k].data = jnp.asarray(v)
+            own[k].data = _to_param(v)
 
     def zero_grad(self) -> None:
         for p in self.parameters():
@@ -332,7 +364,7 @@ class Module:
         """Write a ``pure_call``-style params dict back into the module."""
         named = dict(self.named_parameters())
         for name, value in params.items():
-            named[name].data = jnp.asarray(value)
+            named[name].data = _to_param(value)
 
     def __deepcopy__(self, memo):
         new = object.__new__(type(self))

@@ -148,27 +148,31 @@ def streaming_nmf_fit(
     n_iter = max_iter
     converged = False
 
-    for it in range(max_iter):
-        if update_W:
-            neg_acc = None
-            pos_acc = None
-            for Vb, b in blocks():
-                neg_b, pos_b = w_contract(Vb, W, H_blocks[b])
-                neg_acc = neg_b if neg_acc is None else neg_acc + neg_b
-                pos_acc = pos_b if pos_acc is None else pos_acc + pos_b
-            W = w_update(W, neg_acc, pos_acc)
-        if update_H:
-            for Vb, b in blocks():
-                H_blocks[b] = h_update(Vb, W, H_blocks[b])
+    try:
+        for it in range(max_iter):
+            if update_W:
+                neg_acc = None
+                pos_acc = None
+                for Vb, b in blocks():
+                    neg_b, pos_b = w_contract(Vb, W, H_blocks[b])
+                    neg_acc = neg_b if neg_acc is None else neg_acc + neg_b
+                    pos_acc = pos_b if pos_acc is None else pos_acc + pos_b
+                W = w_update(W, neg_acc, pos_acc)
+            if update_H:
+                for Vb, b in blocks():
+                    H_blocks[b] = h_update(Vb, W, H_blocks[b])
 
-        if it % 10 == 9:
-            loss = total_loss(W)
-            if (prev - loss) / loss_init < tol:
-                n_iter = it + 1
-                converged = True
-                break
-            prev = loss
+            if it % 10 == 9:
+                loss = total_loss(W)
+                if (prev - loss) / loss_init < tol:
+                    n_iter = it + 1
+                    converged = True
+                    break
+                prev = loss
 
-    pool.shutdown(wait=False)
+    finally:
+        # shut down on every exit path: a device error mid-fit must not
+        # leak the prefetch worker and its in-flight host block
+        pool.shutdown(wait=False)
     H_out = jnp.concatenate(H_blocks, axis=0) if n_blocks > 1 else H_blocks[0]
     return W, H_out, n_iter

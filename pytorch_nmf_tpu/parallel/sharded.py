@@ -33,8 +33,8 @@ from ..metrics import beta_div
 from ..ops.mu import gamma_from_beta, mu_cotangents, mu_multiplier
 from ..ops.solver import (
     _converging_loop,
+    _plca_em_iter,
     _plca_marginal_sum,
-    _threshold_eps,
     alpha_is_active,
 )
 
@@ -241,14 +241,9 @@ class _ShardedUpdaterFactory:
             check_vma=not fuse,
         )
 
-        # solver updater signature: upd(V, W, H) -> new factor
-        def upd_W_g(V, W, H):
-            return upd_W(V, W, H)
-
-        def upd_H_g(V, W, H):
-            return upd_H(V, W, H)
-
-        return upd_W_g, upd_H_g
+        # both already match the solver updater signature
+        # upd(V, W, H) -> new factor
+        return upd_W, upd_H
 
 
 @lru_cache(maxsize=None)
@@ -344,45 +339,21 @@ def _get_sharded_plca_fit(
             return jnp.sqrt(2.0 * lax.psum(part, data_axis))
 
         def one_iter(state):
-            w, h, z = state
-            # E-step: one VJP; cotangents of the REPLICATED w and z come
-            # back auto-psum'd over the data axis by shard_map's
-            # replication tracking (no explicit psum — see halo.py).
-            WZH, vjp = jax.vjp(recon, h, w, z)
-            gH, gW, gZ = vjp(Vn / (WZH + eps))
-
-            Z_prior = None
-            if update_Z:
-                z = z * jax.nn.relu(gZ)
-                Z_prior = z
-                if Z_alpha_active:
-                    z = _threshold_eps(z + (Z_alpha - 1.0))
-                z = z / jnp.sum(z)
-
-            if update_W:
-                w = w * jax.nn.relu(gW)
-                if Z_prior is None:
-                    W_divider = _plca_marginal_sum(w)  # W replicated: local ok
-                    Z_prior = W_divider.reshape(-1)
-                else:
-                    W_divider = Z_prior.reshape((-1,))
-                w = w / W_divider
-                if W_alpha_active:
-                    w = _threshold_eps(w + (W_alpha - 1.0))
-                    w = w / _plca_marginal_sum(w)
-
-            if update_H:
-                h = h * jax.nn.relu(gH)
-                if Z_prior is None:
-                    H_divider = lax.psum(_plca_marginal_sum(h), data_axis)
-                else:
-                    H_divider = Z_prior.reshape((-1,))
-                h = h / H_divider
-                if H_alpha_active:
-                    h = _threshold_eps(h + (H_alpha - 1.0))
-                    h = h / lax.psum(_plca_marginal_sum(h), data_axis)
-
-            return w, h, z
+            # the shared EM iteration (ops/solver._plca_em_iter): one VJP
+            # E-step — cotangents of the REPLICATED w and z come back
+            # auto-psum'd by shard_map's replication tracking (no
+            # explicit psum, see halo.py) — with the H marginal psum'd
+            # over the sharded sample axis.  No h_mask: shard_map
+            # requires the data axis to divide evenly, so there is no
+            # padding for the Dirichlet adjustment to pollute.
+            return _plca_em_iter(
+                recon, update_W, update_H, update_Z,
+                W_alpha_active, H_alpha_active, Z_alpha_active,
+                Vn, state, W_alpha, H_alpha, Z_alpha,
+                h_marginal=lambda hh: lax.psum(
+                    _plca_marginal_sum(hh), data_axis
+                ),
+            )
 
         (W, H, Z), k, conv, _ = _converging_loop(
             one_iter, loss_of, (W, H, Z), tol, max_iter, False

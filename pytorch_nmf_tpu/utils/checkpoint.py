@@ -171,6 +171,17 @@ def _checkpoint_loop(model, run_id, current_loss, run_segment,
                 (k, jnp.asarray(data[k])) for k in data.files
                 if not k.startswith(_META_PREFIX)
             )
+            missing = [
+                k for k in ("iter", "loss_init", "prev_loss")
+                if _META_PREFIX + k not in data.files
+            ]
+            if missing:
+                raise ValueError(
+                    f"checkpoint {files[-1]!r} lacks resume metadata "
+                    f"({missing}); it was not written by checkpointed_fit "
+                    "— pass resume=False or point at a segmented-fit "
+                    "directory"
+                )
             done = int(data[_META_PREFIX + "iter"])
             loss_init = float(data[_META_PREFIX + "loss_init"])
             prev_loss = float(data[_META_PREFIX + "prev_loss"])

@@ -384,3 +384,39 @@ def test_verbose_record_mode_matches_streaming(monkeypatch):
     # PLCA's log-posterior rides the extras channel in record mode too
     np.testing.assert_allclose(stream["plca"][3], record["plca"][3],
                                rtol=1e-6)
+
+
+def test_setattr_cannot_shadow_parameter():
+    """torch parity (nn.Module.__setattr__): assigning a plain array to a
+    registered parameter name raises instead of silently shadowing the
+    Parameter (fit/state_dict would keep using the old factor)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pytorch_nmf_tpu.nmf import NMF
+
+    m = NMF((10, 8), 2)
+    with pytest.raises(TypeError, match="cannot assign"):
+        m.W = jnp.zeros((8, 2))
+    from pytorch_nmf_tpu.module import Parameter
+
+    m.W = Parameter(jnp.ones((8, 2)))  # a Parameter still rebinds
+    assert float(m.W.data.min()) == 1.0
+
+
+def test_load_state_dict_applies_factor_dtype_rule():
+    """Checkpoint restores honor the factor-state dtype rule: bf16 values
+    promote to f32 (bf16 is a target-storage knob; bf16 solver state
+    type-mismatches the f32-pinned loop carries)."""
+    import jax.numpy as jnp
+
+    from pytorch_nmf_tpu.nmf import NMF
+
+    m = NMF((10, 8), 2)
+    state = {k: jnp.asarray(v, jnp.bfloat16)
+             for k, v in m.state_dict().items()}
+    m.load_state_dict(state)
+    assert m.W.data.dtype == jnp.float32
+    m.load_params({n: jnp.asarray(p.data, jnp.bfloat16)
+                   for n, p in m.named_parameters()})
+    assert m.H.data.dtype == jnp.float32
