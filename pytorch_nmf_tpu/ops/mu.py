@@ -128,7 +128,12 @@ def mu_update(
     reference's one forward + 1-2 backwards (nmf.py:77-83).
     """
     WH, vjp = jax.vjp(recon, p)
-    neg_cot, pos_cot = mu_cotangents(V, WH, beta)
+    # without an analytic β=1 positive term, vjp(ones) IS that term for
+    # any linear recon (kl_pos_ones) — a None cotangent would crash the
+    # second vjp application
+    neg_cot, pos_cot = mu_cotangents(
+        V, WH, beta, kl_pos_ones=pos_precomputed is None
+    )
 
     neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
     if pos_precomputed is not None:

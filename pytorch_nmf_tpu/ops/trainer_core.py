@@ -20,25 +20,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import eps
-from .mu import gamma_from_beta
-from .projection import proj_columns
+from .mu import gamma_from_beta, get_norm, mu_cotangents
+from .projection import hoyer_l1_target, proj_columns
 
 __all__ = ["betamu_step", "sparsity_proj_step"]
-
-
-def _trainer_cotangents(V, WH, beta):
-    """β cotangent pair with the trainer's β=1 convention
-    (reference trainer.py:78-91)."""
-    if beta == 2:
-        return V, WH
-    elif beta == 1:
-        return V / (WH + eps), jnp.ones_like(WH)
-    elif beta == 0:
-        r = 1.0 / (WH + eps)
-        return r * r * V, r
-    else:
-        WHe = WH + eps
-        return WHe ** (beta - 2) * V, WHe ** (beta - 1)
 
 
 def betamu_step(
@@ -89,7 +74,9 @@ def betamu_step(
             return predict_fn(jax.tree_util.tree_unflatten(treedef, ls))
 
         WH, vjp = jax.vjp(f, leaves[i])
-        neg_cot, pos_cot = _trainer_cotangents(V, WH, beta)
+        # β cotangent pair with the trainer's β=1 ones convention
+        # (reference trainer.py:78-91)
+        neg_cot, pos_cot = mu_cotangents(V, WH, beta, kl_pos_ones=True)
         neg_raw = vjp(neg_cot)[0]
         pos_raw = vjp(pos_cot)[0]
         neg = jax.nn.relu(neg_raw)
@@ -143,10 +130,8 @@ def sparsity_proj_step(
     def project_all(ls, step):
         out = []
         for p, g in zip(ls, grads):
-            N = p.size // p.shape[dim]
-            L1 = N**0.5 * (1 - sparsity) + sparsity
-            x = jnp.moveaxis(p, dim, 0).reshape(p.shape[dim], -1)
-            norms = jnp.sqrt(jnp.sum(x * x, axis=1))
+            L1 = hoyer_l1_target(p.size // p.shape[dim], sparsity)
+            norms = get_norm(p, dim)
             out.append(proj_columns(p - step * g, L1, axis=dim, norms=norms))
         return out
 
@@ -157,19 +142,19 @@ def sparsity_proj_step(
     new_leaves, loss = attempt(leaves, lr)
 
     def cond(st):
-        i, step, ls, cur, l = st
+        i, step, cur, l = st
         return (i < max_iter) & (l > init_loss)
 
     def body(st):
-        i, step, ls, cur, l = st
+        i, step, cur, l = st
         # reference-style undo onto the projected value, then halve
         cur = [p + step * g for p, g in zip(cur, grads)]
         step = step * 0.5
         new, l = attempt(cur, step)
-        return i + 1, step, ls, new, l
+        return i + 1, step, new, l
 
-    _, lr, _, new_leaves, loss = lax.while_loop(
-        cond, body, (jnp.int32(1), jnp.asarray(lr, jnp.float32), leaves,
+    _, lr, new_leaves, loss = lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.asarray(lr, jnp.float32),
                      new_leaves, loss)
     )
     # reference semantics when every attempt fails (trainer.py:180-187):

@@ -199,3 +199,32 @@ def test_halo_mode_autotune(monkeypatch):
     assert any(str(k[1]).startswith("halo") for k in autotune._WINNERS)
     assert float(np.abs(np.asarray(Wa) - np.asarray(Wr)).max()) < 5e-6
     assert float(np.abs(np.asarray(Ha) - np.asarray(Hr)).max()) < 5e-6
+
+
+def test_mu_update_runs_without_analytic_kl_pos():
+    """mu_update at β=1 with no pos_precomputed must fall back to the
+    vjp(ones) positive term instead of crashing on a None cotangent —
+    regression: the halo solvers' conv-vs-unrolled timing loop calls it
+    exactly this way, and the crash was silently swallowed by the
+    per-candidate try/except, so the β=1 measurement never ran."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_nmf_tpu.ops.mu import gamma_from_beta, kl_pos_W, mu_update
+
+    rng = np.random.RandomState(3)
+    V = jnp.asarray(rng.rand(12, 10).astype("f") + 0.01)
+    W = jnp.asarray(rng.rand(12, 4).astype("f") + 0.1)
+    H = jnp.asarray(rng.rand(10, 4).astype("f") + 0.1)
+
+    def recon(w):
+        return w @ H.T
+
+    out = mu_update(recon, V, W, 1.0, gamma_from_beta(1.0))
+    assert bool(jnp.all(jnp.isfinite(out))) and bool(jnp.all(out >= 0))
+    # vjp(ones) equals the analytic KL denominator for a linear recon
+    # (up to the relu/eps clamp the non-analytic path applies)
+    ref = mu_update(recon, V, W, 1.0, gamma_from_beta(1.0),
+                    pos_precomputed=kl_pos_W(H[None].swapaxes(1, 2))
+                    .reshape(1, -1))
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-4
