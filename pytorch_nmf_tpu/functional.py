@@ -86,7 +86,7 @@ def _fit(model_cls, V, W, H, beta, tol, max_iter, update_W, update_H,
             V = ell_obj
     else:
         updater_factory = (
-            model_cls._updater_resolver()
+            model_cls._updater_resolver(dtype=getattr(V, "dtype", None))
             if model_cls._updater_resolver is not None
             else None
         )

@@ -178,7 +178,7 @@ class BaseComponent(Module):
         fused Pallas updaters (:mod:`pytorch_nmf_tpu.parallel.sharded`).
         """
         return (
-            self._updater_resolver(True)
+            self._updater_resolver(True, dtype=getattr(V, "dtype", None))
             if self._updater_resolver is not None
             else None
         )
@@ -190,7 +190,7 @@ class BaseComponent(Module):
         deconvolutional family overrides this with the per-shape runtime
         autotune (:mod:`pytorch_nmf_tpu.ops.autotune`)."""
         return (
-            self._updater_resolver(False)
+            self._updater_resolver(False, dtype=getattr(V, "dtype", None))
             if self._updater_resolver is not None
             else None
         )
@@ -551,7 +551,7 @@ class NMFD(_DeconvBase):
         return unfold_deconv
 
     @staticmethod
-    def _updater_resolver(multi_device: bool = False):
+    def _updater_resolver(multi_device: bool = False, dtype=None):
         from ..ops.fast_nmfd import resolve_nmfd_updater_factory
 
         return resolve_nmfd_updater_factory(multi_device)
@@ -594,7 +594,7 @@ class NMF2D(_DeconvBase):
         return unfold_deconv
 
     @staticmethod
-    def _updater_resolver(multi_device: bool = False):
+    def _updater_resolver(multi_device: bool = False, dtype=None):
         from ..ops.fast_nmfd import resolve_nmfd_updater_factory
 
         return resolve_nmfd_updater_factory(multi_device, spatial_ndim=2)
@@ -637,7 +637,7 @@ class NMF3D(_DeconvBase):
         return unfold_deconv
 
     @staticmethod
-    def _updater_resolver(multi_device: bool = False):
+    def _updater_resolver(multi_device: bool = False, dtype=None):
         from ..ops.fast_nmfd import resolve_nmfd_updater_factory
 
         return resolve_nmfd_updater_factory(multi_device, spatial_ndim=3)

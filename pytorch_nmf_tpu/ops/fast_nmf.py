@@ -83,7 +83,7 @@ def _pallas_updaters(beta, gamma, l1_reg, l2_reg, interpret=False):
 
     need_pos = beta != 1
 
-    if beta == 1 and l1_reg == 0 and l2_reg == 0:
+    if beta == 1 and gamma == 1 and l1_reg == 0 and l2_reg == 0:
         # fully-fused KL update: the kernel applies relu/eps and the
         # analytic-denominator multiply at the final accumulation step, so
         # the updated factor is the kernel output (no epilogue HBM pass)
@@ -155,7 +155,7 @@ def nmf_updater_factory_xla(beta, gamma, l1_reg, l2_reg):
 nmf_updater_factory_spmd = nmf_updater_factory_xla
 
 
-def resolve_nmf_updater_factory(multi_device: bool = False):
+def resolve_nmf_updater_factory(multi_device: bool = False, dtype=None):
     """Pick the NMF updater factory for *this* call.
 
     Returns one of the module-level factory functions so that solver caches
@@ -165,6 +165,11 @@ def resolve_nmf_updater_factory(multi_device: bool = False):
     """
     from .pallas_mu import _interpret_mode, pallas_supported
 
+    if dtype is not None and jnp.dtype(dtype) == jnp.float64:
+        # x64: the Pallas kernels pin their outputs to f32 (a while_loop
+        # carry mismatch against f64 factors); the XLA Gram updaters
+        # accumulate in the operand dtype (acc_type) and stay exact
+        return nmf_updater_factory_xla
     if multi_device:
         # Pallas kernels are single-device; GSPMD-sharded inputs take the
         # shard-friendly XLA subset (the explicit shard_map solver in

@@ -195,11 +195,14 @@ def _auto_blocks(M: int, K: int, R: int):
     5168x1025 r88); otherwise fall back to 512-wide K tiles.  Block dims
     must be multiples of (8, 128) or equal to the full array dims.
     """
-    bm = 512 if M >= 512 else (M if M % 8 else 8 * ((M + 7) // 8))
-    if bm != M and bm % 8:
-        bm = 8 * ((bm + 7) // 8)
-    # v-tile + wh-tile + double buffering headroom within ~12 MB of VMEM
-    if 3 * bm * K * 4 <= 12 * 1024 * 1024:
+    bm = 512 if M >= 512 else M  # full-dim blocks need no 8-alignment
+    # full-K residents: v + wh tiles (bm x K), factor tiles (bm x R and
+    # K x R, double-buffered), accumulator/out (bm x R) — all f32.  The
+    # R terms matter at high rank: without them a R=512 fit picks bk=K
+    # and overflows the ~16 MB VMEM (the remote compiler can 500 and
+    # wedge on oversized blocks — CLAUDE.md).
+    full_k_bytes = 4 * (3 * bm * K + 2 * bm * R + 2 * K * R)
+    if full_k_bytes <= 12 * 1024 * 1024:
         bk = K
     else:
         bk = 512 if K >= 512 else K

@@ -110,7 +110,7 @@ def _deconv(H, W, spatial_ndim: int):
         n, r, li = H.shape
         t = W.shape[2]
         rt = r * t
-        patch_bytes = 4 * n * (li + t - 1) * rt
+        patch_bytes = H.dtype.itemsize * n * (li + t - 1) * rt
         if (
             r < 16
             and t >= 64

@@ -1131,3 +1131,20 @@ def test_halo_pallas_mode_models_the_halo_layout(monkeypatch):
         1, 16, (6,), 120, (1, 8), 5, dtype=np.float64
     ) is None
     assert halo_pallas_mode(1, 16, (2,), 100, (2, 8), 5) is None
+
+
+def test_auto_blocks_counts_rank_residents():
+    """The fused-MU block picker budgets the factor/accumulator tiles
+    too: at high rank a full-K block that fits by the V/WH tiles alone
+    would overflow VMEM (regression: R was ignored, and an R=512 fit
+    chose bk=K past the ~16 MB scoped budget)."""
+    from pytorch_nmf_tpu.ops.pallas_mu import _auto_blocks
+
+    # reference-benchmark scale keeps the measured-fastest full-K block
+    bm, bk = _auto_blocks(5168, 1025, 88)
+    assert (bm, bk) == (512, 1025)
+    # same (M, K) at R=512: the rank tiles push past the budget
+    bm, bk = _auto_blocks(5168, 1900, 512)
+    assert bk == 512
+    # small problems keep full-dim blocks
+    assert _auto_blocks(40, 30, 4) == (40, 30)
