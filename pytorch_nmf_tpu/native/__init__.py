@@ -32,16 +32,25 @@ def _candidate_paths():
 
 def _build(dest: str) -> bool:
     os.makedirs(os.path.dirname(dest), exist_ok=True)
+    # compile to a per-process temp name and os.replace (atomic on the
+    # same filesystem): concurrent first-use from two processes must
+    # never load or overwrite a partially written .so
+    tmp = f"{dest}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", dest,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
+        os.replace(tmp, dest)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -55,7 +64,7 @@ def _load():
         try:
             _LIB = _bind(ctypes.CDLL(path))
             return _LIB
-        except OSError:
+        except (OSError, AttributeError):  # missing/stale lib or symbol
             continue
     # build into the cache location
     for path in list(_candidate_paths())[1:]:
@@ -63,7 +72,7 @@ def _load():
             try:
                 _LIB = _bind(ctypes.CDLL(path))
                 return _LIB
-            except OSError:
+            except (OSError, AttributeError):
                 pass
     _LIB = False
     return _LIB

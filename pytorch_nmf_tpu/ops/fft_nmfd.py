@@ -52,8 +52,38 @@ def _nfft(L_out: int) -> int:
     return n
 
 
+_FFT_ELEMS_CAP = 1 << 24  # per-dispatch FFT batch bound (compile stall)
+
+
+def _rfft_capped(x2, n):
+    """``rfft`` over the last axis with at most ``_FFT_ELEMS_CAP`` total
+    elements per dispatch — the remote TPU compiler stalls INDEFINITELY
+    on larger batched FFT lowerings (measured: 33M elements never
+    finished, 16.6M compiled in ~6 s; same bound as :func:`_c_chunk`).
+    ``x2`` is 2-D ``(batch, L)``; the chunk count is static."""
+    cap = max(_FFT_ELEMS_CAP // n, 1)
+    if x2.shape[0] <= cap:
+        return jnp.fft.rfft(x2, n=n, axis=-1)
+    return jnp.concatenate([
+        jnp.fft.rfft(x2[i:i + cap], n=n, axis=-1)
+        for i in range(0, x2.shape[0], cap)
+    ], axis=0)
+
+
+def _irfft_capped(x2, n):
+    """Inverse twin of :func:`_rfft_capped` (same per-dispatch bound)."""
+    cap = max(_FFT_ELEMS_CAP // n, 1)
+    if x2.shape[0] <= cap:
+        return jnp.fft.irfft(x2, n=n, axis=-1)
+    return jnp.concatenate([
+        jnp.fft.irfft(x2[i:i + cap], n=n, axis=-1)
+        for i in range(0, x2.shape[0], cap)
+    ], axis=0)
+
+
 def _spec_h(H, n):
-    return jnp.fft.rfft(H, n=n, axis=-1)  # (N, R, F) complex64
+    N, R, L = H.shape
+    return _rfft_capped(H.reshape(N * R, L), n).reshape(N, R, -1)
 
 
 def _wh_spec(Hf, Wf):
@@ -68,7 +98,7 @@ def _corr_w(Hf, Xf, T):
     return jnp.fft.irfft(F, n=n, axis=-1)[..., :T]
 
 
-def _c_chunk(C: int, R: int, F: int) -> int:
+def _c_chunk(C: int, R: int, F: int, N: int = 1) -> int:
     """Channel-chunk size keeping the per-chunk kernel spectrum
     ``(Cb, R, F)`` complex64 around ~``PNT_FFT_CHUNK_MB`` (default 256 MB)
     — the full (C, R, F) spectrum at the flagship scale is ~3 GB and OOMs
@@ -85,7 +115,9 @@ def _c_chunk(C: int, R: int, F: int) -> int:
     mb = int(os.environ.get("PNT_FFT_CHUNK_MB", 256))
     budget = mb * 1024**2 // 16  # complex64 + one live irfft buffer
     n = 2 * (F - 1)
-    compile_cap = max((1 << 24) // max(R * n, 1), 1)
+    # both per-chunk FFT batches are bounded: the kernel chunk runs cb*R
+    # transforms, the target chunk N*cb — the larger of the two decides
+    compile_cap = max(_FFT_ELEMS_CAP // max(max(R, N) * n, 1), 1)
     cb = max(min(budget // max(R * F, 1), compile_cap), 1)
     return min(cb, C)
 
@@ -106,7 +138,7 @@ def fft_beta2_updater_factory(gamma, l1_reg, l2_reg):
     def _specs(V, W, H):
         n = _nfft(V.shape[-1])
         C, R = W.shape[0], W.shape[1]
-        cb = _c_chunk(C, R, n // 2 + 1)
+        cb = _c_chunk(C, R, n // 2 + 1, V.shape[0])
         n_ch = -(-C // cb)
         pad = n_ch * cb - C
         Wp = jnp.pad(W, ((0, pad), (0, 0), (0, 0))) if pad else W
@@ -167,12 +199,12 @@ def fft_beta2_updater_factory(gamma, l1_reg, l2_reg):
                 ),
             ),
         )
-        neg = jax.nn.relu(
-            jnp.fft.irfft(negf, n=n, axis=-1)[..., :L_in]
-        ) + eps
-        pos = jax.nn.relu(
-            jnp.fft.irfft(posf, n=n, axis=-1)[..., :L_in]
-        ) + eps
+        def _inv(xf):
+            out = _irfft_capped(xf.reshape(N * R, F), n)
+            return out.reshape(N, R, -1)[..., :L_in]
+
+        neg = jax.nn.relu(_inv(negf)) + eps
+        pos = jax.nn.relu(_inv(posf)) + eps
         return H * mu_multiplier(neg, pos, H, gamma, l1_reg, l2_reg)
 
     def loss_terms(V, W, H):

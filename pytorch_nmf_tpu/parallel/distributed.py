@@ -47,12 +47,23 @@ def initialize(
     global _INITIALIZED
     if _INITIALIZED:
         return
-    explicit = coordinator_address is not None or num_processes is not None
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     # CPU clusters need a cross-process collectives backend; gloo ships with
     # jaxlib on Linux.  Harmless no-op when the platform is TPU.
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the in-process config override is the repo's documented way to
+    # force CPU (CLAUDE.md: the env var alone is not enough), so check it
+    # first, then the env var
+    platforms = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS", "")
+    )
+    if str(platforms).startswith("cpu"):
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:  # pragma: no cover - older jaxlib

@@ -225,3 +225,35 @@ def test_fft_chunk_compile_cap(monkeypatch):
     assert cb * R * n <= 1 << 24
     # small problems are not restricted below one chunk
     assert _c_chunk(4, 2, 65) == 4
+
+
+def test_fft_batch_caps_are_exact():
+    """Every FFT dispatch in the frequency-domain engine is bounded at
+    2^24 elements (larger batched FFT lowerings stall the remote TPU
+    compiler indefinitely); the chunked transforms must be exact.
+    Regression: only the W-side chunk was capped — the H spectrum and
+    the batched-target chunk were single uncapped dispatches."""
+    import numpy as np
+
+    from pytorch_nmf_tpu.ops import fft_nmfd
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(7, 50).astype("f"))
+    n = 128
+    ref = jnp.fft.rfft(x, n=n, axis=-1)
+    # force chunking by shrinking the cap
+    old = fft_nmfd._FFT_ELEMS_CAP
+    fft_nmfd._FFT_ELEMS_CAP = 3 * n
+    try:
+        out = fft_nmfd._rfft_capped(x, n)
+        assert out.shape == ref.shape
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+        back = fft_nmfd._irfft_capped(ref, n)
+        assert float(jnp.abs(back - jnp.fft.irfft(ref, n=n, axis=-1)).max()) \
+            < 1e-6
+    finally:
+        fft_nmfd._FFT_ELEMS_CAP = old
+    # the channel chunk bounds BOTH per-chunk batches (kernel cb*R and
+    # target N*cb transforms)
+    cb = fft_nmfd._c_chunk(4096, 8, 4097, N=100)
+    assert max(8, 100) * cb * 8192 <= fft_nmfd._FFT_ELEMS_CAP
