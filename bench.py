@@ -100,7 +100,10 @@ def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=None):
     if compute < TARGET_S:
         iters_long = min(int(iters_long * TARGET_S / compute), 200_000)
     elif compute > 1.5 * TARGET_S:
-        iters_long = max(int(iters_long * TARGET_S / compute), 400)
+        # floor sized for the 500-iter TPU regime; TINY smoke runs keep
+        # their ~TARGET_S device-time budget instead of quadrupling it
+        iters_long = max(int(iters_long * TARGET_S / compute),
+                         50 if TINY else 400)
     iters_short = max(iters_long // 8, 50)
 
     for _ in range(2):

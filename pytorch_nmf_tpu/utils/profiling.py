@@ -17,12 +17,20 @@ __all__ = ["trace", "annotate", "device_memory_stats"]
 def trace(logdir: str, host_tracer_level: int = 2):
     """Capture an XLA profiler trace of the enclosed block.
 
+    ``host_tracer_level``: host-side event verbosity (0 silences host
+    events, 2 is the profiler default, 3 is maximal), forwarded through
+    ``jax.profiler.ProfileOptions`` where the installed jax supports it.
+
     Example::
 
         with trace("/tmp/nmf_trace"):
             model.fit(V, beta=1, max_iter=100)
     """
-    jax.profiler.start_trace(logdir)
+    opts = None
+    if host_tracer_level != 2 and hasattr(jax.profiler, "ProfileOptions"):
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = host_tracer_level
+    jax.profiler.start_trace(logdir, profiler_options=opts)
     try:
         yield
     finally:
