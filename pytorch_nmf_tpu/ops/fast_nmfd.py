@@ -711,7 +711,10 @@ def nmfd_fft_updater_factory(beta, gamma, l1_reg, l2_reg):
     return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
 
 
-_PALLAS_TK = 16  # flat-τ offsets per fused-kernel tile (ops/pallas_deconv)
+# flat-τ offsets per fused-kernel tile (ops/pallas_deconv reads the same
+# env knob, so the two stay consistent by construction).  Experiment-only:
+# 16 is the measured default; the VMEM gates scale with it automatically.
+_PALLAS_TK = int(os.environ.get("PNT_PALLAS_TK", "16"))
 
 
 def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,

@@ -177,7 +177,9 @@ def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
 # blocks — calibrated against a measured 17.01M OOM at C=256/R=64/
 # flat 15488 (8.39M window + 2×3.97M out + 1.05M W2).  Keep headroom.
 _ND_HGRAD_SCOPED_BYTES = 15 * 2 ** 20
-_ND_TK = 16  # must match fast_nmfd._PALLAS_TK
+# flat-τ offsets per kernel tile — same env knob as fast_nmfd._PALLAS_TK,
+# so the layout and the VMEM models cannot drift
+_ND_TK = int(__import__("os").environ.get("PNT_PALLAS_TK", "16"))
 
 
 def deconv_pallas_nd_supported(V_shape, H_shape, dtype) -> bool:
