@@ -94,14 +94,14 @@ def beta_div(input, target, beta=2):
     target = jnp.asarray(target).reshape(-1)
     if beta < 0:
         target = target + eps
-    bminus = beta - 1
+    bm1 = beta - 1
 
-    term_1 = jnp.sum(target**beta)
-    term_2 = jnp.sum(input**beta)
-    term_3 = target @ input**bminus
+    target_pow = jnp.sum(target**beta)
+    input_pow = jnp.sum(input**beta)
+    cross = target @ input**bm1
 
-    loss = term_1 + bminus * term_2 - beta * term_3
-    return loss / (beta * bminus)
+    loss = target_pow + bm1 * input_pow - beta * cross
+    return loss / (beta * bm1)
 
 
 def sparseness(x):

@@ -23,7 +23,11 @@ import numpy as np
 
 def main():
     argv = [float(a) for a in sys.argv[1:]]
-    C, R, Y, X, ky, kx = [int(a) for a in (argv[:6] or [256, 64, 128, 128, 8, 8])]
+    # pad partial overrides with the defaults so e.g. ``C R`` alone works
+    defaults = [256, 64, 128, 128, 8, 8]
+    C, R, Y, X, ky, kx = (
+        [int(a) for a in argv[:6]] + defaults[len(argv[:6]):]
+    )
     beta = argv[6] if len(argv) > 6 else 1.0
 
     import jax.numpy as jnp
@@ -37,7 +41,9 @@ def main():
     from pytorch_nmf_tpu.ops.mu import gamma_from_beta
     from pytorch_nmf_tpu.models.nmf import NMF2D
 
-    enable_compile_cache(os.path.join(os.getcwd(), ".jax_cache"))
+    # repo-local cache (shared with bench.py), not cwd-relative
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    enable_compile_cache(os.path.join(repo_root, ".jax_cache"))
 
     rng = np.random.RandomState(0)
     V = jnp.asarray(rng.rand(1, C, Y + ky - 1, X + kx - 1).astype("f") + 1e-3)
