@@ -292,10 +292,13 @@ class BaseComponent(Module):
             except (AttributeError, TypeError):
                 multi_device = False
             if multi_device:
-                routed = self._try_halo_fit(
-                    V, W, H, float(beta), float(tol), int(max_iter),
-                    l1_reg, l2_reg, bool(verbose),
-                )
+                # the scope is entered around the routed call so the
+                # replayed record-mode progress events find their handler
+                with _progress_scope(verbose, max_iter):
+                    routed = self._try_halo_fit(
+                        V, W, H, float(beta), float(tol), int(max_iter),
+                        l1_reg, l2_reg, bool(verbose),
+                    )
                 if routed is not None:
                     W_new, H_new, n_iter = routed
                     W.data, H.data = W_new, H_new
@@ -496,11 +499,11 @@ class _DeconvBase(BaseComponent):
         :func:`~pytorch_nmf_tpu.parallel.halo.sharded_nmfd_fit` is built
         for (:func:`~pytorch_nmf_tpu.models._common.trailing_seq_axis`);
         trajectories are the same function, hence bit-identical.
-        Declines (→ GSPMD fallback) for any other layout, for float64
-        targets, and for verbose fits (per-shard debug callbacks would
+        Declines (→ GSPMD fallback) for any other layout and for float64
+        targets.  Verbose fits take the same route: the cadence losses
+        are recorded in the loop carry and replayed to the progress
+        handlers after the program (live per-shard debug callbacks would
         fire once per device)."""
-        if verbose:
-            return None
         axis = trailing_seq_axis(V)
         if axis is None:
             return None
@@ -509,7 +512,7 @@ class _DeconvBase(BaseComponent):
         return _sharded_deconv_fit(
             V, W.data, H.data, V.sharding.mesh, self._spatial_ndim, beta,
             tol, max_iter, l1_reg, l2_reg, axis,
-            W.requires_grad, H.requires_grad,
+            W.requires_grad, H.requires_grad, verbose,
         )
 
 

@@ -224,11 +224,14 @@ class BaseComponent(Module):
             multi_device = len(V.devices()) > 1
         except (AttributeError, TypeError):
             multi_device = False
-        if multi_device and not verbose:
-            routed = self._try_halo_fit(
-                V, W, H, Z, float(tol), int(max_iter),
-                W_alpha, H_alpha, Z_alpha,
-            )
+        if multi_device:
+            # scope entered around the routed call: record-mode replay
+            # events need the progress handler installed
+            with _progress_scope(verbose, max_iter):
+                routed = self._try_halo_fit(
+                    V, W, H, Z, float(tol), int(max_iter),
+                    W_alpha, H_alpha, Z_alpha, bool(verbose),
+                )
             if routed is not None:
                 W_new, H_new, Z_new, n_iter, norm = routed
                 W.data, H.data, Z.data = W_new, H_new, Z_new
@@ -261,11 +264,15 @@ class BaseComponent(Module):
         return int(n_iter), norm
 
     def _try_halo_fit(
-        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha
+        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha, verbose
     ):
         """Hook: multi-device EM through a purpose-built shard_map solver,
         or ``None`` to decline (→ GSPMD).  The shift-invariant family
-        overrides this (see :class:`_SIPLCABase`)."""
+        overrides this (see :class:`_SIPLCABase`); :class:`PLCA` routes
+        sample-sharded 2-D targets to
+        :func:`~pytorch_nmf_tpu.parallel.sharded.sharded_plca_fit`.
+        Verbose fits record the cadence events on device and replay them
+        (ops/solver record-and-replay channel)."""
         return None
 
     def _resolve_em_engine(self, V, multi_device):
@@ -282,7 +289,7 @@ class _SIPLCABase(BaseComponent):
     _spatial_ndim = 1
 
     def _try_halo_fit(
-        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha
+        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha, verbose
     ):
         from ._common import trailing_seq_axis
 
@@ -295,6 +302,7 @@ class _SIPLCABase(BaseComponent):
             V, W.data, H.data, Z.data, V.sharding.mesh, self._spatial_ndim,
             tol, max_iter, W_alpha, H_alpha, Z_alpha,
             W.requires_grad, H.requires_grad, Z.requires_grad, axis,
+            verbose,
         )
 
 
@@ -316,6 +324,48 @@ class PLCA(BaseComponent):
         W = as_array(W)
         Z = as_array(Z)
         return _recon.linear(H, W * Z)
+
+    def _try_halo_fit(
+        self, V, W, H, Z, tol, max_iter, W_alpha, H_alpha, Z_alpha, verbose
+    ):
+        """Auto-route ``PLCA().fit(V_sharded)`` to the explicit-psum
+        shard_map EM (:func:`~pytorch_nmf_tpu.parallel.sharded.
+        sharded_plca_fit`) when the target carries a recognizable 2-D
+        ``P(data)`` NamedSharding — the same single-``fit``-call UX the
+        deconvolutional family gets from the halo route (reference
+        plca.py:193 ``fit`` + README.md:66-68 single-``.cuda()`` UX).
+        Declines (→ GSPMD) for any other layout, for user subclasses with
+        a custom ``reconstruct`` (the explicit solver hard-codes the
+        dense recon), and when the sample axis does not divide evenly
+        over the mesh axis (shard_map requires it)."""
+        if type(self).reconstruct is not PLCA.reconstruct:
+            return None
+        from jax.sharding import NamedSharding
+
+        sh = getattr(V, "sharding", None)
+        if not isinstance(sh, NamedSharding) or getattr(V, "ndim", 0) != 2:
+            return None
+        if V.dtype == jnp.float64:
+            # x64 posture keeps doubles on the generic engine (the
+            # explicit solver pins f32 accumulation)
+            return None
+        spec = sh.spec
+        data_ax = spec[0] if len(spec) > 0 else None
+        rest = spec[1] if len(spec) > 1 else None
+        if not isinstance(data_ax, str) or rest is not None:
+            return None
+        mesh = sh.mesh
+        n_dev = mesh.shape[data_ax]
+        if V.shape[0] % n_dev or H.shape[0] % n_dev:
+            return None
+        from ..parallel.sharded import sharded_plca_fit
+
+        return sharded_plca_fit(
+            V, W.data, H.data, Z.data, mesh, tol, max_iter,
+            W_alpha, H_alpha, Z_alpha,
+            W.requires_grad, H.requires_grad, Z.requires_grad,
+            data_axis=data_ax, verbose=verbose,
+        )
 
     def _resolve_em_engine(self, V, multi_device):
         # opt-in (PNT_PLCA_FUSED=1; measured slower than the generic VJP

@@ -296,9 +296,12 @@ def _converging_loop(
         _, _, k, conv, _, _ = carry
         return (~conv) & (k < n_chunks)
 
-    losses0 = jnp.zeros((n_chunks,), jnp.float32) if record else jnp.float32(0)
+    # at least one slot: max_iter < 10 records nothing (k stays 0) but the
+    # traced ``at[k].set`` needs a non-empty array
+    n_rec = max(n_chunks, 1)
+    losses0 = jnp.zeros((n_rec,), jnp.float32) if record else jnp.float32(0)
     extras0 = (
-        jnp.zeros((n_chunks,), jnp.float32)
+        jnp.zeros((n_rec,), jnp.float32)
         if record and extra_of is not None
         else jnp.float32(0)
     )

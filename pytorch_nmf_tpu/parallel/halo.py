@@ -194,7 +194,13 @@ def _get_sharded_deconv_fit(
     mode: str = "conv",
     update_W: bool = True,
     update_H: bool = True,
+    verbose: bool = False,
 ):
+    # Verbose fits record the cadence losses in the loop carry and replay
+    # them after the program (the record-and-replay channel built for
+    # callback-less backends, ops/solver.py) — a jax.debug.callback inside
+    # shard_map would fire once per device, so the halo solvers never
+    # stream progress events live.
     gamma = gamma_from_beta(beta)
     halo = T - 1
     nd = spatial_ndim
@@ -266,11 +272,13 @@ def _get_sharded_deconv_fit(
             return w3, hp
 
         W3 = _w3_from_w(W)
-        (W3, Hp), k, converged, _ = _converging_loop(
-            one_iter, loss_of, (W3, Hp), tol, max_iter, False
+        (W3, Hp), k, converged, trace = _converging_loop(
+            one_iter, loss_of, (W3, Hp), tol, max_iter, verbose,
+            record=verbose,
         )
         n_iter = jnp.where(converged, k * 10, max_iter)
-        return _w_from_w3(W3, kernel, R), Hp, n_iter
+        out = (_w_from_w3(W3, kernel, R), Hp, n_iter)
+        return out + (k, trace[0]) if verbose else out
 
     def pallas_local_fit(V, W, Hp):
         """Per-shard fused Mosaic contractions (1-D; the measured
@@ -418,13 +426,15 @@ def _get_sharded_deconv_fit(
             return w2f, hp
 
         W2f = _w2f_padded(W)
-        (W2f, Hp), k, converged, _ = _converging_loop(
-            one_iter, loss_of, (W2f, Hp), tol, max_iter, False
+        (W2f, Hp), k, converged, trace = _converging_loop(
+            one_iter, loss_of, (W2f, Hp), tol, max_iter, verbose,
+            record=verbose,
         )
         n_iter = jnp.where(converged, k * 10, max_iter)
         from ..ops.fast_nmfd import _w_from_w2
 
-        return _w_from_w2(W2f[: T_ * R], kern, R), Hp, n_iter
+        out = (_w_from_w2(W2f[: T_ * R], kern, R), Hp, n_iter)
+        return out + (k, trace[0]) if verbose else out
 
     def pallas_nd_local_fit(V, W, Hp):
         """2-D/3-D fused per-shard mode: the flat-offset kernels with a
@@ -617,13 +627,15 @@ def _get_sharded_deconv_fit(
             return w2f, hp
 
         W2f = _w2f_padded(W)
-        (W2f, Hp), k, converged, _ = _converging_loop(
-            one_iter, loss_of, (W2f, Hp), tol, max_iter, False
+        (W2f, Hp), k, converged, trace = _converging_loop(
+            one_iter, loss_of, (W2f, Hp), tol, max_iter, verbose,
+            record=verbose,
         )
         n_iter = jnp.where(converged, k * 10, max_iter)
         from ..ops.fast_nmfd import _w_from_w2
 
-        return _w_from_w2(W2f[: K * R], kernel, R), Hp, n_iter
+        out = (_w_from_w2(W2f[: K * R], kernel, R), Hp, n_iter)
+        return out + (k, trace[0]) if verbose else out
 
     def local_fit(V, W, Hp):
         # V: (N, C, *sp_loc), W: (C, R, *k) replicated, Hp: (N, R, *sp_loc)
@@ -689,18 +701,23 @@ def _get_sharded_deconv_fit(
                 hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
             return w, hp
 
-        (W, Hp), k, conv, _ = _converging_loop(
-            one_iter, loss_of, (W, Hp), tol, max_iter, False
+        (W, Hp), k, conv, trace = _converging_loop(
+            one_iter, loss_of, (W, Hp), tol, max_iter, verbose,
+            record=verbose,
         )
         n_iter = jnp.where(conv, k * 10, max_iter)
-        return W, Hp, n_iter
+        out = (W, Hp, n_iter)
+        return out + (k, trace[0]) if verbose else out
 
     sharded_spec = P(*([None] * (1 + nd)), seq_axis)
+    out_specs = (P(), sharded_spec, P())
+    if verbose:
+        out_specs = out_specs + (P(), P())  # (k, recorded losses)
     mapped = jax.shard_map(
         local_fit,
         mesh=mesh,
         in_specs=(sharded_spec, P(), sharded_spec),
-        out_specs=(P(), sharded_spec, P()),
+        out_specs=out_specs,
         # Mosaic calls don't carry vma annotations — same opt-out the
         # fused sharded-NMF updaters use (parallel/sharded.py)
         check_vma=(mode not in ("pallas", "pallas_w")),
@@ -710,7 +727,7 @@ def _get_sharded_deconv_fit(
 
 def _sharded_deconv_fit(
     V, W, H, mesh, spatial_ndim, beta, tol, max_iter, l1_reg, l2_reg,
-    seq_axis, update_W=True, update_H=True,
+    seq_axis, update_W=True, update_H=True, verbose=False,
 ):
     V = jnp.asarray(V)
     W = jnp.asarray(W)
@@ -782,14 +799,22 @@ def _sharded_deconv_fit(
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
-        loss_offset, mode, bool(update_W), bool(update_H),
+        loss_offset, mode, bool(update_W), bool(update_H), bool(verbose),
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)
     Hp = jax.device_put(Hp, spec)
     W = jax.device_put(W, NamedSharding(mesh, P()))
 
-    W_out, Hp_out, n_iter = fit(V, W, Hp)
+    if verbose:
+        # record-and-replay: same cadence events as the single-device
+        # verbose loop, delivered after the program completes
+        from ..ops.solver import _emit_recorded
+
+        W_out, Hp_out, n_iter, k, losses = fit(V, W, Hp)
+        _emit_recorded(k, losses)
+    else:
+        W_out, Hp_out, n_iter = fit(V, W, Hp)
     return W_out, Hp_out[..., :L_in], n_iter
 
 
@@ -797,7 +822,7 @@ def sharded_nmfd_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
-    update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True, verbose: bool = False,
 ):
     """Fit NMFD with the convolution time axis sharded over ``mesh``.
 
@@ -807,11 +832,13 @@ def sharded_nmfd_fit(
     of at least ``T - 1`` frames (single-neighbor halos) — padding is exact
     (padded entries are MU fixed points; the constant loss offset is
     corrected).  Returns ``(W, H, n_iter)`` matching the single-device
-    trajectories.
+    trajectories.  ``verbose`` records the cadence losses on device and
+    replays them to the progress handlers after the program (per-device
+    live callbacks would double-fire under shard_map).
     """
     return _sharded_deconv_fit(
         V, W, H, mesh, 1, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
-        update_W, update_H,
+        update_W, update_H, verbose,
     )
 
 
@@ -819,14 +846,14 @@ def sharded_nmf2d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
-    update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True, verbose: bool = False,
 ):
     """Fit NMF2D with the trailing spatial axis sharded over ``mesh``
     (the leading spatial axis stays local; same halo/divisibility rules
     on the trailing axis)."""
     return _sharded_deconv_fit(
         V, W, H, mesh, 2, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
-        update_W, update_H,
+        update_W, update_H, verbose,
     )
 
 
@@ -834,12 +861,12 @@ def sharded_nmf3d_fit(
     V, W, H, mesh: Mesh, beta: float = 1, tol: float = 1e-4,
     max_iter: int = 200, l1_reg: float = 0.0, l2_reg: float = 0.0,
     seq_axis: str = "seq",
-    update_W: bool = True, update_H: bool = True,
+    update_W: bool = True, update_H: bool = True, verbose: bool = False,
 ):
     """Fit NMF3D with the trailing spatial axis sharded over ``mesh``."""
     return _sharded_deconv_fit(
         V, W, H, mesh, 3, beta, tol, max_iter, l1_reg, l2_reg, seq_axis,
-        update_W, update_H,
+        update_W, update_H, verbose,
     )
 
 
@@ -862,6 +889,7 @@ def _get_sharded_siplca_fit(
     seq_axis: str,
     use_unfold: bool = False,
     n_pad_h: int = 0,
+    verbose: bool = False,
 ):
     from ..ops.solver import _plca_em_iter, _plca_marginal_sum
 
@@ -903,6 +931,28 @@ def _get_sharded_siplca_fit(
             part = beta_div(WZH * norm, Vn * norm, 1)
             return jnp.sqrt(2.0 * lax.psum(part, seq_axis))
 
+        def log_probability(state):
+            # verbose-only posterior log-probability, matching the
+            # single-device value (reference plca.py:18-20): the data term
+            # and the sharded-H prior term psum over seq; the auto-padded
+            # H entries (exact zeros) would each add log(eps)·(Hα-1)
+            # relative to the unpadded problem, so that constant is
+            # removed
+            w, hp, z = state
+            WZH = recon3(hp, w, z)
+            lp = lax.psum(
+                Vn.reshape(-1) @ jnp.log(WZH + eps).reshape(-1), seq_axis
+            )
+            lp = lp + jnp.sum(jnp.log(w + eps) * (W_alpha - 1.0))
+            lp = lp + lax.psum(
+                jnp.sum(jnp.log(hp + eps) * (H_alpha - 1.0)), seq_axis
+            )
+            if n_pad_h:
+                rows = hp.size // hp.shape[-1]  # N·R·prod(lead_in), static
+                lp = lp - rows * n_pad_h * jnp.log(eps) * (H_alpha - 1.0)
+            lp = lp + jnp.sum(jnp.log(z + eps) * (Z_alpha - 1.0))
+            return lp
+
         def one_iter(state):
             w, hp, z = state
             # E-step vjp: W/Z cotangents auto-psum'd over seq (replicated
@@ -915,21 +965,26 @@ def _get_sharded_siplca_fit(
                 h_marginal=h_marginal, h_mask=h_mask,
             )
 
-        (W, Hp, Z), k, conv, _ = _converging_loop(
-            one_iter, loss_of, (W, Hp, Z), tol, max_iter, False
+        (W, Hp, Z), k, conv, trace = _converging_loop(
+            one_iter, loss_of, (W, Hp, Z), tol, max_iter, verbose,
+            extra_of=log_probability if verbose else None, record=verbose,
         )
         # reference quirk: raw loop index (plca.py:304)
         n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
-        return W, Hp, Z, n_iter, norm
+        out = (W, Hp, Z, n_iter, norm)
+        return out + (k, trace[0], trace[1]) if verbose else out
 
     sharded_spec = P(*([None] * (1 + nd)), seq_axis)
+    out_specs = (P(), sharded_spec, P(), P(), P())
+    if verbose:
+        out_specs = out_specs + (P(), P(), P())
     mapped = jax.shard_map(
         local_fit,
         mesh=mesh,
         in_specs=(
             sharded_spec, P(), sharded_spec, P(), P(), P(), P(),
         ),
-        out_specs=(P(), sharded_spec, P(), P(), P()),
+        out_specs=out_specs,
     )
     return jax.jit(mapped)
 
@@ -937,6 +992,7 @@ def _get_sharded_siplca_fit(
 def _sharded_siplca_fit(
     V, W, H, Z, mesh, spatial_ndim, tol, max_iter,
     W_alpha, H_alpha, Z_alpha, update_W, update_H, update_Z, seq_axis,
+    verbose=False,
 ):
     from ..ops.solver import alpha_is_active
 
@@ -988,6 +1044,7 @@ def _sharded_siplca_fit(
         alpha_is_active(Z_alpha), seq_axis,
         mode == "unrolled",  # EM runs under jax.vjp: no streaming form
         int(L_pad - L_in),
+        bool(verbose),
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)
@@ -997,7 +1054,15 @@ def _sharded_siplca_fit(
     Z = jax.device_put(Z, rep)
 
     a = [jnp.float32(W_alpha), jnp.float32(H_alpha), jnp.float32(Z_alpha)]
-    W_out, Hp_out, Z_out, n_iter, norm = fit(V, W, Hp, Z, *a)
+    if verbose:
+        from ..ops.solver import _emit_recorded
+
+        W_out, Hp_out, Z_out, n_iter, norm, k, losses, extras = fit(
+            V, W, Hp, Z, *a
+        )
+        _emit_recorded(k, losses, extras)
+    else:
+        W_out, Hp_out, Z_out, n_iter, norm = fit(V, W, Hp, Z, *a)
     return W_out, Hp_out[..., :L_in], Z_out, n_iter, norm
 
 
@@ -1005,7 +1070,7 @@ def sharded_siplca_fit(
     V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
     W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
     update_W: bool = True, update_H: bool = True, update_Z: bool = True,
-    seq_axis: str = "seq",
+    seq_axis: str = "seq", verbose: bool = False,
 ):
     """EM-fit SIPLCA with the convolution time axis sharded over ``mesh``.
 
@@ -1016,10 +1081,12 @@ def sharded_siplca_fit(
     psums; trailing lengths auto-pad exactly.  Returns
     ``(W, H, Z, n_iter, norm)`` matching the single-device trajectories
     (same raw-loop-index ``n_iter`` quirk, reference plca.py:304).
+    ``verbose`` records the cadence (loss, log-probability) pairs on
+    device and replays them after the program completes.
     """
     return _sharded_siplca_fit(
         V, W, H, Z, mesh, 1, tol, max_iter, W_alpha, H_alpha, Z_alpha,
-        update_W, update_H, update_Z, seq_axis,
+        update_W, update_H, update_Z, seq_axis, verbose,
     )
 
 
@@ -1027,12 +1094,12 @@ def sharded_siplca2_fit(
     V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
     W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
     update_W: bool = True, update_H: bool = True, update_Z: bool = True,
-    seq_axis: str = "seq",
+    seq_axis: str = "seq", verbose: bool = False,
 ):
     """EM-fit SIPLCA2 with the trailing spatial axis sharded."""
     return _sharded_siplca_fit(
         V, W, H, Z, mesh, 2, tol, max_iter, W_alpha, H_alpha, Z_alpha,
-        update_W, update_H, update_Z, seq_axis,
+        update_W, update_H, update_Z, seq_axis, verbose,
     )
 
 
@@ -1040,10 +1107,10 @@ def sharded_siplca3_fit(
     V, W, H, Z, mesh: Mesh, tol: float = 1e-4, max_iter: int = 200,
     W_alpha=1.0, H_alpha=1.0, Z_alpha=1.0,
     update_W: bool = True, update_H: bool = True, update_Z: bool = True,
-    seq_axis: str = "seq",
+    seq_axis: str = "seq", verbose: bool = False,
 ):
     """EM-fit SIPLCA3 with the trailing spatial axis sharded."""
     return _sharded_siplca_fit(
         V, W, H, Z, mesh, 3, tol, max_iter, W_alpha, H_alpha, Z_alpha,
-        update_W, update_H, update_Z, seq_axis,
+        update_W, update_H, update_Z, seq_axis, verbose,
     )

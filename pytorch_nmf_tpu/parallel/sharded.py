@@ -320,7 +320,11 @@ def _get_sharded_plca_fit(
     H_alpha_active: bool,
     Z_alpha_active: bool,
     data_axis: str,
+    verbose: bool = False,
 ):
+    # verbose = record-and-replay: cadence (loss, log-probability) pairs
+    # land in the loop carry and are replayed after the program — a live
+    # debug callback inside shard_map would fire once per device
     def local_fit(V, W, H, Z, W_alpha, H_alpha, Z_alpha):
         # V: (m_loc, K), H: (m_loc, R); W (K, R) and Z (R,) replicated.
         norm = lax.psum(jnp.sum(V), data_axis)
@@ -337,6 +341,22 @@ def _get_sharded_plca_fit(
             WZH = recon(h, w, z)
             part = beta_div(WZH * norm, Vn * norm, 1)
             return jnp.sqrt(2.0 * lax.psum(part, data_axis))
+
+        def log_probability(state):
+            # verbose-only posterior log-probability (reference
+            # plca.py:18-20); the data and sharded-H prior terms psum
+            # over the sample axis, W/Z terms are replicated
+            w, h, z = state
+            WZH = recon(h, w, z)
+            lp = lax.psum(
+                Vn.reshape(-1) @ jnp.log(WZH + eps).reshape(-1), data_axis
+            )
+            lp = lp + jnp.sum(jnp.log(w + eps) * (W_alpha - 1.0))
+            lp = lp + lax.psum(
+                jnp.sum(jnp.log(h + eps) * (H_alpha - 1.0)), data_axis
+            )
+            lp = lp + jnp.sum(jnp.log(z + eps) * (Z_alpha - 1.0))
+            return lp
 
         def one_iter(state):
             # the shared EM iteration (ops/solver._plca_em_iter): one VJP
@@ -355,20 +375,25 @@ def _get_sharded_plca_fit(
                 ),
             )
 
-        (W, H, Z), k, conv, _ = _converging_loop(
-            one_iter, loss_of, (W, H, Z), tol, max_iter, False
+        (W, H, Z), k, conv, trace = _converging_loop(
+            one_iter, loss_of, (W, H, Z), tol, max_iter, verbose,
+            extra_of=log_probability if verbose else None, record=verbose,
         )
         # reference quirk: raw loop index (plca.py:304)
         n_iter = jnp.where(conv, k * 10 - 1, max_iter - 1)
-        return W, H, Z, n_iter, norm
+        out = (W, H, Z, n_iter, norm)
+        return out + (k, trace[0], trace[1]) if verbose else out
 
+    out_specs = (P(), P(data_axis, None), P(), P(), P())
+    if verbose:
+        out_specs = out_specs + (P(), P(), P())
     mapped = jax.shard_map(
         local_fit,
         mesh=mesh,
         in_specs=(
             P(data_axis), P(), P(data_axis, None), P(), P(), P(), P(),
         ),
-        out_specs=(P(), P(data_axis, None), P(), P(), P()),
+        out_specs=out_specs,
     )
     return jax.jit(mapped)
 
@@ -388,27 +413,36 @@ def sharded_plca_fit(
     update_H: bool = True,
     update_Z: bool = True,
     data_axis: str = "data",
+    verbose: bool = False,
 ):
     """EM-fit plain PLCA with the sample axis sharded over ``mesh``.
 
     Inputs must already be probability-normalized (as the PLCA constructor
     does).  Returns ``(W, H, Z, n_iter, norm)`` matching the single-device
-    trajectories; ``H`` stays sharded over ``data_axis``.
+    trajectories; ``H`` stays sharded over ``data_axis``.  ``verbose``
+    records the cadence (loss, log-probability) pairs on device and
+    replays them to the progress handlers after the program completes.
     """
     fit = _get_sharded_plca_fit(
         mesh, float(tol), int(max_iter),
         update_W, update_H, update_Z,
         alpha_is_active(W_alpha), alpha_is_active(H_alpha),
         alpha_is_active(Z_alpha),
-        data_axis,
+        data_axis, bool(verbose),
     )
     V = shard_target(V, mesh, P(data_axis))
     H = shard_target(H, mesh, P(data_axis, None))
     W = shard_target(W, mesh, P())
     Z = shard_target(Z, mesh, P())
-    return fit(
-        V, W, H, Z,
+    alphas = (
         jnp.asarray(W_alpha, jnp.float32),
         jnp.asarray(H_alpha, jnp.float32),
         jnp.asarray(Z_alpha, jnp.float32),
     )
+    if verbose:
+        from ..ops.solver import _emit_recorded
+
+        W, H, Z, n_iter, norm, k, losses, extras = fit(V, W, H, Z, *alphas)
+        _emit_recorded(k, losses, extras)
+        return W, H, Z, n_iter, norm
+    return fit(V, W, H, Z, *alphas)
