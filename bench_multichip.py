@@ -164,7 +164,8 @@ def main():
     # on the fused-Mosaic ("pallas") mode wherever the engine autotune
     # picks it for the local chunk shape (measured n=1 v5e: 11.86 ms/iter
     # vs 11.42 plain — the stream-mode halo it replaces tracked the
-    # slower 13.39 stream engine)
+    # slower 13.39 stream engine).  beta in {1, 2}: both flagship MU
+    # flavors (VERDICT r3 item 1).
     Rf = 4 if tiny else 88
     Vf = rng.rand(N, C, L).astype("f")
     Wf0 = rng.rand(C, Rf, T).astype("f") + 0.1
@@ -175,39 +176,45 @@ def main():
     from pytorch_nmf_tpu.ops import recon as _recon
     from pytorch_nmf_tpu.ops.autotune import resolve_deconv_factory
 
-    flag_factory = resolve_deconv_factory(
-        jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0), 1.0, 1,
-        _recon.deconv1d,
-    )
-
-    def make_plain_flag(n):
-        return get_dense_fit(
-            NMFD.reconstruct, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, flag_factory,
+    for beta_f in ((1.0,) if tiny else (1.0, 2.0)):
+        flag_factory = resolve_deconv_factory(
+            jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0), beta_f, 1,
+            _recon.deconv1d,
         )
 
-    ms_plain_f = _marginal_ms_per_iter(
-        make_plain_flag, (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0)),
-    )
-
-    def make_halo_flag(n):
-        def fit(V, W, H):
-            return _sharded_deconv_fit(
-                V, W, H, seq_mesh, 1, 1.0, float("-inf"), n, 0.0, 0.0,
-                "seq",
+        def make_plain_flag(n, _b=beta_f, _fac=flag_factory):
+            return get_dense_fit(
+                NMFD.reconstruct, _b, float("-inf"), n, True, True,
+                0.0, 0.0, False, _fac,
             )
-        return fit
 
-    ms_halo_f = _marginal_ms_per_iter(
-        make_halo_flag, (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0))
-    )
-    grid.append({
-        "metric": f"nmfd_halo_overhead_n{n_dev}_{C}x{L_loc}loc_r{Rf}_T{T}_beta1",
-        "value": round(ms_halo_f / ms_plain_f, 4),
-        "unit": "x_plain",
-        "ms_plain": round(ms_plain_f, 5),
-        "ms_sharded": round(ms_halo_f, 5),
-    })
+        ms_plain_f = _marginal_ms_per_iter(
+            make_plain_flag,
+            (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0)),
+        )
+
+        def make_halo_flag(n, _b=beta_f):
+            def fit(V, W, H):
+                return _sharded_deconv_fit(
+                    V, W, H, seq_mesh, 1, _b, float("-inf"), n, 0.0, 0.0,
+                    "seq",
+                )
+            return fit
+
+        ms_halo_f = _marginal_ms_per_iter(
+            make_halo_flag,
+            (jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0)),
+        )
+        grid.append({
+            "metric": (
+                f"nmfd_halo_overhead_n{n_dev}_{C}x{L_loc}loc_r{Rf}_T{T}"
+                f"_beta{beta_f:g}"
+            ),
+            "value": round(ms_halo_f / ms_plain_f, 4),
+            "unit": "x_plain",
+            "ms_plain": round(ms_plain_f, 5),
+            "ms_sharded": round(ms_halo_f, 5),
+        })
 
     # ---- NMF2D halo at the VMEM-gated fused shape --------------------
     # at C=256/r64/128² the full fused mode's hgrad accumulator exceeds
@@ -259,6 +266,155 @@ def main():
         "unit": "x_plain",
         "ms_plain": round(ms_plain_2d, 5),
         "ms_sharded": round(ms_halo_2d, 5),
+    })
+
+    # ---- NMF3D halo: modest volumetric shape, trailing axis sharded -----
+    from pytorch_nmf_tpu.models.nmf import NMF3D
+
+    if tiny:
+        C3, R3, k3, S3, L3_loc = 4, 2, (2, 2, 2), (4, 4), 8
+    else:
+        C3, R3, k3, S3, L3_loc = 64, 16, (4, 4, 4), (16, 16), 64
+    L3 = L3_loc * n_dev
+    V3 = rng.rand(
+        1, C3, S3[0] + k3[0] - 1, S3[1] + k3[1] - 1, L3
+    ).astype("f")
+    W30 = rng.rand(C3, R3, *k3).astype("f") + 0.1
+    H30 = rng.rand(1, R3, S3[0], S3[1], L3 - k3[2] + 1).astype("f") + 0.1
+    fac3 = resolve_deconv_factory(
+        jnp.asarray(V3), jnp.asarray(W30), jnp.asarray(H30), 1.0, 3,
+        _recon.deconv3d,
+    )
+
+    def make_plain_3d(n):
+        return get_dense_fit(
+            NMF3D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac3,
+        )
+
+    ms_plain_3d = _marginal_ms_per_iter(
+        make_plain_3d, (jnp.asarray(V3), jnp.asarray(W30), jnp.asarray(H30)),
+    )
+
+    def make_halo_3d(n):
+        def fit(V, W, H):
+            return _sharded_deconv_fit(
+                V, W, H, seq_mesh, 3, 1.0, float("-inf"), n, 0.0, 0.0,
+                "seq",
+            )
+        return fit
+
+    ms_halo_3d = _marginal_ms_per_iter(
+        make_halo_3d, (jnp.asarray(V3), jnp.asarray(W30), jnp.asarray(H30))
+    )
+    grid.append({
+        "metric": (
+            f"nmf3d_halo_overhead_n{n_dev}_{C3}x{S3[0]}x{S3[1]}x{L3_loc}loc"
+            f"_r{R3}_k{k3[0]}_beta1"
+        ),
+        "value": round(ms_halo_3d / ms_plain_3d, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_3d, 5),
+        "ms_sharded": round(ms_halo_3d, 5),
+    })
+
+    # ---- SIPLCA EM halo: spectrogram scale (bench.py's r8 EM row) -------
+    from pytorch_nmf_tpu.models.plca import PLCA, SIPLCA
+    from pytorch_nmf_tpu.ops.autotune import resolve_plca_recon3
+    from pytorch_nmf_tpu.ops.solver import get_plca_fit
+    from pytorch_nmf_tpu.parallel.halo import sharded_siplca_fit
+
+    if tiny:
+        Cs, Rs, Ts, Ls_loc = 8, 3, 4, 16
+    else:
+        Cs, Rs, Ts, Ls_loc = 513, 8, 200, 3000
+    Ls = Ls_loc * n_dev
+    Vsi = jnp.asarray(rng.rand(1, Cs, Ls).astype("f"))
+    Wsi = rng.rand(Cs, Rs, Ts).astype("f")
+    Wsi /= Wsi.sum(axis=(0, 2), keepdims=True)
+    Hsi = rng.rand(1, Rs, Ls - Ts + 1).astype("f")
+    Hsi /= Hsi.sum(axis=(0, 2), keepdims=True)
+    Zsi = np.full((Rs,), 1.0 / Rs, "f")
+    recon3 = resolve_plca_recon3(
+        SIPLCA, Vsi, jnp.asarray(Wsi), jnp.asarray(Hsi), jnp.asarray(Zsi)
+    )
+
+    def make_plain_si(n):
+        inner = get_plca_fit(
+            recon3, float("-inf"), n, True, True, True,
+            False, False, False,
+        )
+
+        def fit(V, W, H, Z):
+            return inner(
+                V, W, H, Z,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+            )
+
+        return fit
+
+    si_args = (Vsi, jnp.asarray(Wsi), jnp.asarray(Hsi), jnp.asarray(Zsi))
+    ms_plain_si = _marginal_ms_per_iter(make_plain_si, si_args)
+
+    def make_halo_si(n):
+        def fit(V, W, H, Z):
+            return sharded_siplca_fit(
+                V, W, H, Z, seq_mesh, tol=float("-inf"), max_iter=n
+            )
+        return fit
+
+    ms_halo_si = _marginal_ms_per_iter(make_halo_si, si_args)
+    grid.append({
+        "metric": (
+            f"siplca_em_halo_overhead_n{n_dev}_{Cs}x{Ls_loc}loc_r{Rs}_T{Ts}"
+        ),
+        "value": round(ms_halo_si / ms_plain_si, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_si, 5),
+        "ms_sharded": round(ms_halo_si, 5),
+    })
+
+    # ---- dense PLCA: explicit shard_map EM vs plain (bench.py's shape) --
+    from pytorch_nmf_tpu.parallel.sharded import sharded_plca_fit
+
+    Mq_loc, Kq, Rq = (40, 24, 4) if tiny else (5168, 1025, 88)
+    Mq = Mq_loc * n_dev
+    Vq = jnp.asarray(rng.rand(Mq, Kq).astype("f"))
+    Wq = rng.rand(Kq, Rq).astype("f"); Wq /= Wq.sum(0)
+    Hq = rng.rand(Mq, Rq).astype("f"); Hq /= Hq.sum(0)
+    Zq = np.full((Rq,), 1.0 / Rq, "f")
+
+    def make_plain_plca(n):
+        inner = get_plca_fit(
+            PLCA.reconstruct, float("-inf"), n, True, True, True,
+            False, False, False,
+        )
+
+        def fit(V, W, H, Z):
+            return inner(
+                V, W, H, Z,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+            )
+
+        return fit
+
+    plca_args = (Vq, jnp.asarray(Wq), jnp.asarray(Hq), jnp.asarray(Zq))
+    ms_plain_q = _marginal_ms_per_iter(make_plain_plca, plca_args)
+
+    def make_sharded_plca(n):
+        def fit(V, W, H, Z):
+            return sharded_plca_fit(
+                V, W, H, Z, mesh, tol=float("-inf"), max_iter=n
+            )
+        return fit
+
+    ms_shard_q = _marginal_ms_per_iter(make_sharded_plca, plca_args)
+    grid.append({
+        "metric": f"plca_em_shard_overhead_n{n_dev}_{Mq_loc}loc_x{Kq}_r{Rq}",
+        "value": round(ms_shard_q / ms_plain_q, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_q, 5),
+        "ms_sharded": round(ms_shard_q, 5),
     })
 
     # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
