@@ -190,6 +190,20 @@ def _candidates(beta: float, spatial_ndim: int):
         and os.environ.get("PNT_NMFD_FFT", "") == "auto"
     ):
         cands.append(("fft", nmfd_fft_updater_factory))
+    if (
+        spatial_ndim == 1
+        and beta == 2
+        and os.environ.get("PNT_NMFD_AUTOCORR", "") != "0"
+    ):
+        # autocorrelation W denominator (fast_nmfd._h_autocorr_gram):
+        # a re-association of the unfold contractions — f32 summation
+        # order only, same interchangeability class as conv vs unfold —
+        # so a regular candidate (PNT_NMFD_AUTOCORR=0 removes, =1 forces
+        # via resolve_deconv_factory); its unrolled-regime gate raises
+        # for unsupported shapes like the pallas candidates' gates do
+        from .fast_nmfd import nmfd_autocorr_updater_factory
+
+        cands.append(("autocorr", nmfd_autocorr_updater_factory))
     return cands
 
 
@@ -727,6 +741,14 @@ def resolve_deconv_factory(V, W, H, beta: float, spatial_ndim: int, recon2):
         return None
     if spatial_ndim == 1 and os.environ.get("PNT_NMFD_FFT", "") == "1":
         return nmfd_fft_updater_factory
+    if (
+        spatial_ndim == 1
+        and beta == 2
+        and os.environ.get("PNT_NMFD_AUTOCORR", "") == "1"
+    ):
+        from .fast_nmfd import nmfd_autocorr_updater_factory
+
+        return nmfd_autocorr_updater_factory
     if os.environ.get("PNT_NMFD_PALLAS", "") == "1":
         # explicit force (testing / known-good shapes); the autotuned
         # path offers the same engine as a measured candidate

@@ -698,6 +698,103 @@ def nmfd_unfold_updater_factory(beta, gamma, l1_reg, l2_reg):
     return _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
 
 
+def _h_autocorr_gram(H, T: int):
+    """Patch Gram ``G = PᵀP`` of the 1-D patch matrix, built from the H
+    lag autocorrelation in ``O(R²·T·L)`` MACs instead of the naive
+    ``O((T·R)²·L)``.
+
+    ``G[(τ·R+r),(τ'·R+r')] = Σ_{n,l} P[n,l,τR+r]·P[n,l,τ'R+r']
+    = A[r, r', τ-τ']`` with ``A[r,r',δ] = Σ_{n,u} H[n,r,u]·H[n,r',u+δ]``
+    (δ ∈ (-T, T); ``A[·,·,-δ] = A[·,·,δ]ᵀ``): the patch-boundary zeros
+    make every lag sum run over the full support, so the Gram is exactly
+    block-Toeplitz in the lag.  The lag table is computed in blocks of
+    shifted-window GEMMs; the block-Toeplitz expansion to ``(T·R, T·R)``
+    is pure data movement (≤ ``_CHUNK_COLS²`` · 4 bytes ≈ 67 MB by the
+    unrolled-mode gate).
+    """
+    N, R, L = H.shape
+    # lag blocks sized to keep the shifted-window stack ≲ 64 MB
+    blk = max(1, min(T, int(64 * 1024**2 // max(1, N * R * L * 4))))
+    nb = -(-T // blk)
+    Hp = jnp.pad(H, ((0, 0), (0, 0), (0, nb * blk)))
+    parts = []
+    for b in range(nb):
+        d0 = b * blk
+        S = jnp.stack(
+            [
+                lax.slice_in_dim(Hp, d0 + d, d0 + d + L, axis=2)
+                for d in range(blk)
+            ],
+            axis=2,
+        )  # (N, R', blk, L): S[n, r', d, u] = Hp[n, r', u + d0 + d]
+        parts.append(
+            jnp.einsum(
+                "nru,nsdu->rsd", H, S,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    A_half = jnp.concatenate(parts, axis=-1)[..., :T]  # (R, R', T), δ ≥ 0
+    # full lag table, index d = δ + T - 1; negative lags by symmetry
+    A_full = jnp.concatenate(
+        [jnp.flip(jnp.swapaxes(A_half, 0, 1)[..., 1:], axis=-1), A_half],
+        axis=-1,
+    )  # (R, R', 2T-1)
+    tau = jnp.arange(T)
+    gidx = tau[:, None] - tau[None, :] + (T - 1)  # (T, T')
+    G4 = A_full[:, :, gidx]  # (R, R', T, T')
+    return jnp.transpose(G4, (2, 0, 3, 1)).reshape(T * R, T * R)
+
+
+def nmfd_autocorr_updater_factory(beta, gamma, l1_reg, l2_reg):
+    """β=2 NMFD updaters with the autocorrelation W denominator.
+
+    The one β=2 re-association the unfold engine leaves on the table
+    (reference nmf.py:776-779 computes ``pos_W`` by correlating the
+    reconstruction with the activation patches): ``pos_W = Pᵀ(P W2) =
+    (PᵀP) W2``, and ``PᵀP`` is block-Toeplitz in the lag
+    (:func:`_h_autocorr_gram`) so it costs ``O(R²·T·L)`` to build plus
+    ``O(C·R²·T²)`` to apply — replacing the unfold W-side's recon +
+    correlation ``O(2·C·R·T·L)``; wins exactly when ``R·T < L`` (the
+    low-rank flagship corner).  Only ``upd_W``'s positive term changes:
+    ``neg_W``, the whole H update, the loss cadence and the
+    ``prepare``/``finish`` layout hooks all ride the unfold engine, and
+    the relu/eps clamps are placed identically — trajectories differ
+    from unfold only by f32 summation order (same interchangeability
+    class as conv vs unfold).  1-D, β=2, unrolled-regime
+    (``T·R ≤ _CHUNK_COLS``) only; other configs raise so the autotuner's
+    per-candidate try/except skips the engine.
+    """
+    if beta != 2:
+        raise ValueError("the autocorrelation engine is β=2-only")
+    base = _deconv_unfold_updater_factory(1, beta, gamma, l1_reg, l2_reg)
+    _, upd_H_u, loss_terms, prepare, finish = base
+
+    def upd_W(V, w, H):
+        if len(V.shape) != 3 or V.dtype == jnp.float64:
+            raise ValueError("autocorr engine: 1-D f32 targets only")
+        R = int(H.shape[1])
+        T = int(w.shape[0]) // R if w.ndim == 2 else int(w.shape[-1])
+        if w.ndim != 2 or T * R > _CHUNK_COLS or not nmfd_unfold_supported(
+            tuple(int(s) for s in V.shape),
+            (int(V.shape[1]), R, T),
+        ):
+            raise ValueError(
+                "autocorr engine requires the unrolled patch regime "
+                "(T·R <= _CHUNK_COLS and the unfold memory budget)"
+            )
+        V2 = _v2_flat(V)
+        P = unfold_patches_nd(H, (T,))  # (N, L_out, TR)
+        neg = jnp.einsum(
+            "nlk,nlc->kc", P, V2, preferred_element_type=jnp.float32,
+        )
+        pos = _dot(_h_autocorr_gram(H, T), w)  # (TR, TR) @ (TR, C)
+        neg = jax.nn.relu(neg) + eps
+        pos = jax.nn.relu(pos) + eps
+        return w * mu_multiplier(neg, pos, w, gamma, l1_reg, l2_reg)
+
+    return upd_W, upd_H_u, loss_terms, prepare, finish
+
+
 def nmfd_fft_updater_factory(beta, gamma, l1_reg, l2_reg):
     """NMFD updaters with the opt-in FFT β=2 path
     (:mod:`pytorch_nmf_tpu.ops.fft_nmfd`); every other β keeps the

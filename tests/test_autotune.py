@@ -64,7 +64,7 @@ def test_autotune_fft_candidate_at_beta2(monkeypatch):
     assert winner in ("unfold", "conv", "fft")
 
 
-@pytest.mark.parametrize("forced_winner", ["unfold", "conv", "fft"])
+@pytest.mark.parametrize("forced_winner", ["unfold", "conv", "fft", "autocorr"])
 def test_fit_matches_parity_for_any_winner(monkeypatch, forced_winner):
     """Whatever engine the autotuner picks, the model-API trajectory stays
     within the f32-rounding parity envelope of the default path."""

@@ -257,3 +257,85 @@ def test_fft_batch_caps_are_exact():
     # target N*cb transforms)
     cb = fft_nmfd._c_chunk(4096, 8, 4097, N=100)
     assert max(8, 100) * cb * 8192 <= fft_nmfd._FFT_ELEMS_CAP
+
+
+# --------------------------------------------------------------------------
+# β=2 autocorrelation W denominator (VERDICT r3 item 5)
+# --------------------------------------------------------------------------
+def test_autocorr_gram_matches_naive():
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        _h_autocorr_gram,
+        unfold_patches_nd,
+    )
+
+    for N, R, T, L_in in [(1, 3, 7, 34), (2, 4, 5, 29), (1, 2, 1, 10)]:
+        H = jnp.asarray(RNG.rand(N, R, L_in).astype("f") + 0.1)
+        P = unfold_patches_nd(H, (T,))
+        G_naive = jnp.einsum("nlk,nlj->kj", P, P)
+        G_fast = _h_autocorr_gram(H, T)
+        np.testing.assert_allclose(
+            np.asarray(G_fast), np.asarray(G_naive), rtol=3e-5, atol=1e-5
+        )
+
+
+def test_autocorr_fit_matches_unfold_fit():
+    """The autocorrelation engine is a pure re-association: trajectories
+    track the unfold engine to f32 summation order."""
+    N, C, L_out, R, T = 2, 12, 50, 4, 7
+    V = RNG.rand(N, C, L_out).astype("f")
+    W0 = RNG.rand(C, R, T).astype("f") + 0.1
+    H0 = RNG.rand(N, R, L_out - T + 1).astype("f") + 0.1
+
+    a = NMFD(W=W0, H=H0)
+    na = a.fit(V, 2, 1e-4, 30)
+
+    os.environ["PNT_NMFD_AUTOCORR"] = "1"  # force via resolve_deconv_factory
+    try:
+        b = NMFD(W=W0, H=H0)
+        nb = b.fit(V, 2, 1e-4, 30)
+    finally:
+        os.environ.pop("PNT_NMFD_AUTOCORR", None)
+
+    assert na == nb
+    assert float(jnp.abs(a.W.data - b.W.data).max()) < 5e-5
+    assert float(jnp.abs(a.H.data - b.H.data).max()) < 5e-5
+
+
+def test_autocorr_rejects_non_beta2_and_stream_regime():
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        _CHUNK_COLS,
+        nmfd_autocorr_updater_factory,
+    )
+    from pytorch_nmf_tpu.ops.mu import gamma_from_beta
+    from pytorch_nmf_tpu.ops.solver import _normalize_updaters
+
+    with pytest.raises(ValueError):
+        nmfd_autocorr_updater_factory(1.0, gamma_from_beta(1.0), 0.0, 0.0)
+
+    # stream-regime shapes (T·R > _CHUNK_COLS) raise at trace time so the
+    # autotuner's per-candidate try/except skips the engine
+    R, T = 64, (_CHUNK_COLS // 64) + 1
+    L_in = T + 10
+    V = jnp.asarray(RNG.rand(1, 4, L_in + T - 1).astype("f"))
+    W = jnp.asarray(RNG.rand(4, R, T).astype("f") + 0.1)
+    H = jnp.asarray(RNG.rand(1, R, L_in).astype("f") + 0.1)
+    ups = _normalize_updaters(
+        nmfd_autocorr_updater_factory(2.0, gamma_from_beta(2.0), 0.0, 0.0)
+    )
+    w0, h0 = ups[3](V, W, H)  # prepare (stream layout)
+    with pytest.raises(ValueError):
+        ups[0](V, w0, h0)
+
+
+def test_autocorr_is_an_autotune_candidate():
+    from pytorch_nmf_tpu.ops.autotune import _candidates
+
+    names = [n for n, _ in _candidates(2.0, 1)]
+    assert "autocorr" in names
+    assert "autocorr" not in [n for n, _ in _candidates(1.0, 1)]
+    assert "autocorr" not in [n for n, _ in _candidates(2.0, 2)]
+    os.environ["PNT_NMFD_AUTOCORR"] = "0"
+    try:
+        assert "autocorr" not in [n for n, _ in _candidates(2.0, 1)]
+    finally:
+        os.environ.pop("PNT_NMFD_AUTOCORR", None)
