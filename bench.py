@@ -166,6 +166,23 @@ def main():
         grid.append(row)
         return row
 
+    def _sklearn_available():
+        try:
+            import sklearn  # noqa: F401
+            from scipy import sparse  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    # live sklearn oracle: auto-enabled when sklearn is importable (the
+    # reference benchmark.ipynb cell 4 runs sklearn side-by-side), so the
+    # vs_sklearn ratios self-verify wherever possible; --no-sklearn opts
+    # out, --with-sklearn asserts it (ImportError skip stays clean)
+    with_sklearn = "--with-sklearn" in sys.argv or (
+        "--no-sklearn" not in sys.argv and _sklearn_available()
+    )
+
     def sklearn_ms_per_iter(V_csr, R, beta):
         """Live sklearn-MU oracle (reference benchmark.ipynb cell 4 runs
         sklearn side-by-side; enabled with --with-sklearn)."""
@@ -220,7 +237,7 @@ def main():
             row["vs_sklearn_cpu"] = round(
                 BASELINE_SKLEARN_MS[("sparse", float(beta))] / ms, 2
             )
-        if "--with-sklearn" in sys.argv:
+        if with_sklearn:
             try:
                 from scipy import sparse as _sps
 
@@ -296,6 +313,10 @@ def main():
     nmfd_cases = [
         # (C, L_out, R, T, beta) — flagship grid
         (1025, 5000, 8, 400, 1.0),
+        # low-rank β=2: the R·T < L corner where the autocorrelation W
+        # denominator (PNT_NMFD_AUTOCORR) is a candidate — this row
+        # tracks whichever engine the autotuner measures fastest
+        (1025, 5000, 8, 400, 2.0),
         (1025, 5000, 88, 400, 1.0),
         (1025, 5000, 88, 400, 2.0),
         # the round-2 42x inversion shape (ROADMAP "Deconv path
@@ -326,86 +347,78 @@ def main():
             "iters_per_sec": round(1000.0 / ms, 1),
         })
 
-    # NMF2D (2-D deconv): spectrogram-patch scale
+    # NMF2D (2-D deconv): engine per row from the runtime autotuner.
+    #   - 64x128² r16: low-rank spectrogram-patch scale (conv wins)
+    #   - 256x64² r64 β∈{1,2}: the fused-kernel scale — the candidate set
+    #     is conv vs unfold vs the flat-offset Mosaic engines; the row
+    #     tracks whichever actually measures fastest (r3: conv at β=1)
+    #   - 256x128² r64: the VMEM-gated scale where the full fused mode is
+    #     rejected and the hybrid "pallas_w" is the open candidate
     from pytorch_nmf_tpu.models.nmf import NMF2D
 
-    N, C, Hs, Ws_, R2, kh, kw = (
-        (1, 8, 24, 24, 4, 3, 3) if TINY else (1, 64, 128, 128, 16, 8, 8)
-    )
-    V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
-    W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
-    H2d = jnp.asarray(
-        rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
-    )
-    fac2d = resolve_deconv_factory(V2d, W2d, H2d, 1.0, 2, NMF2D.reconstruct)
-
-    def make_fit_2d(n):
-        return get_dense_fit(
-            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, fac2d,
+    nmf2d_cases = [
+        (1, 8, 24, 24, 4, 3, 3, 1.0),
+        (1, 10, 24, 24, 6, 3, 3, 2.0),
+    ] if TINY else [
+        (1, 64, 128, 128, 16, 8, 8, 1.0),
+        (1, 256, 64, 64, 64, 8, 8, 1.0),
+        (1, 256, 64, 64, 64, 8, 8, 2.0),
+        (1, 256, 128, 128, 64, 8, 8, 1.0),
+    ]
+    for N, C, Hs, Ws_, R2, kh, kw, beta2 in nmf2d_cases:
+        V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
+        W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
+        H2d = jnp.asarray(
+            rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
+        )
+        fac2d = resolve_deconv_factory(
+            V2d, W2d, H2d, beta2, 2, NMF2D.reconstruct
         )
 
-    ms = _marginal_ms_per_iter(make_fit_2d, (V2d, W2d, H2d))
-    grid.append({
-        "metric": f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}_beta1",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+        def make_fit_2d(n, _b=beta2, _f=fac2d):
+            return get_dense_fit(
+                NMF2D.reconstruct, _b, float("-inf"), n, True, True,
+                0.0, 0.0, False, _f,
+            )
 
-    # NMF2D at fused-kernel scale: rank high enough to feed the MXU M dim,
-    # flat length inside the Mosaic VMEM envelope — the flat-offset pallas
-    # engine measured 1.42x over unfold here (0.653 vs 0.927 ms/iter);
-    # the autotuner picks it
-    N, C, Hs, Ws_, R2, kh, kw = (
-        (1, 10, 24, 24, 6, 3, 3) if TINY else (1, 256, 64, 64, 64, 8, 8)
-    )
-    V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
-    W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
-    H2d = jnp.asarray(
-        rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
-    )
-    fac2dr = resolve_deconv_factory(V2d, W2d, H2d, 1.0, 2, NMF2D.reconstruct)
+        ms = _marginal_ms_per_iter(make_fit_2d, (V2d, W2d, H2d))
+        grid.append({
+            "metric": (
+                f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}"
+                f"_k{kh}x{kw}_beta{beta2:g}"
+            ),
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        })
 
-    def make_fit_2dr(n):
+    # NMF3D (volumetric deconv): regression row for the autotuned winner
+    from pytorch_nmf_tpu.models.nmf import NMF3D
+
+    N, C3, S3, k3, R3 = (
+        (1, 4, (6, 6, 6), (2, 2, 2), 2) if TINY
+        else (1, 64, (19, 19, 19), (4, 4, 4), 16)
+    )
+    V3d = jnp.asarray(rng.rand(N, C3, *S3).astype("f"))
+    W3d = jnp.asarray(rng.rand(C3, R3, *k3).astype("f") + 0.1)
+    H3d = jnp.asarray(
+        rng.rand(N, R3, *(s - k + 1 for s, k in zip(S3, k3))).astype("f")
+        + 0.1
+    )
+    fac3d = resolve_deconv_factory(V3d, W3d, H3d, 1.0, 3, NMF3D.reconstruct)
+
+    def make_fit_3d(n):
         return get_dense_fit(
-            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, fac2dr,
+            NMF3D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac3d,
         )
 
-    ms = _marginal_ms_per_iter(make_fit_2dr, (V2d, W2d, H2d))
+    ms = _marginal_ms_per_iter(make_fit_3d, (V3d, W3d, H3d))
     grid.append({
-        "metric": f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}_beta1",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
-
-    # NMF2D at the VMEM-gated scale: the full fused mode's hgrad
-    # accumulator exceeds the Mosaic scoped-vmem bound (measured 17.01M >
-    # 16M at this shape), so the candidate set here is unfold vs conv vs
-    # the hybrid fused-W/streamed-H "pallas_w" engine — the row that
-    # tracks the hybrid's win/loss on device (unfold measured 2.676
-    # ms/iter in r3)
-    N, C, Hs, Ws_, R2, kh, kw = (
-        (1, 12, 24, 24, 6, 3, 3) if TINY else (1, 256, 128, 128, 64, 8, 8)
-    )
-    V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
-    W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
-    H2d = jnp.asarray(
-        rng.rand(N, R2, Hs - kh + 1, Ws_ - kw + 1).astype("f") + 0.1
-    )
-    fac2dw = resolve_deconv_factory(V2d, W2d, H2d, 1.0, 2, NMF2D.reconstruct)
-
-    def make_fit_2dw(n):
-        return get_dense_fit(
-            NMF2D.reconstruct, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, fac2dw,
-        )
-
-    ms = _marginal_ms_per_iter(make_fit_2dw, (V2d, W2d, H2d))
-    grid.append({
-        "metric": f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}_beta1",
+        "metric": (
+            f"nmf3d_dense_mu_iter_{C3}x{S3[0]}x{S3[1]}x{S3[2]}"
+            f"_r{R3}_k{k3[0]}_beta1"
+        ),
         "value": round(ms, 5),
         "unit": "ms/iter",
         "iters_per_sec": round(1000.0 / ms, 1),
@@ -573,6 +586,49 @@ def main():
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
         })
+
+    # 2-D shift-invariant PLCA EM: tracks the N-D EM recon autotune
+    from pytorch_nmf_tpu.models.plca import SIPLCA2
+
+    N2, C2, Y2, X2, R2p, kh2, kw2 = (
+        (1, 8, 16, 16, 3, 3, 3) if TINY else (1, 64, 64, 64, 16, 8, 8)
+    )
+    V2p = jnp.asarray(rng.rand(N2, C2, Y2, X2).astype("f"))
+    W2p = rng.rand(C2, R2p, kh2, kw2).astype("f")
+    W2p /= W2p.sum(axis=(0, 2, 3), keepdims=True)
+    H2p = rng.rand(
+        N2, R2p, Y2 - kh2 + 1, X2 - kw2 + 1
+    ).astype("f")
+    H2p /= H2p.sum(axis=(0, 2, 3), keepdims=True)
+    Z2p = np.full((R2p,), 1.0 / R2p, "f")
+    recon3_2d = resolve_plca_recon3(
+        SIPLCA2, V2p, jnp.asarray(W2p), jnp.asarray(H2p), jnp.asarray(Z2p)
+    )
+
+    def make_fit_si2(n):
+        inner = get_plca_fit(
+            recon3_2d, float("-inf"), n, True, True, True,
+            False, False, False,
+        )
+
+        def fit(V, W, H, Z):
+            return inner(
+                V, W, H, Z,
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+            )
+
+        return fit
+
+    ms = _marginal_ms_per_iter(
+        make_fit_si2,
+        (V2p, jnp.asarray(W2p), jnp.asarray(H2p), jnp.asarray(Z2p)),
+    )
+    grid.append({
+        "metric": f"siplca2_em_iter_{C2}x{Y2}x{X2}_r{R2p}_k{kh2}x{kw2}",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+    })
 
     out = {
         "metric": headline["metric"],

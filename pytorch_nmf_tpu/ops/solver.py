@@ -98,6 +98,7 @@ def _emit_progress(chunk_idx, loss, extra=None):
         handlers = list(_PROGRESS_HANDLERS)
     # every registered handler observes the event, so a user-installed
     # recorder (utils.LossHistory) coexists with the fit's own tqdm bar
+    extra = None if extra is None else float(extra)  # device scalar -> host
     for handler in handlers:
         handler(int(chunk_idx), float(loss), extra)
 
