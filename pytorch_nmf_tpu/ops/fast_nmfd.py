@@ -739,9 +739,14 @@ def _h_autocorr_gram(H, T: int):
         [jnp.flip(jnp.swapaxes(A_half, 0, 1)[..., 1:], axis=-1), A_half],
         axis=-1,
     )  # (R, R', 2T-1)
-    tau = jnp.arange(T)
-    gidx = tau[:, None] - tau[None, :] + (T - 1)  # (T, T')
-    G4 = A_full[:, :, gidx]  # (R, R', T, T')
+    # block-Toeplitz expansion by static slices (a gather here costs ms on
+    # TPU): row block τ needs A_full[..., τ-τ'+T-1] for τ' = 0..T-1, i.e.
+    # the length-T window at offset τ, reversed
+    rows = [
+        jnp.flip(lax.slice_in_dim(A_full, t, t + T, axis=2), axis=2)
+        for t in range(T)
+    ]
+    G4 = jnp.stack(rows, axis=2)  # (R, R', T, T')
     return jnp.transpose(G4, (2, 0, 3, 1)).reshape(T * R, T * R)
 
 
