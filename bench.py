@@ -364,6 +364,9 @@ def main():
         (1, 256, 64, 64, 64, 8, 8, 1.0),
         (1, 256, 64, 64, 64, 8, 8, 2.0),
         (1, 256, 128, 128, 64, 8, 8, 1.0),
+        # rank-128 shape where the fused flat-offset kernel beats conv
+        # (measured r4: pallas 0.778 vs conv 0.921 vs unfold 1.127 ms/iter)
+        (1, 512, 64, 64, 128, 8, 8, 1.0),
     ]
     for N, C, Hs, Ws_, R2, kh, kw, beta2 in nmf2d_cases:
         V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))

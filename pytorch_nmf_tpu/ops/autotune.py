@@ -176,9 +176,12 @@ def _candidates(beta: float, spatial_ndim: int):
             (_PALLAS_INTERPRET_FACTORIES if interp
              else _PALLAS_FACTORIES)[spatial_ndim],
         ))
-        # hybrid fused-W/streamed-H: its shape gate accepts exactly the
-        # shapes the full fused mode rejects on VMEM, so at most one of
-        # the two survives the timing loop for any given problem
+        # hybrid fused-W/streamed-H: in 1-D its shape gate accepts
+        # exactly the shapes the full fused mode rejects on VMEM (the
+        # in-kernel epilogue dominates it wherever both run), so at
+        # most one of the two survives the timing loop there; in
+        # 2-D/3-D it is a regular candidate wherever its own VMEM gate
+        # admits it (fast_nmfd._deconv_pallas_updater_factory::_dims)
         cands.append((
             "pallas_w",
             (_PALLAS_W_INTERPRET_FACTORIES if interp

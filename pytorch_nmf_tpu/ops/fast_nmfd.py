@@ -865,11 +865,16 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
             else deconv_pallas_nd_supported(V_shape, H_shape, None)
         )
         if h_side == "stream":
-            # hybrid applies exactly where the full fused mode is gated
-            # out (otherwise it is a redundant timing candidate)
-            ok = (not full_ok) and deconv_pallas_w_supported(
-                V_shape, H_shape, None
-            )
+            # 1-D: the hybrid applies exactly where the full fused mode
+            # is VMEM-gated out (the in-kernel MU epilogue dominates it
+            # wherever both run — measured r3, so it would be a
+            # redundant timing candidate).  2-D/3-D flat-offset shapes
+            # have no such dominance measurement, so the hybrid is a
+            # regular candidate wherever its own gate admits it
+            # (VERDICT r3 item 4: try pallas_w as a 2-D single-device
+            # candidate).
+            w_ok = deconv_pallas_w_supported(V_shape, H_shape, None)
+            ok = w_ok if nd > 1 else ((not full_ok) and w_ok)
         else:
             ok = full_ok
         if not ok or len(V_shape) != nd + 2:
