@@ -164,19 +164,32 @@ def halo_adjoint(g, halo: int, axis_name: str):
 def _conv_halo_nd(H, W, spatial_ndim: int):
     """True convolution: full padding on the leading (local) spatial axes,
     VALID on the halo'd trailing axis.  Trailing out length =
-    ``L_halo - T + 1`` = the device's chunk."""
+    ``L_halo - T + 1`` = the device's chunk.
+
+    ``PNT_HALO_CONV=sym`` computes the identical result via symmetric
+    full padding on the trailing axis followed by a static slice
+    (``out_full[..., T-1 : T-1+chunk]``): ~``2(T-1)/chunk`` more output
+    columns, but candidate for a faster XLA:TPU lowering than the
+    mixed full/VALID padding (the single-device solvers run the
+    all-symmetric conv) — an A/B knob for the n=1 halo-overhead tax."""
     spatial = tuple(range(2, 2 + spatial_ndim))
     Wf = jnp.flip(W, axis=spatial)
+    sym = os.environ.get("PNT_HALO_CONV", "") == "sym"
+    T = int(W.shape[spatial[-1]])
     pads = [(W.shape[d] - 1, W.shape[d] - 1) for d in spatial[:-1]]
-    pads.append((0, 0))
+    pads.append((T - 1, T - 1) if sym else (0, 0))
     letters = _CONV_LETTERS[spatial_ndim]
     dn = lax.conv_dimension_numbers(
         H.shape, Wf.shape, ("NC" + letters, "OI" + letters, "NC" + letters)
     )
-    return lax.conv_general_dilated(
+    out = lax.conv_general_dilated(
         H, Wf, (1,) * spatial_ndim, pads, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
+    if sym:
+        chunk = int(H.shape[-1]) - T + 1
+        out = lax.slice_in_dim(out, T - 1, T - 1 + chunk, axis=out.ndim - 1)
+    return out
 
 
 @lru_cache(maxsize=None)
