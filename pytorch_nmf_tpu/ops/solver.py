@@ -45,9 +45,12 @@ from .projection import hoyer_l1_target, proj_columns, proj_columns_explicit
 from .sparse import (
     SparseCOO,
     coo_rem_neg_grad,
+    coo_rem_neg_scalar,
     ell_neg_grad,
+    ell_neg_scalar,
     get_V_norm,
     nmf_ell_pos_grad,
+    nmf_ell_pos_scalar,
 )
 
 __all__ = [
@@ -576,7 +579,19 @@ def get_sparse_fit(
 
         def loss_of(state):
             w, h = state
-            pos, neg = pos_neg(V_coo, h, w, beta)
+            if ell:
+                # cadence loss from the row-ELL side: same split form and
+                # eps placement as the gather pair, but the nnz access is
+                # the same blocked one-factor-gather reduction the updates
+                # use — measured materially cheaper than the two-factor
+                # COO gather at bench scale (the sharded solver's form;
+                # f32 summation order is the only difference)
+                pos = nmf_ell_pos_scalar(w, h, beta)
+                neg = ell_neg_scalar(V.row_idx, V.row_val, h, w, beta)
+                if V.row_rem[2].shape[0]:
+                    neg = neg + coo_rem_neg_scalar(V.row_rem, h, w, beta)
+            else:
+                pos, neg = pos_neg(V_coo, h, w, beta)
             return jnp.sqrt(2.0 * (V_norm + pos - neg))
 
         def ell_update(p, neg_raw, pos_pre, pos_raw):
