@@ -378,6 +378,47 @@ def test_halo_unfold_matches_conv_formulation():
 
 
 @needs_8
+def test_halo_conv_sym_padding_matches_default():
+    """``PNT_HALO_CONV=sym`` (symmetric full padding + static slice on the
+    halo'd trailing axis) is an A/B lowering knob for the conv per-shard
+    mode — same math as the default mixed full/VALID formulation
+    (bit-identical on v5e; the CPU conv lowering reorders the f32
+    accumulation, so compare to tolerance here).  Measured on v5e: no
+    win (tools/measure_halo_conv.py)."""
+    import os
+
+    from pytorch_nmf_tpu.parallel import halo
+
+    rng = np.random.RandomState(11)
+    mesh = make_mesh({"seq": 4})
+    C, R, Y, ky, kx, L = 6, 3, 12, 3, 3, 32
+    V = jnp.asarray(rng.rand(1, C, Y + ky - 1, L).astype("f"))
+    W0 = jnp.asarray(rng.rand(C, R, ky, kx).astype("f") + 0.1)
+    H0 = jnp.asarray(rng.rand(1, R, Y, L - kx + 1).astype("f") + 0.1)
+
+    def run():
+        # the env knob is read at trace time inside the cached solver
+        halo._get_sharded_deconv_fit.cache_clear()
+        out = halo._sharded_deconv_fit(
+            V, W0, H0, mesh, 2, 1.0, float("-inf"), 10, 0.0, 0.0, "seq"
+        )
+        return np.asarray(out[0]), np.asarray(out[1])
+
+    os.environ["PNT_HALO_UNFOLD"] = "0"  # force the conv per-shard mode
+    os.environ.pop("PNT_HALO_CONV", None)
+    try:
+        Wv, Hv = run()
+        os.environ["PNT_HALO_CONV"] = "sym"
+        Ws, Hs = run()
+    finally:
+        os.environ.pop("PNT_HALO_CONV", None)
+        del os.environ["PNT_HALO_UNFOLD"]
+        halo._get_sharded_deconv_fit.cache_clear()
+    np.testing.assert_allclose(Wv, Ws, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Hv, Hs, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
 @pytest.mark.parametrize("beta", [1, 2, 0.5])
 def test_halo_stream_matches_conv_formulation(beta):
     """The flat-τ streaming halo path (hand-written adjoints: per-chunk
