@@ -633,6 +633,102 @@ def main():
         "iters_per_sec": round(1000.0 / ms, 1),
     })
 
+    # streaming fit (host-resident target, ops/streaming.py): the capacity
+    # path's per-iteration rate.  DMA/host-transfer-bound by design — the
+    # row tracks regressions in the block pipeline (prefetch overlap,
+    # per-block dispatch count), not MXU throughput.  Loop lengths stay
+    # under the 10-iteration loss cadence so the marginal rate is the
+    # pure stream+update cost.
+    from pytorch_nmf_tpu.ops.streaming import streaming_nmf_fit
+
+    Mst, Kst, Rst, blk = (64, 32, 4, 16) if TINY else (2048, 1024, 64, 512)
+    V_host = rng.rand(Mst, Kst).astype("f")  # stays host-resident
+    Wst0 = rng.rand(Kst, Rst).astype("f") + 0.1
+    Hst0 = rng.rand(Mst, Rst).astype("f") + 0.1
+
+    def run_stream(n):
+        W0, H0 = jnp.asarray(Wst0), jnp.asarray(Hst0)
+        t0 = time.perf_counter()
+        Wf, _, _ = streaming_nmf_fit(
+            V_host, W0, H0, beta=1.0, tol=float("-inf"), max_iter=n,
+            row_block=blk,
+        )
+        np.asarray(Wf[0, 0])  # scalar sync (host loop may have work queued)
+        return time.perf_counter() - t0
+
+    for _ in range(2):  # compile + relay warmup
+        run_stream(2)
+    t_s = min(run_stream(3) for _ in range(2))
+    t_l = min(run_stream(7) for _ in range(2))
+    ms = (t_l - t_s) / 4 * 1000.0
+    if ms <= 0:  # contaminated host timing: fall back to the total rate
+        ms = t_l / 7 * 1000.0
+    grid.append({
+        "metric": f"nmf_streaming_mu_iter_{Mst}x{Kst}_r{Rst}_blk{blk}_beta1",
+        "value": round(ms, 5),
+        "unit": "ms/iter",
+        "iters_per_sec": round(1000.0 / ms, 1),
+        "note": "host-resident target streamed in row blocks "
+                "(host-transfer-bound by design; ops/streaming.py)",
+    })
+
+    # checkpointed fit (utils/checkpoint.py): absolute overhead per
+    # checkpoint boundary vs the uninterrupted fit — segment re-dispatch +
+    # boundary loss eval + factor fetch + atomic npz write.  Reported as
+    # ms/checkpoint (scale-free: real runs amortize it over `every`
+    # iterations), not a ratio, because the fixed relay round-trips would
+    # dominate a ratio at bench-sized iteration counts.
+    import shutil
+    import tempfile
+
+    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+
+    Mc, Kc, Rc = (48, 24, 4) if TINY else (REF_M, REF_K, REF_R)
+    iters_c, every_c = (8, 2) if TINY else (200, 50)
+    Vc = jnp.asarray(rng.rand(Mc, Kc).astype("f"))
+    Wc0 = rng.rand(Kc, Rc).astype("f") + 0.1
+    Hc0 = rng.rand(Mc, Rc).astype("f") + 0.1
+
+    def run_plain_fit():
+        m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
+        t0 = time.perf_counter()
+        m.fit(Vc, 1, float("-inf"), iters_c)
+        np.asarray(m.W.data[0, 0])
+        return time.perf_counter() - t0
+
+    def run_ckpt_fit():
+        m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
+        d = tempfile.mkdtemp(prefix="pnt_bench_ckpt_")
+        try:
+            t0 = time.perf_counter()
+            checkpointed_fit(
+                m, Vc, beta=1, tol=float("-inf"), max_iter=iters_c,
+                every=every_c, directory=d, resume=False,
+            )
+            np.asarray(m.W.data[0, 0])
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run_plain_fit(); run_ckpt_fit()  # compile + relay warmup
+    t_plain = min(run_plain_fit() for _ in range(2))
+    t_ck = min(run_ckpt_fit() for _ in range(2))
+    n_seg = -(-iters_c // every_c)
+    ms_ckpt = max((t_ck - t_plain) / n_seg * 1000.0, 1e-6)
+    grid.append({
+        "metric": (
+            f"nmf_checkpointed_fit_overhead_{Mc}x{Kc}_r{Rc}"
+            f"_seg{every_c}_beta1"
+        ),
+        "value": round(ms_ckpt, 5),
+        "unit": "ms/checkpoint",
+        "ms_plain_fit": round(t_plain * 1000.0, 3),
+        "ms_ckpt_fit": round(t_ck * 1000.0, 3),
+        "n_checkpoints": n_seg,
+        "note": "segment re-dispatch + boundary loss + factor fetch + "
+                "atomic npz write, per checkpoint (utils/checkpoint.py)",
+    })
+
     out = {
         "metric": headline["metric"],
         "value": headline["value"],

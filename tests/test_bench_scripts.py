@@ -60,7 +60,8 @@ def test_bench_tiny_smoke(tmp_path):
     # one row per benchmark family must be present in tiny mode too
     for frag in ("nmf_dense", "nmf_sparse_mu", "nmf_sparse_ell", "nmfd_dense",
                  "nmf2d_dense", "nmf_hoyer", "betamu_chain_step",
-                 "betamu_chain_run", "siplca_em"):
+                 "betamu_chain_run", "siplca_em", "nmf_streaming",
+                 "nmf_checkpointed_fit_overhead"):
         assert any(frag in m for m in metrics), (frag, metrics)
     for row in out["grid"]:
         assert row["value"] > 0, row
