@@ -177,6 +177,16 @@ def deconv_pallas_supported(V_shape, H_shape, dtype) -> bool:
 # blocks — calibrated against a measured 17.01M OOM at C=256/R=64/
 # flat 15488 (8.39M window + 2×3.97M out + 1.05M W2).  Keep headroom.
 _ND_HGRAD_SCOPED_BYTES = 15 * 2 ** 20
+
+
+def _halo_nd_first_padded() -> bool:
+    """A/B knob: pad the halo N-D activation's FIRST lead axis to its
+    output width even at N = 1 (the pre-r4 layout; bit-identical
+    trajectories, larger hgrad accumulator).  Resolved per call so tests
+    can flip it."""
+    import os
+
+    return os.environ.get("PNT_HALO_ND_FIRSTPAD", "") == "1"
 # flat-τ offsets per kernel tile — same env knob as fast_nmfd._PALLAS_TK,
 # so the layout and the VMEM models cannot drift
 _ND_TK = int(__import__("os").environ.get("PNT_PALLAS_TK", "16"))
@@ -280,11 +290,12 @@ def halo_pallas_mode(n_batch, C, lead_in, chunk, kernel, R,
       ``chunk + T - 1`` (the halo frames are per-segment leads), so the
       hgrad accumulator covers ``N·(chunk+T-1)`` flat rows even at
       ``N = 1``;
-    * 2-D/3-D: ALL leading local axes are padded to their *output*
-      widths (``lead_out = lead_in + k - 1``) before flattening, the
-      trailing axis is VALID at ``Xa = chunk + kx - 1``, and the wgrad
-      activation/cotangent carry ``lead_mid = T_flat - kx`` extra rows
-      per segment;
+    * 2-D/3-D: leading local axes are padded to their *output* widths
+      (``lead_out = lead_in + k - 1``) before flattening — except the
+      FIRST at ``N = 1``, which stays unpadded (strides never involve
+      the outermost extent) — the trailing axis is VALID at
+      ``Xa = chunk + kx - 1``, and the wgrad activation/cotangent carry
+      ``lead_mid = T_flat - kx`` extra rows per segment;
     * batched (``N > 1``) N-D stacking reuses each segment's own
       ``lead_mid`` zeros as the W-side separator, valid only when they
       cover the ≤ ``kx - 1`` cross-segment patch overrun
@@ -327,7 +338,14 @@ def halo_pallas_mode(n_batch, C, lead_in, chunk, kernel, R,
         la = xa
         for s in lead_out:
             la *= s
-        l_h = n_batch * la
+        # at N = 1 the halo activation keeps its FIRST lead axis unpadded
+        # (parallel/halo.py::pallas_nd_local_fit act_lead) — the hgrad
+        # accumulator covers only the real slabs
+        la_act = (
+            la if n_batch > 1 or _halo_nd_first_padded()
+            else la // lead_out[0] * lead_in[0]
+        )
+        l_h = n_batch * la_act
         lp = n_batch * (la + lead_mid)
     if _wgrad_scoped_bytes(T_geo, lp, R) > _ND_HGRAD_SCOPED_BYTES:
         return None

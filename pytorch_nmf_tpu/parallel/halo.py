@@ -208,6 +208,7 @@ def _get_sharded_deconv_fit(
     update_W: bool = True,
     update_H: bool = True,
     verbose: bool = False,
+    nd_first_padded: bool = False,
 ):
     # Verbose fits record the cadence losses in the loop carry and replay
     # them after the program (the record-and-replay channel built for
@@ -452,7 +453,8 @@ def _get_sharded_deconv_fit(
     def pallas_nd_local_fit(V, W, Hp):
         """2-D/3-D fused per-shard mode: the flat-offset kernels with a
         VALID (halo'd) trailing axis.  Middle spatial axes are padded to
-        their *output* widths (trailing zeros) and the global
+        their *output* widths (trailing zeros; the FIRST lead axis stays
+        unpadded at N = 1 — see ``act_lead`` below) and the global
         ``T_flat - 1`` lead comes from the kernels' own ``lead_pad`` —
         the single-device flat-mode exactness argument carries over
         verbatim, with the halo frames playing the role of the trailing
@@ -500,18 +502,37 @@ def _get_sharded_deconv_fit(
         # the VALID trailing axis contributes NO lead: the activation's
         # global lead is Σ_{ax<last} (k_ax - 1)·stride_ax = T_flat - kx
         lead_mid = T_flat - kx
-        La = _prod(lead_out) * Xa  # per-segment flat activation length
+        # The FIRST lead axis needs no output-width padding at N = 1:
+        # flat-offset strides never involve the outermost extent, reads
+        # past the real slabs land in the kernels' own trailing zero pad
+        # instead of explicit pad slabs (bit-identical products), and the
+        # hgrad output simply drops rows that were cropped garbage anyway
+        # — the same argument that keeps the single-device layout's first
+        # axis unpadded (ops/fast_nmfd._flat_geom).  That cuts the hgrad
+        # accumulator and its dot count by lead_out[0]/lead_in[0] and
+        # widens the full-fused-mode VMEM admission window.  N > 1 keeps
+        # the padded first axis: stacked segments need equal flat strides
+        # in the activation and cotangent layouts.
+        # PNT_HALO_ND_FIRSTPAD=1 restores the padded layout (A/B tool;
+        # trajectories are bit-identical either way) — resolved at the
+        # _sharded_deconv_fit call site so it joins the solver cache key.
+        act_lead = (
+            lead_out if N > 1 or nd_first_padded
+            else (lead_in[0],) + lead_out[1:]
+        )
+        La = _prod(act_lead) * Xa  # per-segment flat activation length
 
         def act_flat(hh):
             # (N, R, *lead_in, Xa) → per batch: middle axes padded to
-            # output widths, row-major flat, with the middle-axis lead
-            # zeros prepended (per segment: stride lead_mid + La) — the
-            # wgrad patch index l + T_flat-1 - τ then reads
-            # hh[y-dy, x + kx-1-dx] exactly (the x part of
-            # T_flat-1 - τ is kx-1-dx, resolved by the halo frames)
+            # output widths (the first only when N > 1), row-major flat,
+            # with the middle-axis lead zeros prepended (per segment:
+            # stride lead_mid + La) — the wgrad patch index
+            # l + T_flat-1 - τ then reads hh[y-dy, x + kx-1-dx] exactly
+            # (the x part of T_flat-1 - τ is kx-1-dx, resolved by the
+            # halo frames)
             H2 = jnp.moveaxis(hh, 1, -1)  # (N, *lead_in, Xa, R)
             pads = ((0, 0),) + tuple(
-                (0, int(k) - 1) for k in kernel[:-1]
+                (0, int(a) - int(s)) for s, a in zip(lead_in, act_lead)
             ) + ((0, 0), (0, 0))
             flat = jnp.pad(H2, pads).reshape(N, -1, R)  # (N, La, R)
             flat = jnp.pad(flat, ((0, 0), (lead_mid, 0), (0, 0)))
@@ -620,7 +641,7 @@ def _get_sharded_deconv_fit(
                         cot_flat_h(cot), w2f, R, Tk, N * La,
                         interpret=interpret, geom=geom,
                     )
-                    full = out.reshape((R, N) + lead_out + (Xa,))
+                    full = out.reshape((R, N) + act_lead + (Xa,))
                     for d, s in enumerate(lead_in):
                         full = lax.slice_in_dim(
                             full, 0, s, axis=2 + d
@@ -809,10 +830,13 @@ def _sharded_deconv_fit(
         float(beta), mode,
     )
 
+    from ..ops.pallas_deconv import _halo_nd_first_padded
+
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
         loss_offset, mode, bool(update_W), bool(update_H), bool(verbose),
+        _halo_nd_first_padded(),
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

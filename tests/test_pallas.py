@@ -1093,10 +1093,13 @@ def test_halo_pallas_mode_models_the_halo_layout(monkeypatch):
 
     monkeypatch.setenv("PNT_PALLAS_INTERPRET", "1")
 
-    # 2-D, N=1: the halo layout pads the leading axis to its OUTPUT
-    # width (lead_out = 2+4-1 = 5), so the hgrad accumulator covers
-    # 5*(4096+7) flat rows (~16.8 MB > the Mosaic bound) while the
-    # single-device model (2*(4096+7) rows, ~10.4 MB) passes
+    # 2-D, N=2 (batched): the halo layout pads the leading axis to its
+    # OUTPUT width (lead_out = 2+4-1 = 5), so the hgrad accumulator
+    # covers 2·5·(4096+7) flat rows (~33 MB > the Mosaic bound) while
+    # the single-device model passes.  At N=1 the r4 layout keeps the
+    # first lead axis unpadded (2·(4096+7) rows, inside the bound), so
+    # the full fused mode stands — and PNT_HALO_ND_FIRSTPAD=1 restores
+    # the padded pre-r4 accounting (~16.8 MB) and the hybrid fallback.
     lead_in, k0, kx, chunk, R = (2,), 4, 8, 4096, 4
     v_proxy = (1, 64, lead_in[0] + k0 - 1, chunk + kx - 1)
     h_proxy = (1, R) + lead_in + (chunk,)
@@ -1105,8 +1108,14 @@ def test_halo_pallas_mode_models_the_halo_layout(monkeypatch):
     assert _hgrad_scoped_bytes(
         (k0 - 1) * xa + kx, (lead_in[0] + k0 - 1) * xa, R
     ) > _ND_HGRAD_SCOPED_BYTES
+    assert halo_pallas_mode(2, 64, lead_in, chunk, (k0, kx), R) \
+        == "pallas_w"
+    assert halo_pallas_mode(1, 64, lead_in, chunk, (k0, kx), R) \
+        == "pallas"
+    monkeypatch.setenv("PNT_HALO_ND_FIRSTPAD", "1")
     assert halo_pallas_mode(1, 64, lead_in, chunk, (k0, kx), R) \
         == "pallas_w"
+    monkeypatch.delenv("PNT_HALO_ND_FIRSTPAD")
 
     # 1-D, N=1: the per-shard kernels run over chunk + T - 1 rows (the
     # halo frames are the segment lead); at a boundary shape the

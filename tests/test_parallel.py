@@ -628,6 +628,56 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
 
 
 @needs_8
+@pytest.mark.parametrize("nd", [2, 3])
+def test_halo_nd_first_axis_unpadded_bit_identical(nd, monkeypatch):
+    """At N = 1 the halo N-D flat layout keeps the FIRST lead axis
+    unpadded (flat-offset strides never involve the outermost extent);
+    PNT_HALO_ND_FIRSTPAD=1 restores the padded pre-r4 layout.  The two
+    layouts accumulate the same products in the same order, so the
+    trajectories must be BIT-identical — and the unpadded accounting
+    must widen the full-fused-mode VMEM admission window."""
+    from pytorch_nmf_tpu.ops.pallas_deconv import halo_pallas_mode
+    from pytorch_nmf_tpu.parallel import sharded_nmf2d_fit, sharded_nmf3d_fit
+
+    rng = np.random.RandomState(23)
+    mesh = make_mesh({"seq": 4})
+    if nd == 2:
+        C, R, Y_in, ky, kx = 8, 5, 10, 3, 4
+        L = 4 * 128
+        V = rng.rand(1, C, Y_in + ky - 1, L).astype("f") + 0.01
+        W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(1, R, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf2d_fit
+    else:
+        C, R, Z_in, Y_in, kz, ky, kx = 5, 4, 4, 6, 2, 3, 3
+        L = 4 * 32
+        V = rng.rand(
+            1, C, Z_in + kz - 1, Y_in + ky - 1, L
+        ).astype("f") + 0.01
+        W0 = rng.rand(C, R, kz, ky, kx).astype("f") + 0.1
+        H0 = rng.rand(1, R, Z_in, Y_in, L - kx + 1).astype("f") + 0.1
+        fit = sharded_nmf3d_fit
+
+    monkeypatch.setenv("PNT_NMFD_PALLAS", "1")
+    monkeypatch.setenv("PNT_PALLAS_INTERPRET", "1")
+    Wn, Hn, _ = fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=6)
+    monkeypatch.setenv("PNT_HALO_ND_FIRSTPAD", "1")
+    Wo, Ho, _ = fit(V, W0, H0, mesh, beta=1, tol=0, max_iter=6)
+    assert float(jnp.abs(Wn - Wo).max()) == 0.0
+    assert float(jnp.abs(Hn - Ho).max()) == 0.0
+
+    # VMEM gate: the 3-D re-admission window (chunk=60, C=64, r16, k4^3:
+    # the padded first axis models 16.0 MB > the 15 MiB bound, the
+    # unpadded real-slab accounting 13.8 MB admits the full fused mode)
+    monkeypatch.setenv("PNT_HALO_ND_FIRSTPAD", "1")
+    assert halo_pallas_mode(1, 64, (16, 16), 60, (4, 4, 4), 16) == "pallas_w"
+    monkeypatch.delenv("PNT_HALO_ND_FIRSTPAD")
+    assert halo_pallas_mode(1, 64, (16, 16), 60, (4, 4, 4), 16) == "pallas"
+    # batched stacking always keeps the padded first axis (equal strides)
+    assert halo_pallas_mode(2, 64, (16, 16), 60, (4, 4, 4), 16) == "pallas_w"
+
+
+@needs_8
 @pytest.mark.parametrize("beta", [0.5, 1, 2])
 def test_sharded_sparse_matches_single_device_ell(beta):
     """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
