@@ -318,6 +318,46 @@ def main():
         "ms_sharded": round(ms_halo_3d, 5),
     })
 
+    # ---- NMF3D halo, full-fused window: a local chunk small enough that
+    # the per-shard hgrad accumulator fits the Mosaic VMEM bound, so the
+    # halo solver runs the FULL fused Mosaic mode (the pod-realistic
+    # regime; the row above lands on the hybrid "pallas_w") — tracks the
+    # r4 first-lead-axis-unpadded layout (tools/measure_halo_firstpad.py)
+    L3f_loc = 6 if tiny else 60
+    L3f = L3f_loc * n_dev
+    V3f = rng.rand(
+        1, C3, S3[0] + k3[0] - 1, S3[1] + k3[1] - 1, L3f
+    ).astype("f")
+    H3f0 = rng.rand(1, R3, S3[0], S3[1], L3f - k3[2] + 1).astype("f") + 0.1
+    fac3f = resolve_deconv_factory(
+        jnp.asarray(V3f), jnp.asarray(W30), jnp.asarray(H3f0), 1.0, 3,
+        _recon.deconv3d,
+    )
+
+    def make_plain_3df(n):
+        return get_dense_fit(
+            NMF3D.reconstruct, 1.0, float("-inf"), n, True, True,
+            0.0, 0.0, False, fac3f,
+        )
+
+    ms_plain_3df = _marginal_ms_per_iter(
+        make_plain_3df,
+        (jnp.asarray(V3f), jnp.asarray(W30), jnp.asarray(H3f0)),
+    )
+    ms_halo_3df = _marginal_ms_per_iter(
+        make_halo_3d, (jnp.asarray(V3f), jnp.asarray(W30), jnp.asarray(H3f0))
+    )
+    grid.append({
+        "metric": (
+            f"nmf3d_halo_overhead_n{n_dev}_{C3}x{S3[0]}x{S3[1]}x{L3f_loc}loc"
+            f"_r{R3}_k{k3[0]}_beta1_fullfused"
+        ),
+        "value": round(ms_halo_3df / ms_plain_3df, 4),
+        "unit": "x_plain",
+        "ms_plain": round(ms_plain_3df, 5),
+        "ms_sharded": round(ms_halo_3df, 5),
+    })
+
     # ---- SIPLCA EM halo: spectrogram scale (bench.py's r8 EM row) -------
     from pytorch_nmf_tpu.models.plca import PLCA, SIPLCA
     from pytorch_nmf_tpu.ops.autotune import resolve_plca_recon3

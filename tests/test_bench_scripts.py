@@ -24,7 +24,7 @@ def test_bench_multichip_tiny_smoke():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["n_devices"] == 8
     # tiny mode runs one flagship beta only; the TPU run adds beta=2
-    assert len(out["grid"]) == 8
+    assert len(out["grid"]) == 9
     for frag in ("nmf_shard", "nmfd_halo", "nmf2d_halo", "nmf3d_halo",
                  "siplca_em_halo", "plca_em_shard", "sparse_ell_shard"):
         assert any(frag in row["metric"] for row in out["grid"]), frag
