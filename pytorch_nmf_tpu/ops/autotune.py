@@ -176,12 +176,12 @@ def _candidates(beta: float, spatial_ndim: int):
             (_PALLAS_INTERPRET_FACTORIES if interp
              else _PALLAS_FACTORIES)[spatial_ndim],
         ))
-        # hybrid fused-W/streamed-H: in 1-D its shape gate accepts
-        # exactly the shapes the full fused mode rejects on VMEM (the
-        # in-kernel epilogue dominates it wherever both run), so at
-        # most one of the two survives the timing loop there; in
-        # 2-D/3-D it is a regular candidate wherever its own VMEM gate
-        # admits it (fast_nmfd._deconv_pallas_updater_factory::_dims)
+        # hybrid fused-W/streamed-H: a regular candidate at every
+        # spatial rank wherever its own VMEM gate admits it — full-vs-
+        # hybrid dominance is rank-dependent (full wins at the r88
+        # flagship, hybrid wins 1.37× at r8 — tools/measure_1d_modes.py)
+        # so the timing loop decides, never a static exclusion
+        # (fast_nmfd._deconv_pallas_updater_factory::_dims)
         cands.append((
             "pallas_w",
             (_PALLAS_W_INTERPRET_FACTORIES if interp

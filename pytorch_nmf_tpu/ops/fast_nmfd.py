@@ -865,16 +865,17 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
             else deconv_pallas_nd_supported(V_shape, H_shape, None)
         )
         if h_side == "stream":
-            # 1-D: the hybrid applies exactly where the full fused mode
-            # is VMEM-gated out (the in-kernel MU epilogue dominates it
-            # wherever both run — measured r3, so it would be a
-            # redundant timing candidate).  2-D/3-D flat-offset shapes
-            # have no such dominance measurement, so the hybrid is a
-            # regular candidate wherever its own gate admits it
-            # (VERDICT r3 item 4: try pallas_w as a 2-D single-device
-            # candidate).
-            w_ok = deconv_pallas_w_supported(V_shape, H_shape, None)
-            ok = w_ok if nd > 1 else ((not full_ok) and w_ok)
+            # regular autotune candidate at every spatial rank wherever
+            # its own gate admits it.  1-D used to suppress the hybrid
+            # whenever the full fused mode compiled ("the in-kernel
+            # epilogue dominates it wherever both run" — measured r3 at
+            # the r88 flagship), but the dominance INVERTS at tiny rank:
+            # C=1025/r8/T400/L5000 β=1 measures pallas_w 2.42 ms/iter vs
+            # full-fused 3.32 on v5e (tools/measure_1d_modes.py — the
+            # hgrad's M = R = 8 starves the MXU harder than the streamed
+            # fold's GEMMs).  Rank-dependent dominance means the timing
+            # loop, not a static gate, must pick between them.
+            ok = deconv_pallas_w_supported(V_shape, H_shape, None)
         else:
             ok = full_ok
         if not ok or len(V_shape) != nd + 2:

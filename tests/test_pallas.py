@@ -898,6 +898,48 @@ def test_deconv_pallas_w_hybrid_matches_unfold(beta):
     assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
 
 
+def test_deconv_pallas_w_1d_regular_candidate():
+    """The 1-D hybrid engine must be admitted even where the full fused
+    mode also compiles — full-vs-hybrid dominance is rank-dependent
+    (hybrid wins 1.37× at the r8 flagship corner, full wins at r88 —
+    tools/measure_1d_modes.py), so both must reach the autotune timing
+    loop instead of a static mutual exclusion."""
+    from pytorch_nmf_tpu.ops.fast_nmfd import (
+        _PALLAS_W_INTERPRET_FACTORIES,
+        nmfd_unfold_updater_factory,
+    )
+    from pytorch_nmf_tpu.ops.mu import gamma_from_beta
+    from pytorch_nmf_tpu.ops.pallas_deconv import (
+        deconv_pallas_supported,
+        deconv_pallas_w_supported,
+    )
+
+    N, C, R, T, L_in = 1, 6, 8, 10, 500
+    Vs, Hs = (N, C, L_in + T - 1), (N, R, L_in)
+    # both gates admit the shape: the old exclusion would have raised
+    assert deconv_pallas_supported(Vs, Hs, np.float32)
+    assert deconv_pallas_w_supported(Vs, Hs, np.float32)
+
+    V = jnp.asarray(RNG.rand(*Vs).astype("f") + 0.01)
+    W0 = jnp.asarray(RNG.rand(C, R, T).astype("f") + 0.1)
+    H0 = jnp.asarray(RNG.rand(*Hs).astype("f") + 0.1)
+
+    def run_iters(factory, n=2):
+        upd_W, upd_H, _, prepare, finish = factory(
+            1.0, gamma_from_beta(1.0), 0.0, 0.0
+        )
+        w, h = (W0, H0) if prepare is None else prepare(V, W0, H0)
+        for _ in range(n):
+            w = upd_W(V, w, h)
+            h = upd_H(V, w, h)
+        return finish(V, w, h)
+
+    Wp, Hp = run_iters(_PALLAS_W_INTERPRET_FACTORIES[1])
+    Wu, Hu = run_iters(nmfd_unfold_updater_factory)
+    assert float(jnp.abs(Wp - Wu).max() / jnp.abs(Wu).max()) < 5e-5
+    assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
 def test_nmf2d_pallas_engine_matches_unfold(beta):
     """NMF2D fits through the forced flat-offset fused engine
