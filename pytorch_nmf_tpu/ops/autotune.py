@@ -52,6 +52,46 @@ __all__ = [
 ]
 
 
+def install_atomic_cache_puts() -> None:
+    """Make JAX's persistent compile-cache writes atomic (tmp +
+    ``os.replace``).  Upstream ``lru_cache.LRUCache.put`` is a plain
+    ``write_bytes``: a process killed mid-write (``timeout``, a relay
+    drop) leaves a truncated entry, and a LATER process segfaults
+    deserializing it inside ``compilation_cache.get_executable_and_time``
+    (observed on this host).  The patch pre-writes the entry atomically
+    and lets the original ``put`` early-return on the existing file;
+    eviction-enabled caches (``jax_compilation_cache_max_size`` set —
+    never here) keep the upstream path untouched, since their atime
+    bookkeeping lives behind a file lock the pre-write doesn't hold."""
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:  # pragma: no cover - jax internals moved
+        return
+    orig_put = _lru.LRUCache.put
+    if getattr(orig_put, "_pnt_atomic", False):
+        return
+
+    def put(self, key, val):
+        if key and not self.eviction_enabled:
+            cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            tmp = self.path / (
+                f"{key}{_lru._CACHE_SUFFIX}.tmp.{os.getpid()}"
+            )
+            try:
+                if not cache_path.exists():
+                    tmp.write_bytes(val)
+                    os.replace(tmp, cache_path)
+            except OSError:  # non-local fs / no rename: upstream path
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
+        return orig_put(self, key, val)
+
+    put._pnt_atomic = True
+    _lru.LRUCache.put = put
+
+
 def enable_compile_cache(path: str) -> None:
     """Point JAX's persistent compilation cache at ``path`` (no-op if one
     is already configured).  Measured through the relay-attached TPU
@@ -60,6 +100,7 @@ def enable_compile_cache(path: str) -> None:
     compile-every-candidate strategy cheap across processes.  Called by
     ``bench.py``/``bench_multichip.py``; library users opt in themselves
     (JAX exposes the same knob as ``JAX_COMPILATION_CACHE_DIR``)."""
+    install_atomic_cache_puts()
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -24,3 +24,9 @@ _cache_dir = os.environ.get(
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# a killed run (timeout, relay drop) must not leave truncated cache
+# entries behind — later reads SEGFAULT on them (ops/autotune docstring)
+from pytorch_nmf_tpu.ops.autotune import install_atomic_cache_puts  # noqa: E402
+
+install_atomic_cache_puts()

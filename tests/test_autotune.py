@@ -228,3 +228,34 @@ def test_mu_update_runs_without_analytic_kl_pos():
                     pos_precomputed=kl_pos_W(H[None].swapaxes(1, 2))
                     .reshape(1, -1))
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-4
+
+
+def test_atomic_cache_puts(tmp_path):
+    """The atomic-write patch for JAX's persistent compile cache:
+    upstream ``lru_cache.LRUCache.put`` is a plain ``write_bytes``, so a
+    process killed mid-write leaves a truncated entry that segfaults a
+    later ``get_executable_and_time`` (observed on this host; conftest
+    installs the patch for the whole suite).  The patched ``put`` must
+    land the full entry via tmp + ``os.replace``, leave no tmp files,
+    stay idempotent, and never double-install."""
+    from jax._src import lru_cache as _lru
+
+    from pytorch_nmf_tpu.ops.autotune import install_atomic_cache_puts
+
+    install_atomic_cache_puts()
+    assert getattr(_lru.LRUCache.put, "_pnt_atomic", False)
+    before = _lru.LRUCache.put
+    install_atomic_cache_puts()  # second call is a no-op, no re-wrap
+    assert _lru.LRUCache.put is before
+
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    assert not cache.eviction_enabled  # our caches never set a max size
+    cache.put("k1", b"payload-1")
+    assert cache.get("k1") == b"payload-1"
+    # no temporary files survive a successful put
+    assert [p.name for p in tmp_path.iterdir()] == [
+        f"k1{_lru._CACHE_SUFFIX}"
+    ]
+    # existing entries are never rewritten (upstream contract)
+    cache.put("k1", b"different")
+    assert cache.get("k1") == b"payload-1"
