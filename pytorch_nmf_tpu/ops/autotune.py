@@ -161,6 +161,7 @@ def _save_persisted(key, winner: str) -> None:
         data[_key_str(key)] = winner
         with open(path, "w") as f:
             json.dump(data, f, indent=0, sort_keys=True)
+            f.write("\n")  # keep the checked-in cache diff-friendly
     except (OSError, ValueError):  # cache is best-effort
         pass
 

@@ -860,10 +860,6 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
     def _dims(V_shape, H_shape):
         """(kernel, geom, T_geo, nkr) for this problem; raises on
         unsupported shapes (the autotuner's try/except absorbs it)."""
-        full_ok = (
-            deconv_pallas_supported(V_shape, H_shape, None) if nd == 1
-            else deconv_pallas_nd_supported(V_shape, H_shape, None)
-        )
         if h_side == "stream":
             # regular autotune candidate at every spatial rank wherever
             # its own gate admits it.  1-D used to suppress the hybrid
@@ -877,7 +873,10 @@ def _deconv_pallas_updater_factory(beta, gamma, l1_reg, l2_reg,
             # loop, not a static gate, must pick between them.
             ok = deconv_pallas_w_supported(V_shape, H_shape, None)
         else:
-            ok = full_ok
+            ok = (
+                deconv_pallas_supported(V_shape, H_shape, None) if nd == 1
+                else deconv_pallas_nd_supported(V_shape, H_shape, None)
+            )
         if not ok or len(V_shape) != nd + 2:
             raise ValueError(
                 "pallas deconv engine: unsupported shape "

@@ -8,10 +8,13 @@ shape is the low-rank flagship corner C=1025/r8/T400/L5000 (the
 reference's librosa workload, torchnmf nmf.py:704-763) where the fused
 kernels' per-dot M = R starves the MXU.
 
-``--force-hybrid`` admits the 1-D ``pallas_w`` candidate even where the
-full fused mode compiles (its normal gate is mutually exclusive with
-``pallas`` in 1-D — fast_nmfd._deconv_pallas_updater_factory::_dims) by
-stubbing the full-mode predicate for the measurement only.
+``--force-hybrid`` is HISTORICAL (pre-r4 reproduction only): it stubs the
+full-mode predicate so ``pallas_w`` is admitted where the full fused mode
+compiles.  Since r4 the 1-D mutual-exclusion gate is gone —
+``fast_nmfd._deconv_pallas_updater_factory::_dims`` admits ``pallas_w``
+wherever its own VMEM gate passes — so the default candidate sweep
+already times the hybrid un-stubbed and the flag is a no-op for current
+behavior.
 
 Usage::
 
