@@ -15,10 +15,41 @@ Prints exactly one JSON line.  Headline keys ("metric", "value", "unit",
 "vs_baseline") describe the reference benchmark's beta=1 dense row (vs. the
 torchnmf CUDA RTX 3070 baseline); the "grid" key carries every measured row
 with its own baseline comparison.
+
+Robustness contract (the driver runs this under a kill timer):
+  * Rows run headline-first and each row is recorded as soon as it is
+    measured; the single JSON line is emitted from whatever has been
+    measured so far.
+  * A wall-clock budget (``PNT_BENCH_BUDGET_S``, seconds; 0 = unlimited)
+    stops adding rows once exceeded — skipped rows are listed under
+    ``"truncated"``.
+  * SIGTERM/SIGALRM dump the same partial JSON and exit 0, so even a hard
+    driver kill yields numbers (``timeout`` sends SIGTERM first); a
+    SIGALRM backstop fires shortly after the budget in case a single row
+    wedges (the remote compiler can stall for minutes — CLAUDE.md).
+
+Live oracles (the reference benchmark notebook,
+/root/reference/examples/benchmarks/benchmark.ipynb cell 4, runs torchnmf
+and sklearn side-by-side in one process):
+  * dense reference-scale rows also time the actual reference library
+    (torchnmf on CPU, imported from /root/reference) on the same problem
+    and report ``vs_torch_cpu_live`` — a self-verifying speedup with no
+    recorded constants (skip with --no-torch or where torch is absent);
+  * sparse rows time sklearn's MU solver live (``vs_sklearn_live``) when
+    sklearn is importable (--no-sklearn opts out).
+
+Roofline context: compute-shaped rows also report ``model_tflops`` — the
+MU math's algorithmic FLOPs (6 GEMM/conv-equivalents per both-factor
+iteration, i.e. 12*M*K*R dense / 12*N*C*|V_spatial|*R*|kernel| deconv)
+divided by the measured time — and ``mfu_vs_peak`` against the TPU v5e
+bf16 peak (``PNT_PEAK_TFLOPS``, default 197).  Engines that beat the
+naive FLOP count (Gram-trick beta=2 paths) legitimately score higher:
+this is *effective* utilization of the mathematically required work.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -34,12 +65,16 @@ if os.environ.get("PNT_FORCE_CPU", "") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 # seed the deconv engine autotuner from the checked-in winner cache
-# (measured on TPU v5e; re-tunes and updates the file for unseen shapes)
+# (measured on TPU v5e; re-tunes and updates the file for unseen shapes —
+# tools/pretune_bench_shapes.py pre-resolves every shape below so a bench
+# run never autotunes in-line)
 os.environ.setdefault(
     "PNT_AUTOTUNE_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  "autotune_cache.json"),
 )
+
+REFERENCE_DIR = "/root/reference"
 
 # torchnmf CUDA (RTX 3070) ms/iter from BASELINE.md; sklearn-CPU ms/iter for
 # the sparse 10x-sklearn north-star target.
@@ -61,8 +96,70 @@ BASELINE_SKLEARN_MS = {
     ("sparse", 2.0): 11.6,
 }
 
+# TPU v5e bf16 peak (the MXU multiplies f32 GEMMs at bf16 internally, so
+# this is the right roofline for the f32 solvers too — CLAUDE.md)
+PEAK_TFLOPS = float(os.environ.get("PNT_PEAK_TFLOPS", "197"))
 
-def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=None):
+# ---------------------------------------------------------------------------
+# Grid shape tables (module-level so tools/pretune_bench_shapes.py can
+# resolve every autotuned shape ahead of a bench run).
+# ---------------------------------------------------------------------------
+REF_SHAPE = (5168, 1025, 88)        # reference benchmark scale (M, K, R)
+NS_SHAPE = (4096, 4096, 256)        # north-star scale
+SPARSE_ELL_CASE = (8192, 8192, 64, 671_000)   # (M, K, R, nnz)
+
+# (C, L_out, R, T, beta) — flagship grid + the round-2 42x inversion shape
+NMFD_CASES = [
+    (1025, 5000, 8, 400, 1.0),
+    # low-rank beta=2: the R*T < L corner where the autocorrelation W
+    # denominator (PNT_NMFD_AUTOCORR) is a candidate — this row tracks
+    # whichever engine the autotuner measures fastest
+    (1025, 5000, 8, 400, 2.0),
+    (1025, 5000, 88, 400, 1.0),
+    (1025, 5000, 88, 400, 2.0),
+    # the round-2 42x inversion shape (ROADMAP "Deconv path selection"):
+    # autotune must land on the conv engine here
+    (256, 2000, 32, 128, 2.0),
+]
+NMFD_CASES_TINY = [
+    (16, 120, 3, 10, 1.0),
+    (16, 120, 3, 10, 2.0),
+]
+
+# (N, C, H, W, R, kh, kw, beta)
+#   - 64x128^2 r16: low-rank spectrogram-patch scale (conv wins)
+#   - 256x64^2 r64 beta in {1,2}: the fused-kernel scale — candidates are
+#     conv vs unfold vs the flat-offset Mosaic engines
+#   - 256x128^2 r64: the VMEM-gated scale where the full fused mode is
+#     rejected and the hybrid "pallas_w" is the open candidate
+#   - 512x64^2 r128: the shape where the fused flat-offset kernel beats
+#     conv (r4 measured: pallas 0.778 vs conv 0.921 vs unfold 1.127)
+NMF2D_CASES = [
+    (1, 64, 128, 128, 16, 8, 8, 1.0),
+    (1, 256, 64, 64, 64, 8, 8, 1.0),
+    (1, 256, 64, 64, 64, 8, 8, 2.0),
+    (1, 256, 128, 128, 64, 8, 8, 1.0),
+    (1, 512, 64, 64, 128, 8, 8, 1.0),
+]
+NMF2D_CASES_TINY = [
+    (1, 8, 24, 24, 4, 3, 3, 1.0),
+    (1, 10, 24, 24, 6, 3, 3, 2.0),
+]
+
+# (N, C, spatial, kernel, R, beta)
+NMF3D_CASES = [(1, 64, (19, 19, 19), (4, 4, 4), 16, 1.0)]
+NMF3D_CASES_TINY = [(1, 4, (6, 6, 6), (2, 2, 2), 2, 1.0)]
+
+# (N, C, L_out, R, T)
+SIPLCA_CASES = [(1, 513, 3000, 8, 200), (1, 513, 3000, 64, 200)]
+SIPLCA_CASES_TINY = [(1, 24, 200, 3, 10)]
+
+# (N, C, Y, X, R, kh, kw)
+SIPLCA2_CASES = [(1, 64, 64, 64, 16, 8, 8)]
+SIPLCA2_CASES_TINY = [(1, 8, 16, 16, 3, 3, 3)]
+
+
+def _marginal_ms_per_iter(make_fit, args, reps=3, target_s=None):
     """Two-loop-length difference quotient, min over reps.
 
     The relay runtime's run-to-run variance is ~±100 ms even on mins, so a
@@ -94,16 +191,17 @@ def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=None):
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    iters_long = 100 if TINY else 500
+    iters_long = 100 if TINY else 200
     t_pilot = timed(iters_long, n_reps=2)
     compute = max(t_pilot - FIXED_S, 0.004)
     if compute < TARGET_S:
         iters_long = min(int(iters_long * TARGET_S / compute), 200_000)
     elif compute > 1.5 * TARGET_S:
-        # floor sized for the 500-iter TPU regime; TINY smoke runs keep
-        # their ~TARGET_S device-time budget instead of quadrupling it
+        # floor keeps the loop-length difference an order of magnitude
+        # above the relay noise even for the slowest (10-20 ms/iter) rows;
+        # TINY smoke runs keep their ~TARGET_S device-time budget instead
         iters_long = max(int(iters_long * TARGET_S / compute),
-                         50 if TINY else 400)
+                         50 if TINY else 150)
     iters_short = max(iters_long // 8, 50)
 
     for _ in range(2):
@@ -115,7 +213,90 @@ def _marginal_ms_per_iter(make_fit, args, reps=4, target_s=None):
     return t_long / iters_long * 1000.0
 
 
+# ---------------------------------------------------------------------------
+# Budget/signal-safe runner: rows land in the grid as soon as they are
+# measured; exactly one JSON line is emitted no matter how the process ends.
+# ---------------------------------------------------------------------------
+class _Runner:
+    def __init__(self, budget_s):
+        self.grid = []
+        self.headline = None
+        self.truncated = []
+        self.budget_s = budget_s
+        self.t0 = time.monotonic()
+        self._emitted = False
+
+    def elapsed(self):
+        return time.monotonic() - self.t0
+
+    def over_budget(self):
+        # the first (headline) row always runs: the driver contract wants
+        # at least one real number even under an absurdly small budget
+        if not self.grid:
+            return False
+        return self.budget_s > 0 and self.elapsed() > self.budget_s
+
+    def run(self, name, thunk, headline=False):
+        """Measure one row (thunk returns the row dict) unless the budget
+        is spent; record skipped names under "truncated"."""
+        if self.over_budget():
+            self.truncated.append(name)
+            return None
+        t_row = time.monotonic()
+        row = thunk()
+        row["t_s"] = round(time.monotonic() - t_row, 1)
+        self.grid.append(row)
+        if headline:
+            self.headline = row
+        if os.environ.get("PNT_BENCH_TEST_HANG"):
+            # test hook (tests/test_bench_scripts.py): signal readiness
+            # after the first measured row, then wedge — proves the
+            # SIGTERM path dumps a valid partial JSON
+            with open(os.environ["PNT_BENCH_TEST_HANG"], "w") as fh:
+                fh.write(name)
+            while True:
+                time.sleep(1)
+        return row
+
+    def emit(self, stopped_early=None):
+        if self._emitted:
+            return
+        self._emitted = True
+        head = self.headline or (self.grid[0] if self.grid else None)
+        if head is None:
+            out = {"metric": "bench_incomplete", "value": 0.0,
+                   "unit": "none", "grid": []}
+        else:
+            out = {"metric": head["metric"], "value": head["value"],
+                   "unit": head["unit"]}
+            if "vs_baseline" in head:
+                out["vs_baseline"] = head["vs_baseline"]
+            out["grid"] = self.grid
+        if self.truncated:
+            out["truncated"] = self.truncated
+        if stopped_early:
+            out["stopped_early"] = stopped_early
+        out["elapsed_s"] = round(self.elapsed(), 1)
+        sys.stdout.write(json.dumps(out) + "\n")
+        sys.stdout.flush()
+
+
+_RUNNER = None
+
+
+def _dump_and_exit(signum, frame):  # pragma: no cover - exercised via IPC
+    r = _RUNNER
+    if r is not None:
+        r.emit(stopped_early=f"signal {signum}")
+    # os._exit: a SIGTERM may arrive while a relay dispatch is wedged —
+    # never risk hanging in interpreter teardown past the driver's grace
+    os._exit(0)
+
+
 def main():
+    global _RUNNER
+
+    import jax
     import jax.numpy as jnp
 
     from pytorch_nmf_tpu.ops.autotune import enable_compile_cache
@@ -130,6 +311,19 @@ def main():
         )
     )
 
+    budget_s = float(os.environ.get(
+        "PNT_BENCH_BUDGET_S", "0" if TINY else "1140"))
+    runner = _Runner(budget_s)
+    _RUNNER = runner
+    signal.signal(signal.SIGTERM, _dump_and_exit)
+    signal.signal(signal.SIGALRM, _dump_and_exit)
+    if budget_s > 0:
+        # backstop: if one row (a wedged remote compile) blows straight
+        # through the budget checks, the alarm still dumps partial JSON
+        signal.alarm(int(budget_s) + 180)
+
+    on_accelerator = jax.default_backend() != "cpu"
+
     from pytorch_nmf_tpu.models.nmf import NMF
     from pytorch_nmf_tpu.ops.fast_nmf import resolve_nmf_updater_factory
     from pytorch_nmf_tpu.ops.solver import get_dense_fit, get_sparse_fit
@@ -137,12 +331,55 @@ def main():
 
     factory = resolve_nmf_updater_factory()
     rng = np.random.RandomState(0)
-    grid = []
+
+    def add_roofline(row, flops_per_iter, ms):
+        """Attach algorithmic-throughput fields (see module docstring)."""
+        tflops = flops_per_iter / (ms * 1e-3) / 1e12
+        row["model_tflops"] = round(tflops, 3)
+        if on_accelerator:
+            row["mfu_vs_peak"] = round(tflops / PEAK_TFLOPS, 4)
+
+    # ---- live torch-CPU oracle (the actual reference library) -----------
+    def _torch_available():
+        if "--no-torch" in sys.argv:
+            return False
+        if os.path.isdir(REFERENCE_DIR) and REFERENCE_DIR not in sys.path:
+            sys.path.insert(0, REFERENCE_DIR)
+        try:
+            import torch  # noqa: F401
+            import torchnmf  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    with_torch = _torch_available()
+
+    def torch_cpu_ms_per_iter(V_np, W0_np, H0_np, beta):
+        """Marginal ms/iter of reference NMF.fit on CPU, same problem and
+        inits (reference nmf.py:298 fit; benchmark.ipynb cell 4)."""
+        import torch
+        import torchnmf
+
+        Vt = torch.from_numpy(V_np)
+
+        def run(iters):
+            m = torchnmf.nmf.NMF(
+                W=torch.from_numpy(W0_np.copy()),
+                H=torch.from_numpy(H0_np.copy()),
+            )
+            t0 = time.perf_counter()
+            m.fit(Vt, beta=float(beta), tol=float("-inf"), max_iter=iters)
+            return time.perf_counter() - t0
+
+        a, b = (3, 10) if TINY else (5, 20)
+        return max((run(b) - run(a)) / (b - a) * 1000.0, 1e-9)
 
     def dense_row(M, K, R, beta, tag):
-        V = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
-        W = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
-        H = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
+        V_np = rng.rand(M, K).astype("f") + 1e-3
+        W_np = rng.rand(K, R).astype("f") + 0.1
+        H_np = rng.rand(M, R).astype("f") + 0.1
+        V, W, H = jnp.asarray(V_np), jnp.asarray(W_np), jnp.asarray(H_np)
 
         def make_fit(n):
             # tol=-inf: the convergence test ((prev-loss)/init < tol) must
@@ -160,10 +397,14 @@ def main():
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
         }
+        add_roofline(row, 12.0 * M * K * R, ms)
         base = BASELINE_CUDA_MS.get(("dense", float(beta)))
         if tag == "ref" and base is not None and not TINY:
             row["vs_baseline"] = round(base / ms, 2)
-        grid.append(row)
+        if tag == "ref" and with_torch:
+            tms = torch_cpu_ms_per_iter(V_np, W_np, H_np, beta)
+            row["torch_cpu_live_ms"] = round(tms, 3)
+            row["vs_torch_cpu_live"] = round(tms / ms, 2)
         return row
 
     def _sklearn_available():
@@ -248,60 +489,73 @@ def main():
                 row["vs_sklearn_live"] = round(sk_ms / ms, 2)
             except ImportError:
                 pass
-        grid.append(row)
         return row
 
-    REF_M, REF_K, REF_R = (96, 48, 8) if TINY else (5168, 1025, 88)
-    NS_M, NS_K, NS_R = (64, 64, 8) if TINY else (4096, 4096, 256)
+    REF_M, REF_K, REF_R = (96, 48, 8) if TINY else REF_SHAPE
+    NS_M, NS_K, NS_R = (64, 64, 8) if TINY else NS_SHAPE
 
-    # reference benchmark scale (5168x1025 r88) — dense beta grid
-    headline = None
-    for beta in (0.0, 0.5, 1.0, 1.5, 2.0):
-        row = dense_row(REF_M, REF_K, REF_R, beta, tag="ref")
-        if beta == 1.0:
-            headline = row
+    # reference benchmark scale (5168x1025 r88) — dense beta grid, the
+    # beta=1 headline measured FIRST so even a truncated run carries it
+    for beta in (1.0, 2.0, 0.0, 0.5, 1.5):
+        runner.run(
+            f"nmf_dense_mu_iter_{REF_M}x{REF_K}_r{REF_R}_beta{beta:g}",
+            lambda b=beta: dense_row(REF_M, REF_K, REF_R, b, tag="ref"),
+            headline=(beta == 1.0),
+        )
 
     # north-star scale (BASELINE.md "Targets": 4096x4096 rank-256)
     for beta in (1.0, 2.0):
-        dense_row(NS_M, NS_K, NS_R, beta, tag="northstar")
+        runner.run(
+            f"nmf_dense_mu_iter_{NS_M}x{NS_K}_r{NS_R}_beta{beta:g}",
+            lambda b=beta: dense_row(NS_M, NS_K, NS_R, b, tag="northstar"),
+        )
 
-    # sparse top-2% COO grid
-    for beta in (0.5, 1.0, 1.5, 2.0):
-        sparse_row(REF_M, REF_K, REF_R, beta)
+    # sparse top-2% COO grid (beta=1/2 first: the north-star comparisons)
+    for beta in (1.0, 2.0, 0.5, 1.5):
+        runner.run(
+            f"nmf_sparse_mu_iter_{REF_M}x{REF_K}_r{REF_R}_2pct_beta{beta:g}",
+            lambda b=beta: sparse_row(REF_M, REF_K, REF_R, b),
+        )
 
     # gather-regime sparse (target too large to densify in practice):
     # dual-ELL fast path at 8192^2, ~1% nnz — no reference baseline exists
     # at this scale (the reference's sparse path is slower than its dense
     # one); reported for regression tracking of the beyond-HBM story
-    from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell
+    def ell_row():
+        from pytorch_nmf_tpu.ops.sparse import SparseCOO, build_ell
 
-    Msp, Ksp, Rsp = (256, 256, 8) if TINY else (8192, 8192, 64)
-    nnz_target = 2_000 if TINY else 671_000
-    flat = np.unique(
-        rng.randint(0, Msp * Ksp, int(nnz_target * 1.1)).astype(np.int64)
-    )
-    rng.shuffle(flat)
-    flat = np.sort(flat[:nnz_target])
-    sp_idx = np.stack([(flat // Ksp).astype("i4"), (flat % Ksp).astype("i4")])
-    V_ell = build_ell(
-        SparseCOO(sp_idx, rng.rand(len(flat)).astype("f") + 0.01, (Msp, Ksp))
-    )
-    W = jnp.asarray(rng.rand(Ksp, Rsp).astype("f") + 0.1)
-    H = jnp.asarray(rng.rand(Msp, Rsp).astype("f") + 0.1)
-
-    def make_fit(n):
-        return get_sparse_fit(
-            nmf_sp_pos_neg, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, False, NMF.reconstruct, None, True,
+        Msp, Ksp, Rsp, nnz_target = (
+            (256, 256, 8, 2_000) if TINY else SPARSE_ELL_CASE
         )
+        flat = np.unique(
+            rng.randint(0, Msp * Ksp, int(nnz_target * 1.1)).astype(np.int64)
+        )
+        rng.shuffle(flat)
+        flat = np.sort(flat[:nnz_target])
+        sp_idx = np.stack(
+            [(flat // Ksp).astype("i4"), (flat % Ksp).astype("i4")]
+        )
+        V_ell = build_ell(SparseCOO(
+            sp_idx, rng.rand(len(flat)).astype("f") + 0.01, (Msp, Ksp)
+        ))
+        W = jnp.asarray(rng.rand(Ksp, Rsp).astype("f") + 0.1)
+        H = jnp.asarray(rng.rand(Msp, Rsp).astype("f") + 0.1)
 
-    ms = _marginal_ms_per_iter(make_fit, (V_ell, W, H))
-    grid.append({
-        "metric": f"nmf_sparse_ell_mu_iter_{Msp}x{Ksp}_r{Rsp}_1pct_beta1",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+        def make_fit(n):
+            return get_sparse_fit(
+                nmf_sp_pos_neg, 1.0, float("-inf"), n, True, True,
+                0.0, 0.0, False, False, NMF.reconstruct, None, True,
+            )
+
+        ms = _marginal_ms_per_iter(make_fit, (V_ell, W, H))
+        return {
+            "metric": f"nmf_sparse_ell_mu_iter_{Msp}x{Ksp}_r{Rsp}_1pct_beta1",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+
+    runner.run("nmf_sparse_ell_mu_iter", ell_row)
 
     # deconvolutional rows (librosa-shaped NMFD flagship + the measured
     # mid-scale path-inversion shape) — the engine per row comes from the
@@ -310,65 +564,39 @@ def main():
     from pytorch_nmf_tpu.models.nmf import NMFD
     from pytorch_nmf_tpu.ops.autotune import resolve_deconv_factory
 
-    nmfd_cases = [
-        # (C, L_out, R, T, beta) — flagship grid
-        (1025, 5000, 8, 400, 1.0),
-        # low-rank β=2: the R·T < L corner where the autocorrelation W
-        # denominator (PNT_NMFD_AUTOCORR) is a candidate — this row
-        # tracks whichever engine the autotuner measures fastest
-        (1025, 5000, 8, 400, 2.0),
-        (1025, 5000, 88, 400, 1.0),
-        (1025, 5000, 88, 400, 2.0),
-        # the round-2 42x inversion shape (ROADMAP "Deconv path
-        # selection"): autotune must land on the conv engine here
-        (256, 2000, 32, 128, 2.0),
-    ] if not TINY else [
-        (16, 120, 3, 10, 1.0),
-        (16, 120, 3, 10, 2.0),
-    ]
-    for C, L_out, R, T, beta in nmfd_cases:
+    def nmfd_row(C, L_out, R, T, beta):
         N = 1
         V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
         W = jnp.asarray(rng.rand(C, R, T).astype("f") + 0.1)
         H = jnp.asarray(rng.rand(N, R, L_out - T + 1).astype("f") + 0.1)
         factory_d = resolve_deconv_factory(V, W, H, beta, 1, NMFD.reconstruct)
 
-        def make_fit(n, _beta=beta, _f=factory_d):
+        def make_fit(n):
             return get_dense_fit(
-                NMFD.reconstruct, _beta, float("-inf"), n, True, True,
-                0.0, 0.0, False, _f,
+                NMFD.reconstruct, beta, float("-inf"), n, True, True,
+                0.0, 0.0, False, factory_d,
             )
 
         ms = _marginal_ms_per_iter(make_fit, (V, W, H))
-        grid.append({
+        row = {
             "metric": f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta{beta:g}",
             "value": round(ms, 5),
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
-        })
+        }
+        add_roofline(row, 12.0 * N * C * L_out * R * T, ms)
+        return row
 
-    # NMF2D (2-D deconv): engine per row from the runtime autotuner.
-    #   - 64x128² r16: low-rank spectrogram-patch scale (conv wins)
-    #   - 256x64² r64 β∈{1,2}: the fused-kernel scale — the candidate set
-    #     is conv vs unfold vs the flat-offset Mosaic engines; the row
-    #     tracks whichever actually measures fastest (r3: conv at β=1)
-    #   - 256x128² r64: the VMEM-gated scale where the full fused mode is
-    #     rejected and the hybrid "pallas_w" is the open candidate
+    for C, L_out, R, T, beta in (NMFD_CASES_TINY if TINY else NMFD_CASES):
+        runner.run(
+            f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta{beta:g}",
+            lambda a=(C, L_out, R, T, beta): nmfd_row(*a),
+        )
+
+    # NMF2D (2-D deconv): engine per row from the runtime autotuner
     from pytorch_nmf_tpu.models.nmf import NMF2D
 
-    nmf2d_cases = [
-        (1, 8, 24, 24, 4, 3, 3, 1.0),
-        (1, 10, 24, 24, 6, 3, 3, 2.0),
-    ] if TINY else [
-        (1, 64, 128, 128, 16, 8, 8, 1.0),
-        (1, 256, 64, 64, 64, 8, 8, 1.0),
-        (1, 256, 64, 64, 64, 8, 8, 2.0),
-        (1, 256, 128, 128, 64, 8, 8, 1.0),
-        # rank-128 shape where the fused flat-offset kernel beats conv
-        # (measured r4: pallas 0.778 vs conv 0.921 vs unfold 1.127 ms/iter)
-        (1, 512, 64, 64, 128, 8, 8, 1.0),
-    ]
-    for N, C, Hs, Ws_, R2, kh, kw, beta2 in nmf2d_cases:
+    def nmf2d_row(N, C, Hs, Ws_, R2, kh, kw, beta2):
         V2d = jnp.asarray(rng.rand(N, C, Hs, Ws_).astype("f"))
         W2d = jnp.asarray(rng.rand(C, R2, kh, kw).astype("f") + 0.1)
         H2d = jnp.asarray(
@@ -378,14 +606,14 @@ def main():
             V2d, W2d, H2d, beta2, 2, NMF2D.reconstruct
         )
 
-        def make_fit_2d(n, _b=beta2, _f=fac2d):
+        def make_fit_2d(n):
             return get_dense_fit(
-                NMF2D.reconstruct, _b, float("-inf"), n, True, True,
-                0.0, 0.0, False, _f,
+                NMF2D.reconstruct, beta2, float("-inf"), n, True, True,
+                0.0, 0.0, False, fac2d,
             )
 
         ms = _marginal_ms_per_iter(make_fit_2d, (V2d, W2d, H2d))
-        grid.append({
+        row = {
             "metric": (
                 f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}"
                 f"_k{kh}x{kw}_beta{beta2:g}"
@@ -393,169 +621,211 @@ def main():
             "value": round(ms, 5),
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
-        })
+        }
+        add_roofline(row, 12.0 * N * C * Hs * Ws_ * R2 * kh * kw, ms)
+        return row
+
+    for case in (NMF2D_CASES_TINY if TINY else NMF2D_CASES):
+        N, C, Hs, Ws_, R2, kh, kw, beta2 = case
+        runner.run(
+            f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}"
+            f"_beta{beta2:g}",
+            lambda a=case: nmf2d_row(*a),
+        )
 
     # NMF3D (volumetric deconv): regression row for the autotuned winner
     from pytorch_nmf_tpu.models.nmf import NMF3D
 
-    N, C3, S3, k3, R3 = (
-        (1, 4, (6, 6, 6), (2, 2, 2), 2) if TINY
-        else (1, 64, (19, 19, 19), (4, 4, 4), 16)
-    )
-    V3d = jnp.asarray(rng.rand(N, C3, *S3).astype("f"))
-    W3d = jnp.asarray(rng.rand(C3, R3, *k3).astype("f") + 0.1)
-    H3d = jnp.asarray(
-        rng.rand(N, R3, *(s - k + 1 for s, k in zip(S3, k3))).astype("f")
-        + 0.1
-    )
-    fac3d = resolve_deconv_factory(V3d, W3d, H3d, 1.0, 3, NMF3D.reconstruct)
-
-    def make_fit_3d(n):
-        return get_dense_fit(
-            NMF3D.reconstruct, 1.0, float("-inf"), n, True, True,
-            0.0, 0.0, False, fac3d,
+    def nmf3d_row(N, C3, S3, k3, R3, beta3):
+        V3d = jnp.asarray(rng.rand(N, C3, *S3).astype("f"))
+        W3d = jnp.asarray(rng.rand(C3, R3, *k3).astype("f") + 0.1)
+        H3d = jnp.asarray(
+            rng.rand(N, R3, *(s - k + 1 for s, k in zip(S3, k3))).astype("f")
+            + 0.1
+        )
+        fac3d = resolve_deconv_factory(
+            V3d, W3d, H3d, beta3, 3, NMF3D.reconstruct
         )
 
-    ms = _marginal_ms_per_iter(make_fit_3d, (V3d, W3d, H3d))
-    grid.append({
-        "metric": (
-            f"nmf3d_dense_mu_iter_{C3}x{S3[0]}x{S3[1]}x{S3[2]}"
-            f"_r{R3}_k{k3[0]}_beta1"
-        ),
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+        def make_fit_3d(n):
+            return get_dense_fit(
+                NMF3D.reconstruct, beta3, float("-inf"), n, True, True,
+                0.0, 0.0, False, fac3d,
+            )
+
+        ms = _marginal_ms_per_iter(make_fit_3d, (V3d, W3d, H3d))
+        row = {
+            "metric": (
+                f"nmf3d_dense_mu_iter_{C3}x{S3[0]}x{S3[1]}x{S3[2]}"
+                f"_r{R3}_k{k3[0]}_beta{beta3:g}"
+            ),
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+        sp = S3[0] * S3[1] * S3[2]
+        kp = k3[0] * k3[1] * k3[2]
+        add_roofline(row, 12.0 * N * C3 * sp * R3 * kp, ms)
+        return row
+
+    for case in (NMF3D_CASES_TINY if TINY else NMF3D_CASES):
+        N3, C3, S3, k3, R3, beta3 = case
+        runner.run(
+            f"nmf3d_dense_mu_iter_{C3}x{S3[0]}x{S3[1]}x{S3[2]}_r{R3}"
+            f"_k{k3[0]}_beta{beta3:g}",
+            lambda a=case: nmf3d_row(*a),
+        )
 
     # Hoyer sparseness-constrained fit (projected gradient + line search)
-    from pytorch_nmf_tpu.ops.solver import get_hoyer_fit
+    def hoyer_row():
+        from pytorch_nmf_tpu.ops.solver import get_hoyer_fit
 
-    M, K, R = REF_M, REF_K, REF_R
-    Vh = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
-    Wh = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
-    Hh = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
+        M, K, R = REF_M, REF_K, REF_R
+        Vh = jnp.asarray(rng.rand(M, K).astype("f") + 1e-3)
+        Wh = jnp.asarray(rng.rand(K, R).astype("f") + 0.1)
+        Hh = jnp.asarray(rng.rand(M, R).astype("f") + 0.1)
 
-    def make_fit_hoyer(n):
-        return get_hoyer_fit(
-            NMF.reconstruct, None, 2.0, n, True, True, 0.5, None, K, M,
-        )
+        def make_fit_hoyer(n):
+            return get_hoyer_fit(
+                NMF.reconstruct, None, 2.0, n, True, True, 0.5, None, K, M,
+            )
 
-    ms = _marginal_ms_per_iter(make_fit_hoyer, (Vh, Wh, Hh))
-    grid.append({
-        "metric": f"nmf_hoyer_iter_{M}x{K}_r{R}_sW0.5_beta2",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+        ms = _marginal_ms_per_iter(make_fit_hoyer, (Vh, Wh, Hh))
+        return {
+            "metric": f"nmf_hoyer_iter_{M}x{K}_r{R}_sW0.5_beta2",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+
+    runner.run("nmf_hoyer_iter", hoyer_row)
 
     # BetaMu composed-model trainer (the reference's generic-MU headline,
     # torchnmf/trainer.py): a 3-layer chain, one compiled sweep per step
     import pytorch_nmf_tpu as pnt
     from pytorch_nmf_tpu.trainer import BetaMu
 
-    pnt.manual_seed(0)
-    if TINY:
-        chain = pnt.Sequential(
-            NMF((64, 16), rank=8),
-            NMF(W=(32, 16)),
-            NMF(W=(64, 32)),
-        )
-        target = jnp.asarray(rng.rand(64, 64).astype("f"))
-    else:
-        chain = pnt.Sequential(
-            NMF((2048, 256), rank=128),
-            NMF(W=(512, 256)),
-            NMF(W=(2048, 512)),
-        )
-        target = jnp.asarray(rng.rand(2048, 2048).astype("f"))
-    trainer = BetaMu(chain.parameters(), 1)
+    trainer_state = {}
 
-    def closure():
-        trainer.zero_grad()
-        return target, chain(None)
+    def betamu_step_row():
+        pnt.manual_seed(0)
+        if TINY:
+            chain = pnt.Sequential(
+                NMF((64, 16), rank=8),
+                NMF(W=(32, 16)),
+                NMF(W=(64, 32)),
+            )
+            target = jnp.asarray(rng.rand(64, 64).astype("f"))
+        else:
+            chain = pnt.Sequential(
+                NMF((2048, 256), rank=128),
+                NMF(W=(512, 256)),
+                NMF(W=(2048, 512)),
+            )
+            target = jnp.asarray(rng.rand(2048, 2048).astype("f"))
+        trainer = BetaMu(chain.parameters(), 1)
 
-    params = list(chain.parameters())
-    for _ in range(3):  # compile + relay warmup
-        trainer.step(closure)
-    float(params[0].data.ravel()[0])  # drain pending work (scalar sync)
-    n_steps = 5 if TINY else 30
-    chain_tag = "64x64_r8_16_32" if TINY else "2048x2048_r128_256_512"
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        trainer.step(closure)
-    float(params[0].data.ravel()[0])
-    ms = (time.perf_counter() - t0) / n_steps * 1000.0
-    grid.append({
-        "metric": f"betamu_chain_step_{chain_tag}_beta1",
-        "value": round(ms, 5),
-        "unit": "ms/step",
-        "note": "includes per-step host dispatch",
-    })
+        def closure():
+            trainer.zero_grad()
+            return target, chain(None)
+
+        params = list(chain.parameters())
+        trainer_state.update(
+            trainer=trainer, closure=closure, params=params
+        )
+        for _ in range(3):  # compile + relay warmup
+            trainer.step(closure)
+        float(params[0].data.ravel()[0])  # drain pending work (scalar sync)
+        n_steps = 5 if TINY else 30
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            trainer.step(closure)
+        float(params[0].data.ravel()[0])
+        ms = (time.perf_counter() - t0) / n_steps * 1000.0
+        chain_tag = "64x64_r8_16_32" if TINY else "2048x2048_r128_256_512"
+        trainer_state["chain_tag"] = chain_tag
+        return {
+            "metric": f"betamu_chain_step_{chain_tag}_beta1",
+            "value": round(ms, 5),
+            "unit": "ms/step",
+            "note": "includes per-step host dispatch",
+        }
+
+    runner.run("betamu_chain_step", betamu_step_row)
 
     # same chain through the compiled multi-step driver (trainer.run):
     # one dispatch for the whole while_loop of sweeps — the marginal rate
     # is pure device compute
-    def make_run(n):
-        def fit(*_):
-            trainer.run(closure, n)
-            return (params[0].data[0, 0],)
+    def betamu_run_row():
+        trainer = trainer_state["trainer"]
+        closure = trainer_state["closure"]
+        params = trainer_state["params"]
 
-        return fit
+        def make_run(n):
+            def fit(*_):
+                trainer.run(closure, n)
+                return (params[0].data[0, 0],)
 
-    ms_run = _marginal_ms_per_iter(make_run, ())
-    grid.append({
-        "metric": f"betamu_chain_run_{chain_tag}_beta1",
-        "value": round(ms_run, 5),
-        "unit": "ms/step",
-        "note": "compiled while_loop over sweeps (trainer.run)",
-    })
+            return fit
+
+        ms_run = _marginal_ms_per_iter(make_run, ())
+        return {
+            "metric": f"betamu_chain_run_{trainer_state['chain_tag']}_beta1",
+            "value": round(ms_run, 5),
+            "unit": "ms/step",
+            "note": "compiled while_loop over sweeps (trainer.run)",
+        }
+
+    if trainer_state:  # only when the step row ran (budget may skip both)
+        runner.run("betamu_chain_run", betamu_run_row)
+    else:
+        runner.truncated.append("betamu_chain_run")
 
     # dense PLCA EM (reference scale; the generic single-VJP E-step —
     # measured faster than the fused Pallas form on v5e, see ROADMAP)
     from pytorch_nmf_tpu.models.plca import PLCA, SIPLCA
     from pytorch_nmf_tpu.ops.solver import get_plca_fit
 
-    Mp, Kp, Rp = (40, 24, 4) if TINY else (5168, 1025, 88)
-    Vp = jnp.asarray(rng.rand(Mp, Kp).astype("f"))
-    Wpd = rng.rand(Kp, Rp).astype("f"); Wpd /= Wpd.sum(0)
-    Hpd = rng.rand(Mp, Rp).astype("f"); Hpd /= Hpd.sum(0)
-    Zpd = np.full((Rp,), 1.0 / Rp, "f")
+    def plca_row():
+        Mp, Kp, Rp = (40, 24, 4) if TINY else REF_SHAPE
+        Vp = jnp.asarray(rng.rand(Mp, Kp).astype("f"))
+        Wpd = rng.rand(Kp, Rp).astype("f"); Wpd /= Wpd.sum(0)
+        Hpd = rng.rand(Mp, Rp).astype("f"); Hpd /= Hpd.sum(0)
+        Zpd = np.full((Rp,), 1.0 / Rp, "f")
 
-    def make_fit_plca(n):
-        inner = get_plca_fit(
-            PLCA.reconstruct, float("-inf"), n, True, True, True,
-            False, False, False,
-        )
-
-        def fit(V, W, H, Z):
-            return inner(
-                V, W, H, Z,
-                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+        def make_fit_plca(n):
+            inner = get_plca_fit(
+                PLCA.reconstruct, float("-inf"), n, True, True, True,
+                False, False, False,
             )
 
-        return fit
+            def fit(V, W, H, Z):
+                return inner(
+                    V, W, H, Z,
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+                )
 
-    ms = _marginal_ms_per_iter(
-        make_fit_plca,
-        (Vp, jnp.asarray(Wpd), jnp.asarray(Hpd), jnp.asarray(Zpd)),
-    )
-    grid.append({
-        "metric": f"plca_em_iter_{Mp}x{Kp}_r{Rp}",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+            return fit
+
+        ms = _marginal_ms_per_iter(
+            make_fit_plca,
+            (Vp, jnp.asarray(Wpd), jnp.asarray(Hpd), jnp.asarray(Zpd)),
+        )
+        return {
+            "metric": f"plca_em_iter_{Mp}x{Kp}_r{Rp}",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+
+    runner.run("plca_em_iter", plca_row)
 
     # shift-invariant PLCA EM (spectrogram-scale; the engine speedups
     # reach it through the E-step VJP — recon selected like the model
     # path does, via the measured per-shape autotuner)
     from pytorch_nmf_tpu.ops.autotune import resolve_plca_recon3
 
-    siplca_shapes = (
-        [(1, 24, 200, 3, 10)] if TINY
-        else [(1, 513, 3000, 8, 200), (1, 513, 3000, 64, 200)]
-    )
-    for N, C, L_out, R, T in siplca_shapes:
+    def siplca_row(N, C, L_out, R, T):
         V = jnp.asarray(rng.rand(N, C, L_out).astype("f"))
         Wp = rng.rand(C, R, T).astype("f")
         Wp /= Wp.sum(axis=(0, 2), keepdims=True)
@@ -566,9 +836,9 @@ def main():
             SIPLCA, V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp)
         )
 
-        def make_fit(n, _r3=recon3):
+        def make_fit(n):
             inner = get_plca_fit(
-                _r3, float("-inf"), n, True, True, True,
+                recon3, float("-inf"), n, True, True, True,
                 False, False, False,
             )
 
@@ -583,55 +853,68 @@ def main():
         ms = _marginal_ms_per_iter(
             make_fit, (V, jnp.asarray(Wp), jnp.asarray(Hp), jnp.asarray(Zp))
         )
-        grid.append({
+        return {
             "metric": f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
             "value": round(ms, 5),
             "unit": "ms/iter",
             "iters_per_sec": round(1000.0 / ms, 1),
-        })
+        }
+
+    for case in (SIPLCA_CASES_TINY if TINY else SIPLCA_CASES):
+        N, C, L_out, R, T = case
+        runner.run(
+            f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
+            lambda a=case: siplca_row(*a),
+        )
 
     # 2-D shift-invariant PLCA EM: tracks the N-D EM recon autotune
     from pytorch_nmf_tpu.models.plca import SIPLCA2
 
-    N2, C2, Y2, X2, R2p, kh2, kw2 = (
-        (1, 8, 16, 16, 3, 3, 3) if TINY else (1, 64, 64, 64, 16, 8, 8)
-    )
-    V2p = jnp.asarray(rng.rand(N2, C2, Y2, X2).astype("f"))
-    W2p = rng.rand(C2, R2p, kh2, kw2).astype("f")
-    W2p /= W2p.sum(axis=(0, 2, 3), keepdims=True)
-    H2p = rng.rand(
-        N2, R2p, Y2 - kh2 + 1, X2 - kw2 + 1
-    ).astype("f")
-    H2p /= H2p.sum(axis=(0, 2, 3), keepdims=True)
-    Z2p = np.full((R2p,), 1.0 / R2p, "f")
-    recon3_2d = resolve_plca_recon3(
-        SIPLCA2, V2p, jnp.asarray(W2p), jnp.asarray(H2p), jnp.asarray(Z2p)
-    )
-
-    def make_fit_si2(n):
-        inner = get_plca_fit(
-            recon3_2d, float("-inf"), n, True, True, True,
-            False, False, False,
+    def siplca2_row(N2, C2, Y2, X2, R2p, kh2, kw2):
+        V2p = jnp.asarray(rng.rand(N2, C2, Y2, X2).astype("f"))
+        W2p = rng.rand(C2, R2p, kh2, kw2).astype("f")
+        W2p /= W2p.sum(axis=(0, 2, 3), keepdims=True)
+        H2p = rng.rand(
+            N2, R2p, Y2 - kh2 + 1, X2 - kw2 + 1
+        ).astype("f")
+        H2p /= H2p.sum(axis=(0, 2, 3), keepdims=True)
+        Z2p = np.full((R2p,), 1.0 / R2p, "f")
+        recon3_2d = resolve_plca_recon3(
+            SIPLCA2, V2p, jnp.asarray(W2p), jnp.asarray(H2p),
+            jnp.asarray(Z2p)
         )
 
-        def fit(V, W, H, Z):
-            return inner(
-                V, W, H, Z,
-                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+        def make_fit_si2(n):
+            inner = get_plca_fit(
+                recon3_2d, float("-inf"), n, True, True, True,
+                False, False, False,
             )
 
-        return fit
+            def fit(V, W, H, Z):
+                return inner(
+                    V, W, H, Z,
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+                )
 
-    ms = _marginal_ms_per_iter(
-        make_fit_si2,
-        (V2p, jnp.asarray(W2p), jnp.asarray(H2p), jnp.asarray(Z2p)),
-    )
-    grid.append({
-        "metric": f"siplca2_em_iter_{C2}x{Y2}x{X2}_r{R2p}_k{kh2}x{kw2}",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-    })
+            return fit
+
+        ms = _marginal_ms_per_iter(
+            make_fit_si2,
+            (V2p, jnp.asarray(W2p), jnp.asarray(H2p), jnp.asarray(Z2p)),
+        )
+        return {
+            "metric": f"siplca2_em_iter_{C2}x{Y2}x{X2}_r{R2p}_k{kh2}x{kw2}",
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+        }
+
+    for case in (SIPLCA2_CASES_TINY if TINY else SIPLCA2_CASES):
+        N2, C2, Y2, X2, R2p, kh2, kw2 = case
+        runner.run(
+            f"siplca2_em_iter_{C2}x{Y2}x{X2}_r{R2p}_k{kh2}x{kw2}",
+            lambda a=case: siplca2_row(*a),
+        )
 
     # streaming fit (host-resident target, ops/streaming.py): the capacity
     # path's per-iteration rate.  DMA/host-transfer-bound by design — the
@@ -639,38 +922,47 @@ def main():
     # per-block dispatch count), not MXU throughput.  Loop lengths stay
     # under the 10-iteration loss cadence so the marginal rate is the
     # pure stream+update cost.
-    from pytorch_nmf_tpu.ops.streaming import streaming_nmf_fit
+    def streaming_row():
+        from pytorch_nmf_tpu.ops.streaming import streaming_nmf_fit
 
-    Mst, Kst, Rst, blk = (64, 32, 4, 16) if TINY else (2048, 1024, 64, 512)
-    V_host = rng.rand(Mst, Kst).astype("f")  # stays host-resident
-    Wst0 = rng.rand(Kst, Rst).astype("f") + 0.1
-    Hst0 = rng.rand(Mst, Rst).astype("f") + 0.1
-
-    def run_stream(n):
-        W0, H0 = jnp.asarray(Wst0), jnp.asarray(Hst0)
-        t0 = time.perf_counter()
-        Wf, _, _ = streaming_nmf_fit(
-            V_host, W0, H0, beta=1.0, tol=float("-inf"), max_iter=n,
-            row_block=blk,
+        Mst, Kst, Rst, blk = (
+            (64, 32, 4, 16) if TINY else (2048, 1024, 64, 512)
         )
-        np.asarray(Wf[0, 0])  # scalar sync (host loop may have work queued)
-        return time.perf_counter() - t0
+        V_host = rng.rand(Mst, Kst).astype("f")  # stays host-resident
+        Wst0 = rng.rand(Kst, Rst).astype("f") + 0.1
+        Hst0 = rng.rand(Mst, Rst).astype("f") + 0.1
 
-    for _ in range(2):  # compile + relay warmup
-        run_stream(2)
-    t_s = min(run_stream(3) for _ in range(2))
-    t_l = min(run_stream(7) for _ in range(2))
-    ms = (t_l - t_s) / 4 * 1000.0
-    if ms <= 0:  # contaminated host timing: fall back to the total rate
-        ms = t_l / 7 * 1000.0
-    grid.append({
-        "metric": f"nmf_streaming_mu_iter_{Mst}x{Kst}_r{Rst}_blk{blk}_beta1",
-        "value": round(ms, 5),
-        "unit": "ms/iter",
-        "iters_per_sec": round(1000.0 / ms, 1),
-        "note": "host-resident target streamed in row blocks "
-                "(host-transfer-bound by design; ops/streaming.py)",
-    })
+        def run_stream(n):
+            W0, H0 = jnp.asarray(Wst0), jnp.asarray(Hst0)
+            t0 = time.perf_counter()
+            Wf, _, _ = streaming_nmf_fit(
+                V_host, W0, H0, beta=1.0, tol=float("-inf"), max_iter=n,
+                row_block=blk,
+            )
+            np.asarray(Wf[0, 0])  # scalar sync (host loop may queue work)
+            return time.perf_counter() - t0
+
+        for _ in range(2):  # compile + relay warmup
+            run_stream(2)
+        t_s = min(run_stream(3) for _ in range(2))
+        t_l = min(run_stream(7) for _ in range(2))
+        ms = (t_l - t_s) / 4 * 1000.0
+        note = ("host-resident target streamed in row blocks "
+                "(host-transfer-bound by design; ops/streaming.py)")
+        if ms <= 0:  # contaminated host timing: fall back to total rate
+            ms = t_l / 7 * 1000.0
+            note += "; marginal contaminated, total-rate fallback"
+        return {
+            "metric": (
+                f"nmf_streaming_mu_iter_{Mst}x{Kst}_r{Rst}_blk{blk}_beta1"
+            ),
+            "value": round(ms, 5),
+            "unit": "ms/iter",
+            "iters_per_sec": round(1000.0 / ms, 1),
+            "note": note,
+        }
+
+    runner.run("nmf_streaming_mu_iter", streaming_row)
 
     # checkpointed fit (utils/checkpoint.py): absolute overhead per
     # checkpoint boundary vs the uninterrupted fit — segment re-dispatch +
@@ -678,65 +970,70 @@ def main():
     # ms/checkpoint (scale-free: real runs amortize it over `every`
     # iterations), not a ratio, because the fixed relay round-trips would
     # dominate a ratio at bench-sized iteration counts.
-    import shutil
-    import tempfile
+    def checkpoint_row():
+        import shutil
+        import tempfile
 
-    from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
+        from pytorch_nmf_tpu.utils.checkpoint import checkpointed_fit
 
-    Mc, Kc, Rc = (48, 24, 4) if TINY else (REF_M, REF_K, REF_R)
-    iters_c, every_c = (8, 2) if TINY else (200, 50)
-    Vc = jnp.asarray(rng.rand(Mc, Kc).astype("f"))
-    Wc0 = rng.rand(Kc, Rc).astype("f") + 0.1
-    Hc0 = rng.rand(Mc, Rc).astype("f") + 0.1
+        Mc, Kc, Rc = (48, 24, 4) if TINY else (REF_M, REF_K, REF_R)
+        iters_c, every_c = (8, 2) if TINY else (200, 50)
+        Vc = jnp.asarray(rng.rand(Mc, Kc).astype("f"))
+        Wc0 = rng.rand(Kc, Rc).astype("f") + 0.1
+        Hc0 = rng.rand(Mc, Rc).astype("f") + 0.1
 
-    def run_plain_fit():
-        m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
-        t0 = time.perf_counter()
-        m.fit(Vc, 1, float("-inf"), iters_c)
-        np.asarray(m.W.data[0, 0])
-        return time.perf_counter() - t0
-
-    def run_ckpt_fit():
-        m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
-        d = tempfile.mkdtemp(prefix="pnt_bench_ckpt_")
-        try:
+        def run_plain_fit():
+            m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
             t0 = time.perf_counter()
-            checkpointed_fit(
-                m, Vc, beta=1, tol=float("-inf"), max_iter=iters_c,
-                every=every_c, directory=d, resume=False,
-            )
+            m.fit(Vc, 1, float("-inf"), iters_c)
             np.asarray(m.W.data[0, 0])
             return time.perf_counter() - t0
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
 
-    run_plain_fit(); run_ckpt_fit()  # compile + relay warmup
-    t_plain = min(run_plain_fit() for _ in range(2))
-    t_ck = min(run_ckpt_fit() for _ in range(2))
-    n_seg = -(-iters_c // every_c)
-    ms_ckpt = max((t_ck - t_plain) / n_seg * 1000.0, 1e-6)
-    grid.append({
-        "metric": (
-            f"nmf_checkpointed_fit_overhead_{Mc}x{Kc}_r{Rc}"
-            f"_seg{every_c}_beta1"
-        ),
-        "value": round(ms_ckpt, 5),
-        "unit": "ms/checkpoint",
-        "ms_plain_fit": round(t_plain * 1000.0, 3),
-        "ms_ckpt_fit": round(t_ck * 1000.0, 3),
-        "n_checkpoints": n_seg,
-        "note": "segment re-dispatch + boundary loss + factor fetch + "
-                "atomic npz write, per checkpoint (utils/checkpoint.py)",
-    })
+        def run_ckpt_fit():
+            m = NMF(W=jnp.asarray(Wc0), H=jnp.asarray(Hc0))
+            d = tempfile.mkdtemp(prefix="pnt_bench_ckpt_")
+            try:
+                t0 = time.perf_counter()
+                checkpointed_fit(
+                    m, Vc, beta=1, tol=float("-inf"), max_iter=iters_c,
+                    every=every_c, directory=d, resume=False,
+                )
+                np.asarray(m.W.data[0, 0])
+                return time.perf_counter() - t0
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
 
-    out = {
-        "metric": headline["metric"],
-        "value": headline["value"],
-        "unit": "ms/iter",
-        "vs_baseline": headline.get("vs_baseline", 0.0),
-        "grid": grid,
-    }
-    print(json.dumps(out))
+        run_plain_fit(); run_ckpt_fit()  # compile + relay warmup
+        t_plain = min(run_plain_fit() for _ in range(2))
+        t_ck = min(run_ckpt_fit() for _ in range(2))
+        n_seg = -(-iters_c // every_c)
+        raw = (t_ck - t_plain) / n_seg * 1000.0
+        row = {
+            "metric": (
+                f"nmf_checkpointed_fit_overhead_{Mc}x{Kc}_r{Rc}"
+                f"_seg{every_c}_beta1"
+            ),
+            "unit": "ms/checkpoint",
+            "ms_plain_fit": round(t_plain * 1000.0, 3),
+            "ms_ckpt_fit": round(t_ck * 1000.0, 3),
+            "n_checkpoints": n_seg,
+            "note": "segment re-dispatch + boundary loss + factor fetch + "
+                    "atomic npz write, per checkpoint (utils/checkpoint.py)",
+        }
+        if raw <= 0:
+            # don't launder a contaminated measurement into a plausible
+            # near-zero overhead: flag it like the streaming row does
+            row["value"] = 1e-6
+            row["note"] += ("; contaminated: ckpt fit measured faster than "
+                            "plain — relay session noise, discard")
+        else:
+            row["value"] = round(raw, 5)
+        return row
+
+    runner.run("nmf_checkpointed_fit_overhead", checkpoint_row)
+
+    signal.alarm(0)
+    runner.emit()
 
 
 if __name__ == "__main__":

@@ -33,6 +33,23 @@ if os.environ.get("PNT_FORCE_CPU", "") == "1":
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import _marginal_ms_per_iter as _bench_marginal  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Full-scale (non-tiny) per-device case shapes, module-level so
+# tools/pretune_bench_shapes.py resolves every autotuned shape this script
+# touches ahead of a bench run (the per-device chunk is what the autotuner
+# keys on, so these are exact).
+# ---------------------------------------------------------------------------
+MC_NMF = (5168, 1025, 88)                 # (M_loc, K, R)
+MC_NMFD_R8 = (1, 1025, 8, 400, 1250)      # (N, C, R, T, L_loc)
+MC_NMFD_FLAG = (1, 1025, 88, 400, 1250)   # flagship rank; betas below
+MC_NMFD_FLAG_BETAS = (1.0, 2.0)
+MC_NMF2D = (256, 64, 121, 8, 8, 128)      # (C, R, Y, kh, kw, L)
+MC_NMF3D = (64, 16, (4, 4, 4), (16, 16), 64)   # (C, R, k, S, L_loc)
+MC_NMF3D_FULLFUSED_LLOC = 60
+MC_SIPLCA = (513, 8, 200, 3000)           # (C, R, T, L_loc)
+MC_PLCA = (5168, 1025, 88)                # (M_loc, K, R)
+MC_SPARSE = (8192, 8192, 64, 671_000)     # (M_loc, K, R, nnz per device)
+
 
 def _marginal_ms_per_iter(make_fit, args, reps=4):
     """bench.py's two-length difference-quotient helper (one timing
@@ -75,7 +92,7 @@ def main():
     grid = []
 
     # ---- dense NMF: per-device 5168x1025 r88 (weak scaling over rows) ----
-    M_loc, K, R = (64, 48, 4) if tiny else (5168, 1025, 88)
+    M_loc, K, R = (64, 48, 4) if tiny else MC_NMF
     M = M_loc * n_dev
     V = rng.rand(M, K).astype("f") + 1e-3
     W0 = rng.rand(K, R).astype("f") + 0.1
@@ -116,8 +133,7 @@ def main():
     })
 
     # ---- NMFD halo: per-device ~1250 frames of the r8 flagship ----------
-    N, C, R, T = (1, 12, 3, 5) if tiny else (1, 1025, 8, 400)
-    L_loc = 16 if tiny else 1250
+    N, C, R, T, L_loc = (1, 12, 3, 5, 16) if tiny else MC_NMFD_R8
     L = L_loc * n_dev
     Vd = rng.rand(N, C, L).astype("f")
     Wd0 = rng.rand(C, R, T).astype("f") + 0.1
@@ -166,7 +182,7 @@ def main():
     # vs 11.42 plain — the stream-mode halo it replaces tracked the
     # slower 13.39 stream engine).  beta in {1, 2}: both flagship MU
     # flavors (VERDICT r3 item 1).
-    Rf = 4 if tiny else 88
+    Rf = 4 if tiny else MC_NMFD_FLAG[2]
     Vf = rng.rand(N, C, L).astype("f")
     Wf0 = rng.rand(C, Rf, T).astype("f") + 0.1
     Hf0 = rng.rand(N, Rf, L - T + 1).astype("f") + 0.1
@@ -176,7 +192,7 @@ def main():
     from pytorch_nmf_tpu.ops import recon as _recon
     from pytorch_nmf_tpu.ops.autotune import resolve_deconv_factory
 
-    for beta_f in ((1.0,) if tiny else (1.0, 2.0)):
+    for beta_f in ((1.0,) if tiny else MC_NMFD_FLAG_BETAS):
         flag_factory = resolve_deconv_factory(
             jnp.asarray(Vf), jnp.asarray(Wf0), jnp.asarray(Hf0), beta_f, 1,
             _recon.deconv1d,
@@ -225,7 +241,7 @@ def main():
     if tiny:
         C2, R2, Y2, ky2, kx2, L2 = 6, 4, 10, 3, 3, 8 * n_dev
     else:
-        C2, R2, Y2, ky2, kx2, L2 = 256, 64, 121, 8, 8, 128
+        C2, R2, Y2, ky2, kx2, L2 = MC_NMF2D
     V2 = rng.rand(1, C2, Y2 + ky2 - 1, L2).astype("f")
     W20 = rng.rand(C2, R2, ky2, kx2).astype("f") + 0.1
     H20 = rng.rand(1, R2, Y2, L2 - kx2 + 1).astype("f") + 0.1
@@ -274,7 +290,7 @@ def main():
     if tiny:
         C3, R3, k3, S3, L3_loc = 4, 2, (2, 2, 2), (4, 4), 8
     else:
-        C3, R3, k3, S3, L3_loc = 64, 16, (4, 4, 4), (16, 16), 64
+        C3, R3, k3, S3, L3_loc = MC_NMF3D
     L3 = L3_loc * n_dev
     V3 = rng.rand(
         1, C3, S3[0] + k3[0] - 1, S3[1] + k3[1] - 1, L3
@@ -323,7 +339,7 @@ def main():
     # halo solver runs the FULL fused Mosaic mode (the pod-realistic
     # regime; the row above lands on the hybrid "pallas_w") — tracks the
     # r4 first-lead-axis-unpadded layout (tools/measure_halo_firstpad.py)
-    L3f_loc = 6 if tiny else 60
+    L3f_loc = 6 if tiny else MC_NMF3D_FULLFUSED_LLOC
     L3f = L3f_loc * n_dev
     V3f = rng.rand(
         1, C3, S3[0] + k3[0] - 1, S3[1] + k3[1] - 1, L3f
@@ -367,7 +383,7 @@ def main():
     if tiny:
         Cs, Rs, Ts, Ls_loc = 8, 3, 4, 16
     else:
-        Cs, Rs, Ts, Ls_loc = 513, 8, 200, 3000
+        Cs, Rs, Ts, Ls_loc = MC_SIPLCA
     Ls = Ls_loc * n_dev
     Vsi = jnp.asarray(rng.rand(1, Cs, Ls).astype("f"))
     Wsi = rng.rand(Cs, Rs, Ts).astype("f")
@@ -417,7 +433,7 @@ def main():
     # ---- dense PLCA: explicit shard_map EM vs plain (bench.py's shape) --
     from pytorch_nmf_tpu.parallel.sharded import sharded_plca_fit
 
-    Mq_loc, Kq, Rq = (40, 24, 4) if tiny else (5168, 1025, 88)
+    Mq_loc, Kq, Rq = (40, 24, 4) if tiny else MC_PLCA
     Mq = Mq_loc * n_dev
     Vq = jnp.asarray(rng.rand(Mq, Kq).astype("f"))
     Wq = rng.rand(Kq, Rq).astype("f"); Wq /= Wq.sum(0)
@@ -458,9 +474,9 @@ def main():
     })
 
     # ---- sparse ELL: per-device 8192 rows x 8192, ~1% nnz ---------------
-    Msp_loc, Ksp, Rsp = (64, 64, 4) if tiny else (8192, 8192, 64)
+    Msp_loc, Ksp, Rsp = (64, 64, 4) if tiny else MC_SPARSE[:3]
     Msp = Msp_loc * n_dev
-    nnz = (400 if tiny else 671_000) * n_dev
+    nnz = (400 if tiny else MC_SPARSE[3]) * n_dev
     flat = np.unique(
         rng.randint(0, Msp * Ksp, int(nnz * 1.1)).astype(np.int64)
     )
