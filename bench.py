@@ -373,7 +373,11 @@ def main():
             return time.perf_counter() - t0
 
         a, b = (3, 10) if TINY else (5, 20)
-        return max((run(b) - run(a)) / (b - a) * 1000.0, 1e-9)
+        t_a, t_b = run(a), run(b)
+        ms = (t_b - t_a) / (b - a) * 1000.0
+        if ms <= 0:  # noise-contaminated marginal on tiny problems:
+            ms = t_b / b * 1000.0  # total rate, biased high, never zero
+        return ms
 
     def dense_row(M, K, R, beta, tag):
         V_np = rng.rand(M, K).astype("f") + 1e-3
@@ -443,7 +447,10 @@ def main():
             return time.perf_counter() - t0
 
         t_short, t_long = timed(5), timed(25)
-        return max((t_long - t_short) / 20 * 1000.0, 1e-9)
+        ms = (t_long - t_short) / 20 * 1000.0
+        if ms <= 0:  # noise-contaminated marginal on tiny problems:
+            ms = t_long / 25 * 1000.0  # total rate, biased high, never 0
+        return ms
 
     def sparse_row(M, K, R, beta):
         Vd = rng.rand(M, K).astype("f")

@@ -209,6 +209,7 @@ def _get_sharded_deconv_fit(
     update_H: bool = True,
     verbose: bool = False,
     nd_first_padded: bool = False,
+    shared_hh: bool = True,
 ):
     # Verbose fits record the cadence losses in the loop carry and replay
     # them after the program (the record-and-replay channel built for
@@ -680,11 +681,13 @@ def _get_sharded_deconv_fit(
         if mode == "stream":
             return stream_local_fit(V, W, Hp)
 
-        def recon(hp, w):
-            hh = left_halo(hp, halo, seq_axis)
+        def recon_hh(hh, w):
             if mode == "unrolled":
                 return _unfold_halo_nd(hh, w, nd)
             return _conv_halo_nd(hh, w, nd)
+
+        def recon(hp, w):
+            return recon_hh(left_halo(hp, halo, seq_axis), w)
 
         def loss_of(state):
             w, hp = state
@@ -701,6 +704,15 @@ def _get_sharded_deconv_fit(
 
         def one_iter(state):
             w, hp = state
+            # One halo exchange per iteration, shared by both factor
+            # updates (the reference updates W with the OLD H, so both
+            # reconstructions read the same activations —
+            # /root/reference/torchnmf/nmf.py:396-410).  W's vjp is
+            # forward-only through the exchange; H's activation cotangent
+            # ships back through halo_adjoint, which IS the transpose
+            # jax.vjp derives for left_halo — trajectories are identical
+            # while one ppermute + concat per iteration is saved.
+            hh = left_halo(hp, halo, seq_axis) if shared_hh else None
 
             if update_W:
                 # ---- W update: adjoint wrt the replicated kernel.  NOTE:
@@ -708,7 +720,10 @@ def _get_sharded_deconv_fit(
                 # transposes the cotangent of the replicated ``w`` with an
                 # automatic psum over the sequence axis; adding one would
                 # multiply by the axis size.
-                WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
+                if shared_hh:
+                    WH, vjp = jax.vjp(lambda ww: recon_hh(hh, ww), w)
+                else:
+                    WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
                 neg_cot, pos_cot = mu_cotangents(V, WH, beta)
                 neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
                 if beta == 1:
@@ -723,15 +738,25 @@ def _get_sharded_deconv_fit(
 
             if update_H:
                 # ---- H update: adjoint THROUGH the halo exchange ---------
-                WH, vjp = jax.vjp(lambda hh: recon(hh, w), hp)
+                if shared_hh:
+                    WH, vjp = jax.vjp(lambda hx: recon_hh(hx, w), hh)
+
+                    def grad_hp(cot):
+                        return halo_adjoint(vjp(cot)[0], halo, seq_axis)
+                else:
+                    WH, vjp = jax.vjp(lambda hx: recon(hx, w), hp)
+
+                    def grad_hp(cot):
+                        return vjp(cot)[0]
+
                 neg_cot, pos_cot = mu_cotangents(V, WH, beta)
-                neg = jax.nn.relu(vjp(neg_cot)[0]) + eps
+                neg = jax.nn.relu(grad_hp(neg_cot)) + eps
                 if beta == 1:
                     pos = jnp.sum(w, axis=sum_axes, keepdims=True).reshape(
                         _kl_shape(hp.ndim)
                     )
                 else:
-                    pos = jax.nn.relu(vjp(pos_cot)[0]) + eps
+                    pos = jax.nn.relu(grad_hp(pos_cot)) + eps
                 hp = hp * mu_multiplier(neg, pos, hp, gamma, l1_reg, l2_reg)
             return w, hp
 
@@ -837,6 +862,9 @@ def _sharded_deconv_fit(
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
         loss_offset, mode, bool(update_W), bool(update_H), bool(verbose),
         _halo_nd_first_padded(),
+        # A/B knob (tools/measure_halo2d_tax.py): 0 restores the pre-r5
+        # per-update halo exchanges
+        os.environ.get("PNT_HALO_SHARED_HH", "1") != "0",
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

@@ -385,3 +385,29 @@ def test_f64_target_declines_halo_route(monkeypatch):
         n = m.fit(Vs, 1, 0, 5)
         assert n == 5
         assert m.W.data.dtype == jnp.float64
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1.0, 2.0])
+def test_halo_shared_exchange_matches_per_update(monkeypatch, beta):
+    """The r5 shared halo exchange (one left_halo per iteration, manual
+    halo_adjoint on the H cotangent) is the exact transpose jax.vjp
+    derives — trajectories must match the pre-r5 per-update-exchange
+    form to f32 roundoff (parallel/halo.py PNT_HALO_SHARED_HH)."""
+    from pytorch_nmf_tpu.parallel.halo import sharded_nmfd_fit
+
+    V, W0, H0 = _nmfd_problem()
+    mesh = make_mesh({"seq": 8})
+
+    def run():
+        W, H, n = sharded_nmfd_fit(
+            V, W0, H0, mesh, beta=beta, tol=float("-inf"), max_iter=8
+        )
+        return np.asarray(W), np.asarray(H)
+
+    monkeypatch.setenv("PNT_HALO_SHARED_HH", "0")
+    W_dup, H_dup = run()
+    monkeypatch.setenv("PNT_HALO_SHARED_HH", "1")
+    W_sh, H_sh = run()
+    np.testing.assert_allclose(W_sh, W_dup, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(H_sh, H_dup, rtol=0, atol=2e-6)
