@@ -52,6 +52,7 @@ def test_autotune_measures_and_caches(monkeypatch):
     assert not calls
 
 
+@pytest.mark.slow
 def test_autotune_fft_candidate_at_beta2(monkeypatch):
     monkeypatch.setenv("PNT_NMFD_AUTOTUNE", "1")
     V, W0, H0 = _problem()

@@ -4,11 +4,14 @@ driver-facing scripts cannot rot between (TPU) bench runs."""
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_multichip_tiny_smoke():
     env = dict(os.environ)
     env["PNT_BENCH_TINY"] = "1"
@@ -43,6 +46,7 @@ def _tiny_env(tmp_path):
     return env
 
 
+@pytest.mark.slow
 def test_bench_tiny_smoke(tmp_path):
     env = _tiny_env(tmp_path)
     # live sklearn oracle: exercised when sklearn is importable (the flag
@@ -160,6 +164,7 @@ def test_bench_sigterm_partial_dump(tmp_path):
     assert len(out["grid"]) == 1 and out["grid"][0]["value"] > 0
 
 
+@pytest.mark.slow
 def test_pretune_tool_tiny_smoke(tmp_path):
     """tools/pretune_bench_shapes.py resolves every bench-table shape
     (tiny variants on the CPU mesh) and exits cleanly."""

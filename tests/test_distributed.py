@@ -117,6 +117,7 @@ _CHILD = textwrap.dedent(
     os.environ.get("PNT_SKIP_MULTIPROC") == "1",
     reason="multi-process test disabled",
 )
+@pytest.mark.slow
 def test_two_process_sharded_fit(tmp_path):
     rng = np.random.RandomState(13)
     M, K, R = 32, 12, 4

@@ -262,6 +262,7 @@ def test_fft_batch_caps_are_exact():
 # --------------------------------------------------------------------------
 # β=2 autocorrelation W denominator (VERDICT r3 item 5)
 # --------------------------------------------------------------------------
+@pytest.mark.slow
 def test_autocorr_gram_matches_naive():
     from pytorch_nmf_tpu.ops.fast_nmfd import (
         _h_autocorr_gram,

@@ -303,6 +303,7 @@ def test_batched_fit_deconv_model():
         os.environ.pop("PNT_NMFD_UNFOLD", None)
 
 
+@pytest.mark.slow
 def test_streaming_fit_matches_in_memory():
     """Row-block streaming must reproduce the in-memory trajectory and
     early-stop count (V provided as an np.memmap)."""

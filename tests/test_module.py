@@ -108,6 +108,7 @@ def test_load_state_dict_strict_missing_key():
     m.load_state_dict({"W": m.W.data}, strict=False)  # allowed when opted in
 
 
+@pytest.mark.slow
 def test_checkpoint_orbax_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from pytorch_nmf_tpu.utils import checkpoint
@@ -188,6 +189,7 @@ def test_checkpointed_fit_resume(tmp_path):
     assert float(jnp.abs(c.H.data - b.H.data).max()) < 1e-7
 
 
+@pytest.mark.slow
 def test_checkpointed_fit_converges_and_sparse(tmp_path):
     """Loose tolerance stops early at a segment boundary; sparse COO
     targets use the split-form loss."""
@@ -321,6 +323,7 @@ def test_loss_history_recorder():
     assert all(e is not None for e in hist2.extras)  # log-posterior
 
 
+@pytest.mark.slow
 def test_verbose_record_mode_matches_streaming(monkeypatch):
     """When the backend cannot run host callbacks (relay-attached TPU;
     PNT_PROGRESS_CALLBACKS=0 forces it here), verbose fits record the

@@ -203,6 +203,7 @@ def test_build_ell_roundtrip_and_skew_fallback():
     assert np.abs(back - skew).max() < 1e-7
 
 
+@pytest.mark.slow
 def test_ell_hybrid_skewed_matches_gather_path():
     """Degree-skewed targets take the hybrid ELL+COO split and must still
     match the jax.grad gather path's trajectory."""

@@ -190,6 +190,7 @@ def test_kl_epilogue_fused_update_matches_manual(data):
     "C, L_in, R, T, Tk",
     [(17, 300, 8, 12, 5), (33, 400, 16, 20, 8), (7, 260, 3, 5, 5)],
 )
+@pytest.mark.slow
 def test_deconv_kernels_match_unfold(C, L_in, R, T, Tk):
     """pallas_deconv.hgrad/wgrad must equal the stream engine's fold and
     patch-einsum contractions (ragged C, T not a Tk multiple, odd R)."""
@@ -251,6 +252,7 @@ def test_deconv_wgrad_fused_epilogue_matches_manual():
 
 
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+@pytest.mark.slow
 def test_nmfd_pallas_engine_matches_stream(beta):
     """NMFD fits through the forced fused-kernel engine (interpreter) must
     track the stream-engine trajectories; measured on v5e the engine wins
@@ -322,6 +324,7 @@ def test_siplca_em_pallas_recon_matches_default():
         os.environ.pop("PNT_NMFD_PALLAS", None)
 
 
+@pytest.mark.slow
 def test_siplca2_em_pallas_recon_matches_default():
     """SIPLCA2 EM through the flat-offset fused-adjoint reconstruction
     (forced, interpreter) must track the default engine's trajectory —
@@ -354,6 +357,7 @@ def test_siplca2_em_pallas_recon_matches_default():
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-5, nm
 
 
+@pytest.mark.slow
 def test_pallas_custom_vjp_deconv_batched_adjoints():
     """Regression: the custom-vjp fused deconv's backward must run the
     segment-stacked mode for N > 1 (its shape gate accepts batched
@@ -398,6 +402,7 @@ def test_pallas_custom_vjp_deconv_batched_adjoints():
             assert float(jnp.abs(a - b).max()) < 2e-6 * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_pallas_w_custom_vjp_deconv_adjoints():
     """The hybrid custom-vjp recon (fused wgrad + streamed fold) must
     produce the reference gradients — 1-D and 2-D, batched included."""
@@ -436,6 +441,7 @@ def test_pallas_w_custom_vjp_deconv_adjoints():
             assert float(jnp.abs(a - b).max()) < 3e-6 * scale
 
 
+@pytest.mark.slow
 def test_hybrid_recon_stands_in_at_vmem_gated_shapes(monkeypatch):
     """Where the full fused recon's hgrad accumulator is VMEM-gated out
     (here: the full gates stubbed off), the EM and Hoyer resolvers hand
@@ -501,6 +507,7 @@ def test_hybrid_recon_stands_in_at_vmem_gated_shapes(monkeypatch):
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 5e-4, nm
 
 
+@pytest.mark.slow
 def test_fuzz_pallas_custom_vjp_adjoints_random_shapes():
     """Randomized sweep of the fused custom-vjp deconv adjoints
     (1-D/2-D/3-D, batched included) against the plain reconstruction's
@@ -741,6 +748,7 @@ def test_forced_pallas_rejected_shape_raises_clearly():
 
 
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+@pytest.mark.slow
 def test_nmfd_pallas_batched_matches_unfold(beta):
     """N > 1 NMFD through the segment-stacked fused engine must track
     the unfold trajectories — per-batch T-1 zero separators on the flat
@@ -818,6 +826,7 @@ def test_nmfd_pallas_batched_matches_unfold(beta):
 
 
 @pytest.mark.parametrize("beta", [1.0, 2.0])
+@pytest.mark.slow
 def test_deconv_pallas_w_hybrid_matches_unfold(beta):
     """The hybrid ``"pallas_w"`` mode (fused wgrad + streamed XLA fold)
     must track the unfold engine; its gate accepts exactly the shapes
@@ -898,6 +907,7 @@ def test_deconv_pallas_w_hybrid_matches_unfold(beta):
     assert float(jnp.abs(Hp - Hu).max() / jnp.abs(Hu).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_deconv_pallas_w_1d_regular_candidate():
     """The 1-D hybrid engine must be admitted even where the full fused
     mode also compiles — full-vs-hybrid dominance is rank-dependent
@@ -941,6 +951,7 @@ def test_deconv_pallas_w_1d_regular_candidate():
 
 
 @pytest.mark.parametrize("beta", [1.0, 2.0, 0.5])
+@pytest.mark.slow
 def test_nmf2d_pallas_engine_matches_unfold(beta):
     """NMF2D fits through the forced flat-offset fused engine
     (interpreter) must track the unfold-engine trajectories."""
@@ -967,6 +978,7 @@ def test_nmf2d_pallas_engine_matches_unfold(beta):
     assert dW < 5e-5 and dH < 5e-5
 
 
+@pytest.mark.slow
 def test_nmf3d_pallas_engine_matches_unfold():
     """NMF3D through the forced flat-offset fused engine (interpreter)
     must track the unfold-engine trajectory."""

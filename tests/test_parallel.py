@@ -287,6 +287,7 @@ def test_halo_sharded_nmf2d_matches_single_device(beta):
 
 
 @needs_8
+@pytest.mark.slow
 def test_halo_sharded_nmf3d_matches_single_device():
     from pytorch_nmf_tpu.nmf import NMF3D
     from pytorch_nmf_tpu.parallel import sharded_nmf3d_fit
@@ -461,6 +462,7 @@ def test_halo_stream_matches_conv_formulation(beta):
 
 @needs_8
 @pytest.mark.parametrize("beta, N", [(1, 1), (2, 1), (1, 2)])
+@pytest.mark.slow
 def test_halo_pallas_matches_conv_formulation(beta, N):
     """The fused Mosaic per-shard mode (``"pallas"``: VALID-mode wgrad /
     hgrad inside shard_map, psum'd numerators, reverse-ppermute halo
@@ -506,6 +508,7 @@ def test_halo_pallas_matches_conv_formulation(beta, N):
 
 @needs_8
 @pytest.mark.parametrize("nd, N", [(2, 1), (3, 1), (2, 2), (3, 2)])
+@pytest.mark.slow
 def test_halo_pallas_nd_matches_conv_formulation(nd, N):
     """The 2-D/3-D fused per-shard halo mode (flat-offset kernels with a
     VALID trailing axis: middle axes padded to output widths, the
@@ -560,6 +563,7 @@ def test_halo_pallas_nd_matches_conv_formulation(nd, N):
     "nd, N, beta",
     [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 2.0), (2, 2, 1.0), (3, 2, 1.0)],
 )
+@pytest.mark.slow
 def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
     """The hybrid fused-W/streamed-H per-shard halo mode (``pallas_w``) —
     offered exactly where the halo layout's hgrad accumulator is
@@ -629,6 +633,7 @@ def test_halo_pallas_w_matches_conv_formulation(nd, N, beta, monkeypatch):
 
 @needs_8
 @pytest.mark.parametrize("nd", [2, 3])
+@pytest.mark.slow
 def test_halo_nd_first_axis_unpadded_bit_identical(nd, monkeypatch):
     """At N = 1 the halo N-D flat layout keeps the FIRST lead axis
     unpadded (flat-offset strides never involve the outermost extent);
@@ -679,6 +684,7 @@ def test_halo_nd_first_axis_unpadded_bit_identical(nd, monkeypatch):
 
 @needs_8
 @pytest.mark.parametrize("beta", [0.5, 1, 2])
+@pytest.mark.slow
 def test_sharded_sparse_matches_single_device_ell(beta):
     """Row-sharded dual-ELL sparse MU (psum'd W contractions, local H
     updates) must reproduce the single-device ELL trajectory.  M chosen
@@ -750,6 +756,7 @@ def test_sharded_sparse_early_stop_and_loss():
     # iteration and the psum'd marginals drift far from single-device
     [(1.0, 1.0, 1.0), (1.02, 0.99, 1.01), (1.0, 1.05, 1.0)],
 )
+@pytest.mark.slow
 def test_halo_sharded_siplca_matches_single_device(alphas):
     """Sequence-parallel SIPLCA EM (halo exchange through the vjp E-step,
     psum'd marginals) must match the single-device trajectories, including
@@ -785,6 +792,7 @@ def test_halo_sharded_siplca_matches_single_device(alphas):
 
 
 @needs_8
+@pytest.mark.slow
 def test_halo_sharded_siplca2_matches_single_device():
     from pytorch_nmf_tpu.parallel import sharded_siplca2_fit
     from pytorch_nmf_tpu.plca import SIPLCA2
@@ -864,6 +872,7 @@ def test_sharded_sparse_hybrid_skewed():
 
 
 @needs_8
+@pytest.mark.slow
 def test_fuzz_halo_stream_random_configs():
     """Randomized sweep of the flat-τ streaming halo mode (forced via
     K·R > _CHUNK_COLS) against the conv/vjp formulation."""

@@ -374,6 +374,7 @@ def test_nmfd_hoyer_sparse_fit_parity():
     assert _maxdiff(tm.H, jm.H.data) < 5e-5
 
 
+@pytest.mark.slow
 def test_fuzz_parity_random_configs():
     """Randomized property sweep: random shapes, β drawn from a continuum,
     random regularization and trainability flags — 5-iteration trajectories
@@ -410,6 +411,7 @@ def test_fuzz_parity_random_configs():
         assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
 
 
+@pytest.mark.slow
 def test_fuzz_parity_deconv_random_configs():
     """Same randomized sweep for the 1-D deconvolutional model (unrolled
     unfold mode; the streaming mode has its own dedicated parity test,
@@ -438,6 +440,7 @@ def test_fuzz_parity_deconv_random_configs():
         assert _maxdiff(tm.H, jm.H.data) < 2e-5, ctx
 
 
+@pytest.mark.slow
 def test_fuzz_parity_pallas_engines_random_configs():
     """Randomized sweep of the forced fused-Mosaic engines (interpreter)
     against the torch reference: 1-D (incl. batched segment stacking)
@@ -506,6 +509,7 @@ def test_fuzz_parity_pallas_engines_random_configs():
 @pytest.mark.parametrize("beta, alpha, l1_ratio",
                          [(1, 0.0, 0.0), (1, 0.2, 0.3), (0.5, 0.0, 0.0),
                           (2, 0.1, 1.0)])
+@pytest.mark.slow
 def test_nmfd_streaming_mode_parity(beta, alpha, l1_ratio):
     """Stream-mode NMFD (T·R > the τ-chunk column budget) with BOTH
     factors trainable: exercises the fused per-chunk W update
@@ -529,6 +533,7 @@ def test_nmfd_streaming_mode_parity(beta, alpha, l1_ratio):
     assert _maxdiff(tm.H, jm.H.data) < 2e-5
 
 
+@pytest.mark.slow
 def test_fuzz_parity_plca_random_configs():
     """Randomized EM parity: random shapes, Dirichlet prior strengths and
     trainability masks for PLCA; random kernel configs for SIPLCA."""
@@ -625,6 +630,7 @@ def test_betamu_regularizers_parity():
     assert _maxdiff(tm.H, jm.H.data) < 1e-5
 
 
+@pytest.mark.slow
 def test_nmf2d_streaming_mode_parity():
     """2-D deconv in the flat-τ streaming regime (K·R > the chunk column
     budget): both factors trainable, trajectories vs the reference."""

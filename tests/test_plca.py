@@ -163,6 +163,7 @@ def test_fit_simplex_invariant_after_training():
     (SIPLCA2, (1, 2, 12, 14), dict(kernel_size=3)),
     (SIPLCA3, (1, 2, 6, 7, 8), dict(kernel_size=2)),
 ])
+@pytest.mark.slow
 def test_fit_shift_invariant(model_cls, vshape, kw):
     V = RNG.rand(*vshape).astype("f")
     m = model_cls(vshape, 4, **kw)

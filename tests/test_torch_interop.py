@@ -62,6 +62,7 @@ def test_torch_sparse_hoyer():
     assert n == 5
 
 
+@pytest.mark.slow
 def test_torch_dense_deconv_and_plca():
     V = torch.rand(1, 8, 20) + 0.01
     m = NMFD(tuple(V.shape), rank=3, T=4)

@@ -152,6 +152,7 @@ def test_beta_trainer_skips_unconnected_param():
     assert m2.W.grad is None
 
 
+@pytest.mark.slow
 def test_betamu_compiled_matches_eager_and_caches():
     """The jit-compiled step must (a) reuse one cache entry across fresh
     lambdas created in a loop, and (b) track the eager path's factor/grad
@@ -177,6 +178,7 @@ def test_betamu_compiled_matches_eager_and_caches():
         assert float(np.abs(g1 - g2).max()) / scale < 1e-4
 
 
+@pytest.mark.slow
 def test_sparsityproj_compiled_matches_eager():
     import copy
 
@@ -199,6 +201,7 @@ def test_sparsityproj_compiled_matches_eager():
     assert abs(float(lA) - float(lB)) / max(abs(float(lB)), 1e-6) < 1e-4
 
 
+@pytest.mark.slow
 def test_sparsityproj_disconnected_param_untouched():
     """A requires_grad param the loss does not depend on must not be
     projected (reference skips p.grad-is-None params, trainer.py:165-166)."""
@@ -343,6 +346,7 @@ def test_betamu_run_eager_fallback():
         )
 
 
+@pytest.mark.slow
 def test_sparsityproj_run_matches_repeated_step():
     """run matches repeated step including the cross-step lr schedule and
     the returned final loss."""
