@@ -586,15 +586,34 @@ def autotune_halo_mode(
     )
 
     def _recons():
-        from ..parallel.halo import _conv_halo_nd, _unfold_halo_nd
+        from ..parallel.halo import (
+            _conv_halo_nd,
+            _conv_halo_split_nd,
+            _unfold_halo_nd,
+            halo_conv_split_default,
+        )
 
+        halo = T - 1
+        if halo_conv_split_default() and halo > 0:
+            # the solver's conv mode is the split formulation: main conv
+            # at native shard width + strip GEMM on the halo frames (the
+            # tail stands in for the ppermute'd recv — collectives are
+            # identical across modes, so timing them is never needed)
+            conv_pair = (
+                lambda hp, w: _conv_halo_split_nd(
+                    hp, hp[..., -halo:], w, nd
+                ),
+                Hh[..., :chunk],
+            )
+        else:
+            conv_pair = (lambda hh, w: _conv_halo_nd(hh, w, nd), Hh)
         return {
-            "conv": lambda hh, w: _conv_halo_nd(hh, w, nd),
-            "unrolled": lambda hh, w: _unfold_halo_nd(hh, w, nd),
+            "conv": conv_pair,
+            "unrolled": (lambda hh, w: _unfold_halo_nd(hh, w, nd), Hh),
         }
 
     results = {}
-    for name, recon in _recons().items():
+    for name, (recon, H_init) in _recons().items():
         try:
             def run(V_, W_, H_, n, _recon=recon):
                 def body(i, s):
@@ -612,7 +631,7 @@ def autotune_halo_mode(
 
             best = min(results.values()) if results else None
             results[name] = _time_candidate(
-                jax.jit(run), Vl, Wl, Hh,
+                jax.jit(run), Vl, Wl, H_init,
                 reject_above=(3.0 * best if best is not None else None),
             )
         except Exception:

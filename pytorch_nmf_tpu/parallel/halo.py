@@ -16,8 +16,14 @@ Construction:
   start at zero and *stay* zero under multiplicative updates
   (0 · anything = 0), so the padded problem is exactly equivalent.
 * The forward map per device: ``ppermute`` the last ``T-1`` local frames
-  from the left neighbor, concatenate, then convolve — VALID along the
-  halo'd trailing axis, full padding along the local leading spatial axes.
+  from the left neighbor, then convolve.  The conv per-shard mode keeps
+  the local activations at their native shard width — the ``T-1`` left
+  pad lives in the conv's *padding config* and the received frames fold
+  in through a tiny strip GEMM (``_conv_halo_split_nd``; a materialized
+  concat re-tiles the trailing minor axis and measured +16%/iter at the
+  2-D bench shape — tools/bisect_halo2d_tax.py).  The GEMM modes
+  concatenate and unfold — VALID along the halo'd trailing axis, full
+  padding along the local leading spatial axes.
 * The MU numerator/denominator come from ``jax.vjp`` **through the halo
   exchange**: the cotangent of ``ppermute`` is the reverse ``ppermute``, so
   the adjoint right-halo falls out of autodiff instead of hand-written
@@ -60,6 +66,8 @@ from ..ops.solver import _converging_loop
 __all__ = [
     "left_halo",
     "halo_adjoint",
+    "halo_recv",
+    "halo_adjoint_strip",
     "sharded_nmfd_fit",
     "sharded_nmf2d_fit",
     "sharded_nmf3d_fit",
@@ -161,6 +169,84 @@ def halo_adjoint(g, halo: int, axis_name: str):
     return gx.at[..., L - halo:].add(send)
 
 
+def halo_recv(x, halo: int, axis_name: str):
+    """The received frames of :func:`left_halo` WITHOUT the concatenation:
+    the left ring neighbor's trailing ``halo`` frames (zeros on device 0).
+    The split conv formulation keeps the local activations at their native
+    shard width and folds these frames in separately — materializing the
+    ``chunk + halo``-wide concat measured +0.27 ms/iter on the r5 NMF2D
+    halo bench shape (tools/bisect_halo2d_tax.py: the identical conv with
+    the pad in the *padding config* costs 0.04 ms)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    tail = x[..., x.shape[-1] - halo:]
+    recv = lax.ppermute(
+        tail, axis_name, [(d, (d + 1) % n) for d in range(n)]
+    )
+    return jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+
+
+def halo_adjoint_strip(gh, gr, halo: int, axis_name: str):
+    """Adjoint of the split formulation's halo path: ``gh`` is the
+    cotangent at the local activations' native width, ``gr`` the cotangent
+    of the received frames (which belong to the left neighbor's trailing
+    edge).  Same semantics as :func:`halo_adjoint` with the concat-width
+    cotangent pre-split by ``jax.vjp``."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    gr = jnp.where(idx == 0, jnp.zeros_like(gr), gr)
+    send = lax.ppermute(
+        gr, axis_name, [(d, (d - 1) % n) for d in range(n)]
+    )
+    L = gh.shape[-1]
+    return gh.at[..., L - halo:].add(send)
+
+
+def _conv_halo_split_nd(Hp, recv, W, spatial_ndim: int):
+    """Split form of ``_conv_halo_nd(concatenate([recv, Hp]), W)``: the
+    main convolution runs on ``Hp`` at its native shard width with the
+    ``T - 1`` left pad expressed in the *padding config* (XLA:TPU lowers
+    the implicit-pad conv like the single-device symmetric one — the
+    materialized concat costs +16% at the 2-D bench shape,
+    tools/bisect_halo2d_tax.py), and the received frames' contribution to
+    the first ``T - 1`` output columns is a tiny patch GEMM (a ``T - 1``
+    -wide strip *convolution* is rank-starved and measured 1.46x plain).
+    Same contractions as the concat form, f32 summation order differs
+    (the strip terms accumulate separately) — the same numerical class as
+    the conv-vs-unfold candidate pair."""
+    spatial = tuple(range(2, 2 + spatial_ndim))
+    Wf = jnp.flip(W, axis=spatial)
+    T = int(W.shape[spatial[-1]])
+    halo = T - 1
+    pads = [(W.shape[d] - 1, W.shape[d] - 1) for d in spatial[:-1]]
+    pads.append((T - 1, 0))
+    letters = _CONV_LETTERS[spatial_ndim]
+    dn = lax.conv_dimension_numbers(
+        Hp.shape, Wf.shape, ("NC" + letters, "OI" + letters, "NC" + letters)
+    )
+    out = lax.conv_general_dilated(
+        Hp, Wf, (1,) * spatial_ndim, pads, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    if halo == 0:
+        return out
+    # strip[j] = Σ_{τ : j+τ < halo} Wf[τ]·recv[j+τ]  (j = 0..halo-1): the
+    # concat form's terms that the (T-1, 0) padding zeroed — a VALID
+    # trailing unfold of recv right-padded by T-1 (leading axes full, like
+    # the main conv)
+    rp = [(0, 0)] * (recv.ndim - 1) + [(0, T - 1)]
+    strip = _unfold_halo_nd(jnp.pad(recv, rp), W, spatial_ndim)
+    return out.at[..., :halo].add(strip)
+
+
+def halo_conv_split_default() -> bool:
+    """Whether the conv per-shard mode uses the split formulation
+    (default).  ``PNT_HALO_CONV=concat`` restores the materialized-concat
+    form (the pre-r5 behavior); ``PNT_HALO_CONV=sym`` implies concat (the
+    sym A/B rewrites the concat conv's trailing padding)."""
+    return os.environ.get("PNT_HALO_CONV", "") not in ("sym", "concat")
+
+
 def _conv_halo_nd(H, W, spatial_ndim: int):
     """True convolution: full padding on the leading (local) spatial axes,
     VALID on the halo'd trailing axis.  Trailing out length =
@@ -210,6 +296,7 @@ def _get_sharded_deconv_fit(
     verbose: bool = False,
     nd_first_padded: bool = False,
     shared_hh: bool = True,
+    conv_split: bool = False,
 ):
     # Verbose fits record the cadence losses in the loop carry and replay
     # them after the program (the record-and-replay channel built for
@@ -681,12 +768,18 @@ def _get_sharded_deconv_fit(
         if mode == "stream":
             return stream_local_fit(V, W, Hp)
 
+        split = conv_split and mode == "conv" and halo > 0
+
         def recon_hh(hh, w):
             if mode == "unrolled":
                 return _unfold_halo_nd(hh, w, nd)
             return _conv_halo_nd(hh, w, nd)
 
         def recon(hp, w):
+            if split:
+                return _conv_halo_split_nd(
+                    hp, halo_recv(hp, halo, seq_axis), w, nd
+                )
             return recon_hh(left_halo(hp, halo, seq_axis), w)
 
         def loss_of(state):
@@ -709,10 +802,15 @@ def _get_sharded_deconv_fit(
             # reconstructions read the same activations —
             # /root/reference/torchnmf/nmf.py:396-410).  W's vjp is
             # forward-only through the exchange; H's activation cotangent
-            # ships back through halo_adjoint, which IS the transpose
-            # jax.vjp derives for left_halo — trajectories are identical
-            # while one ppermute + concat per iteration is saved.
-            hh = left_halo(hp, halo, seq_axis) if shared_hh else None
+            # ships back through halo_adjoint (split form: the strip
+            # adjoint), which IS the transpose jax.vjp derives for
+            # left_halo — trajectories are identical while one ppermute
+            # (+ concat, in the concat form) per iteration is saved.
+            if split:
+                recv = halo_recv(hp, halo, seq_axis)
+                hh = None
+            else:
+                hh = left_halo(hp, halo, seq_axis) if shared_hh else None
 
             if update_W:
                 # ---- W update: adjoint wrt the replicated kernel.  NOTE:
@@ -720,7 +818,11 @@ def _get_sharded_deconv_fit(
                 # transposes the cotangent of the replicated ``w`` with an
                 # automatic psum over the sequence axis; adding one would
                 # multiply by the axis size.
-                if shared_hh:
+                if split:
+                    WH, vjp = jax.vjp(
+                        lambda ww: _conv_halo_split_nd(hp, recv, ww, nd), w
+                    )
+                elif shared_hh:
                     WH, vjp = jax.vjp(lambda ww: recon_hh(hh, ww), w)
                 else:
                     WH, vjp = jax.vjp(lambda ww: recon(hp, ww), w)
@@ -738,7 +840,16 @@ def _get_sharded_deconv_fit(
 
             if update_H:
                 # ---- H update: adjoint THROUGH the halo exchange ---------
-                if shared_hh:
+                if split:
+                    WH, vjp = jax.vjp(
+                        lambda hx, rx: _conv_halo_split_nd(hx, rx, w, nd),
+                        hp, recv,
+                    )
+
+                    def grad_hp(cot):
+                        gh, gr = vjp(cot)
+                        return halo_adjoint_strip(gh, gr, halo, seq_axis)
+                elif shared_hh:
                     WH, vjp = jax.vjp(lambda hx: recon_hh(hx, w), hh)
 
                     def grad_hp(cot):
@@ -857,14 +968,18 @@ def _sharded_deconv_fit(
 
     from ..ops.pallas_deconv import _halo_nd_first_padded
 
+    # A/B knobs: PNT_HALO_SHARED_HH=0 restores the pre-r5 per-update halo
+    # exchanges (tools/measure_halo2d_tax.py) and with it the concat conv
+    # form; PNT_HALO_CONV=concat keeps the shared exchange but the
+    # materialized concat (tools/bisect_halo2d_tax.py)
+    shared = os.environ.get("PNT_HALO_SHARED_HH", "1") != "0"
     fit = _get_sharded_deconv_fit(
         mesh, int(spatial_ndim), int(T), float(beta), float(tol),
         int(max_iter), float(l1_reg), float(l2_reg), seq_axis,
         loss_offset, mode, bool(update_W), bool(update_H), bool(verbose),
         _halo_nd_first_padded(),
-        # A/B knob (tools/measure_halo2d_tax.py): 0 restores the pre-r5
-        # per-update halo exchanges
-        os.environ.get("PNT_HALO_SHARED_HH", "1") != "0",
+        shared,
+        halo_conv_split_default() and shared,
     )
     spec = NamedSharding(mesh, P(*([None] * (1 + spatial_ndim)), seq_axis))
     V = jax.device_put(V, spec)

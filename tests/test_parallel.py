@@ -421,6 +421,73 @@ def test_halo_conv_sym_padding_matches_default():
 
 @needs_8
 @pytest.mark.parametrize("beta", [1, 2, 0.5])
+def test_halo_conv_split_matches_concat(beta):
+    """The split conv formulation (main conv at native shard width via
+    padding config + strip GEMM on the received frames — the r5 default,
+    measured −16%/iter at the 2-D bench shape) matches the materialized
+    concat form (``PNT_HALO_CONV=concat``) and the single-device fit to
+    f32 reassociation tolerance, for 1-D and 2-D conv modes, batched,
+    with an unevenly-sharded trailing axis."""
+    import os
+
+    from pytorch_nmf_tpu.nmf import NMF2D
+    from pytorch_nmf_tpu.parallel import halo, sharded_nmf2d_fit
+
+    rng = np.random.RandomState(13)
+    mesh = make_mesh({"seq": 8})
+    # X=37 shards unevenly over 8 devices (chunk 5, pad 3): exercises the
+    # trailing shard-divisibility pad under the split form
+    N, C, Y, X, R, ky, kx = 2, 5, 10, 37, 3, 3, 4
+    V = rng.rand(N, C, Y, X).astype("f")
+    W0 = rng.rand(C, R, ky, kx).astype("f") + 0.1
+    H0 = rng.rand(N, R, Y - ky + 1, X - kx + 1).astype("f") + 0.1
+
+    os.environ["PNT_HALO_UNFOLD"] = "0"  # force the conv per-shard mode
+    os.environ.pop("PNT_HALO_CONV", None)
+    try:
+        Ws, Hs, ns = sharded_nmf2d_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+        )
+        os.environ["PNT_HALO_CONV"] = "concat"
+        Wc, Hc, nc = sharded_nmf2d_fit(
+            V, W0, H0, mesh, beta=beta, tol=0, max_iter=10
+        )
+    finally:
+        os.environ.pop("PNT_HALO_CONV", None)
+        del os.environ["PNT_HALO_UNFOLD"]
+        halo._get_sharded_deconv_fit.cache_clear()
+    assert int(ns) == int(nc)
+    np.testing.assert_allclose(Ws, Wc, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Hs, Hc, rtol=1e-5, atol=1e-6)
+    ref = NMF2D(W=W0, H=H0)
+    ref.fit(V, beta, 0, 10)
+    assert float(jnp.abs(Ws - ref.W.data).max()) < 2e-5
+    assert float(jnp.abs(Hs - ref.H.data).max()) < 2e-5
+
+    # 1-D conv mode: same split-vs-concat contract
+    L, T = 48, 5
+    V1 = rng.rand(N, C, L).astype("f")
+    W1 = rng.rand(C, R, T).astype("f") + 0.1
+    H1 = rng.rand(N, R, L - T + 1).astype("f") + 0.1
+    os.environ["PNT_HALO_UNFOLD"] = "0"
+    try:
+        Ws, Hs, _ = halo.sharded_nmfd_fit(
+            V1, W1, H1, mesh, beta=beta, tol=0, max_iter=10
+        )
+        os.environ["PNT_HALO_CONV"] = "concat"
+        Wc, Hc, _ = halo.sharded_nmfd_fit(
+            V1, W1, H1, mesh, beta=beta, tol=0, max_iter=10
+        )
+    finally:
+        os.environ.pop("PNT_HALO_CONV", None)
+        del os.environ["PNT_HALO_UNFOLD"]
+        halo._get_sharded_deconv_fit.cache_clear()
+    np.testing.assert_allclose(Ws, Wc, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Hs, Hc, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
+@pytest.mark.parametrize("beta", [1, 2, 0.5])
 def test_halo_stream_matches_conv_formulation(beta):
     """The flat-τ streaming halo path (hand-written adjoints: per-chunk
     psum'd W contractions, reverse-ppermute fold) must match the conv/vjp

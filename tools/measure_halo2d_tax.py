@@ -14,15 +14,23 @@ CLAUDE.md), at the bench_multichip MC_NMF2D shape:
 
   1. plain          — the autotuned single-device fit (H width 121);
   2. padded-local   — the same single-device conv fit on the PADDED local
-                      shapes (H width 128, left-pad T-1, VALID trailing):
-                      isolates the pure shape/layout tax, no collectives;
-  3. halo (dup)     — the real sharded fit, per-update halo exchanges
-                      (pre-r5 behavior, PNT_HALO_SHARED_HH=0);
-  4. halo (shared)  — the real sharded fit, one exchange per iteration
-                      (r5 default).
+                      shapes (H width 128, materialized left-pad T-1,
+                      VALID trailing): isolates the pure shape/layout
+                      tax, no collectives;
+  3. halo (dup)     — the real sharded fit, per-update halo exchanges +
+                      materialized concat (pre-r5, PNT_HALO_SHARED_HH=0);
+  4. halo (shared)  — one exchange per iteration, still the concat form
+                      (PNT_HALO_CONV=concat);
+  5. halo (split)   — the r5 default: main conv at native shard width
+                      (pad in the conv config) + strip GEMM on the
+                      received frames (tools/bisect_halo2d_tax.py).
 
 Deltas: (2)-(1) = shape tax; (3)-(2) = shard_map/collective tax;
-(3)-(4) = shared-exchange gain.  Prints one JSON line.
+(3)-(4) = shared-exchange gain; (4)-(5) = split-form gain.  Measured
+2026-08-19 (v5e, one process): plain 1.702, padded-local 2.014 (the
+materialized concat is the tax — the bisect tool puts the pad-in-config
+variant at 1.738), halo_dup 2.047, halo_shared 2.025.  Prints one JSON
+line.
 """
 
 import json
@@ -120,10 +128,18 @@ def main():
     print(f"[tax] padded_local: {results['padded_local']:.4f} ms/iter",
           file=sys.stderr)
 
-    # ---- 3/4. the real halo fit, duplicated vs shared exchange ----------
+    # ---- 3/4/5. the real halo fit: per-update concat exchanges (pre-r5),
+    # shared concat exchange, and the r5-default split form (main conv at
+    # native shard width + strip GEMM; tools/bisect_halo2d_tax.py)
     mesh = make_mesh({"seq": jax.device_count()})
-    for label, flag in (("halo_dup", "0"), ("halo_shared", "1")):
-        os.environ["PNT_HALO_SHARED_HH"] = flag
+    for label, env in (
+        ("halo_dup", {"PNT_HALO_SHARED_HH": "0"}),
+        ("halo_shared", {"PNT_HALO_SHARED_HH": "1",
+                         "PNT_HALO_CONV": "concat"}),
+        ("halo_split", {"PNT_HALO_SHARED_HH": "1"}),
+    ):
+        os.environ.pop("PNT_HALO_CONV", None)
+        os.environ.update(env)
 
         def make_halo(n):
             def fit(Vv, Ww, Hh):
@@ -137,6 +153,7 @@ def main():
         print(f"[tax] {label}: {results[label]:.4f} ms/iter",
               file=sys.stderr)
     os.environ.pop("PNT_HALO_SHARED_HH", None)
+    os.environ.pop("PNT_HALO_CONV", None)
 
     out = {
         "shape": f"{C2}x{Y2}x{L2}_r{R2}_k{ky2}x{kx2}",
@@ -149,8 +166,14 @@ def main():
         "shared_hh_gain_ms": round(
             results["halo_dup"] - results["halo_shared"], 5
         ),
+        "split_gain_ms": round(
+            results["halo_shared"] - results["halo_split"], 5
+        ),
         "overhead_shared_x": round(
             results["halo_shared"] / results["plain"], 4
+        ),
+        "overhead_split_x": round(
+            results["halo_split"] / results["plain"], 4
         ),
     }
     print(json.dumps(out))
