@@ -17,9 +17,12 @@ torchnmf CUDA RTX 3070 baseline); the "grid" key carries every measured row
 with its own baseline comparison.
 
 Robustness contract (the driver runs this under a kill timer):
-  * Rows run headline-first and each row is recorded as soon as it is
-    measured; the single JSON line is emitted from whatever has been
-    measured so far.
+  * Rows run headline-first, then family-coverage-first (one
+    representative row per model family/engine before any beta/shape
+    variant), and each row is recorded as soon as it is measured; the
+    single JSON line is emitted from whatever has been measured so far.
+    A budget truncation therefore trims variant duplicates, never a
+    whole family.
   * A wall-clock budget (``PNT_BENCH_BUDGET_S``, seconds; 0 = unlimited)
     stops adding rows once exceeded — skipped rows are listed under
     ``"truncated"``.
@@ -501,28 +504,44 @@ def main():
     REF_M, REF_K, REF_R = (96, 48, 8) if TINY else REF_SHAPE
     NS_M, NS_K, NS_R = (64, 64, 8) if TINY else NS_SHAPE
 
+    # Row order is family-coverage-first: the beta=1 headline, then ONE
+    # representative row per family/engine, then the remaining beta/shape
+    # variants (deferred into `variants`).  A driver-budget truncation
+    # therefore trims duplicates of already-covered families, never a
+    # whole family — the committed BENCH_local_*.json carries the full
+    # grid either way (rows are measured independently, so ordering does
+    # not change any number).
+    variants = []
+
     # reference benchmark scale (5168x1025 r88) — dense beta grid, the
     # beta=1 headline measured FIRST so even a truncated run carries it
     for beta in (1.0, 2.0, 0.0, 0.5, 1.5):
-        runner.run(
-            f"nmf_dense_mu_iter_{REF_M}x{REF_K}_r{REF_R}_beta{beta:g}",
-            lambda b=beta: dense_row(REF_M, REF_K, REF_R, b, tag="ref"),
-            headline=(beta == 1.0),
-        )
+        name = f"nmf_dense_mu_iter_{REF_M}x{REF_K}_r{REF_R}_beta{beta:g}"
+        thunk = lambda b=beta: dense_row(REF_M, REF_K, REF_R, b, tag="ref")
+        if beta in (1.0, 2.0):
+            runner.run(name, thunk, headline=(beta == 1.0))
+        else:
+            variants.append((name, thunk))
 
     # north-star scale (BASELINE.md "Targets": 4096x4096 rank-256)
     for beta in (1.0, 2.0):
-        runner.run(
-            f"nmf_dense_mu_iter_{NS_M}x{NS_K}_r{NS_R}_beta{beta:g}",
-            lambda b=beta: dense_row(NS_M, NS_K, NS_R, b, tag="northstar"),
-        )
+        name = f"nmf_dense_mu_iter_{NS_M}x{NS_K}_r{NS_R}_beta{beta:g}"
+        thunk = lambda b=beta: dense_row(NS_M, NS_K, NS_R, b, tag="northstar")
+        if beta == 1.0:
+            runner.run(name, thunk)
+        else:
+            variants.append((name, thunk))
 
-    # sparse top-2% COO grid (beta=1/2 first: the north-star comparisons)
+    # sparse top-2% COO grid (beta=1 first: the north-star comparison)
     for beta in (1.0, 2.0, 0.5, 1.5):
-        runner.run(
-            f"nmf_sparse_mu_iter_{REF_M}x{REF_K}_r{REF_R}_2pct_beta{beta:g}",
-            lambda b=beta: sparse_row(REF_M, REF_K, REF_R, b),
+        name = (
+            f"nmf_sparse_mu_iter_{REF_M}x{REF_K}_r{REF_R}_2pct_beta{beta:g}"
         )
+        thunk = lambda b=beta: sparse_row(REF_M, REF_K, REF_R, b)
+        if beta == 1.0:
+            runner.run(name, thunk)
+        else:
+            variants.append((name, thunk))
 
     # gather-regime sparse (target too large to densify in practice):
     # dual-ELL fast path at 8192^2, ~1% nnz — no reference baseline exists
@@ -595,10 +614,12 @@ def main():
         return row
 
     for C, L_out, R, T, beta in (NMFD_CASES_TINY if TINY else NMFD_CASES):
-        runner.run(
-            f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta{beta:g}",
-            lambda a=(C, L_out, R, T, beta): nmfd_row(*a),
-        )
+        name = f"nmfd_dense_mu_iter_{C}x{L_out}_r{R}_T{T}_beta{beta:g}"
+        thunk = lambda a=(C, L_out, R, T, beta): nmfd_row(*a)
+        if beta == 1.0 or TINY:  # coverage: the two beta=1 engine scales
+            runner.run(name, thunk)
+        else:
+            variants.append((name, thunk))
 
     # NMF2D (2-D deconv): engine per row from the runtime autotuner
     from pytorch_nmf_tpu.models.nmf import NMF2D
@@ -632,13 +653,17 @@ def main():
         add_roofline(row, 12.0 * N * C * Hs * Ws_ * R2 * kh * kw, ms)
         return row
 
-    for case in (NMF2D_CASES_TINY if TINY else NMF2D_CASES):
+    for i, case in enumerate(NMF2D_CASES_TINY if TINY else NMF2D_CASES):
         N, C, Hs, Ws_, R2, kh, kw, beta2 = case
-        runner.run(
+        name = (
             f"nmf2d_dense_mu_iter_{C}x{Hs}x{Ws_}_r{R2}_k{kh}x{kw}"
-            f"_beta{beta2:g}",
-            lambda a=case: nmf2d_row(*a),
+            f"_beta{beta2:g}"
         )
+        thunk = lambda a=case: nmf2d_row(*a)
+        if i < 2 or TINY:  # coverage: the conv-win and fused-kernel scales
+            runner.run(name, thunk)
+        else:
+            variants.append((name, thunk))
 
     # NMF3D (volumetric deconv): regression row for the autotuned winner
     from pytorch_nmf_tpu.models.nmf import NMF3D
@@ -867,12 +892,14 @@ def main():
             "iters_per_sec": round(1000.0 / ms, 1),
         }
 
-    for case in (SIPLCA_CASES_TINY if TINY else SIPLCA_CASES):
+    for i, case in enumerate(SIPLCA_CASES_TINY if TINY else SIPLCA_CASES):
         N, C, L_out, R, T = case
-        runner.run(
-            f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}",
-            lambda a=case: siplca_row(*a),
-        )
+        name = f"siplca_em_iter_{C}x{L_out}_r{R}_T{T}"
+        thunk = lambda a=case: siplca_row(*a)
+        if i == 0 or TINY:
+            runner.run(name, thunk)
+        else:
+            variants.append((name, thunk))
 
     # 2-D shift-invariant PLCA EM: tracks the N-D EM recon autotune
     from pytorch_nmf_tpu.models.plca import SIPLCA2
@@ -1038,6 +1065,12 @@ def main():
         return row
 
     runner.run("nmf_checkpointed_fit_overhead", checkpoint_row)
+
+    # deferred beta/shape variants: every family above already landed a
+    # representative row, so a driver-budget truncation from here on
+    # trims duplicates, never coverage
+    for name, thunk in variants:
+        runner.run(name, thunk)
 
     signal.alarm(0)
     runner.emit()
