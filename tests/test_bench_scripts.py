@@ -108,6 +108,16 @@ def test_bench_tiny_smoke(tmp_path):
     assert out["elapsed_s"] >= 0
     assert all(row["t_s"] >= 0 for row in out["grid"])
     assert "truncated" not in out and "stopped_early" not in out
+    # family-coverage-first ordering: every family's representative row
+    # precedes the deferred beta variants (here: the checkpoint row, the
+    # last coverage row, must come before the deferred dense beta=0 one)
+    order = [r["metric"] for r in out["grid"]]
+    i_cov = next(i for i, m in enumerate(order) if "checkpointed" in m)
+    i_var = next(
+        i for i, m in enumerate(order)
+        if m.startswith("nmf_dense") and m.endswith("beta0")
+    )
+    assert i_cov < i_var, order
 
 
 def test_bench_budget_truncation(tmp_path):
