@@ -99,8 +99,22 @@ def enable_compile_cache(path: str) -> None:
     the cache in 0.6 s — this is what makes the autotuner's
     compile-every-candidate strategy cheap across processes.  Called by
     ``bench.py``/``bench_multichip.py``; library users opt in themselves
-    (JAX exposes the same knob as ``JAX_COMPILATION_CACHE_DIR``)."""
+    (JAX exposes the same knob as ``JAX_COMPILATION_CACHE_DIR``).
+
+    Entries written before the atomic-put patch can be truncated, and a
+    truncated entry SEGFAULTS the reader inside XLA deserialization — the
+    patch cannot cure pre-existing damage, so a cache dir without the
+    one-time marker is wiped on first use (tests/conftest.py applies the
+    same migration to the test cache)."""
     install_atomic_cache_puts()
+    marker = os.path.join(path, ".atomic_puts_ok")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w"):
+        pass
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

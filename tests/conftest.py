@@ -22,6 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.environ.get(
     "PNT_TEST_CACHE", os.path.join(tempfile.gettempdir(), "pnt_jax_cache")
 )
+# one-time migration: entries written before the atomic-put patch can be
+# truncated, and a truncated entry SEGFAULTS the reader inside XLA
+# deserialization (observed 2026-08-19: two full-suite runs died at the
+# same cache read) — the patch below cannot cure pre-existing damage, so
+# a cache dir without the marker is wiped once
+_marker = os.path.join(_cache_dir, ".atomic_puts_ok")
+if os.path.isdir(_cache_dir) and not os.path.exists(_marker):
+    import shutil
+
+    shutil.rmtree(_cache_dir, ignore_errors=True)
+os.makedirs(_cache_dir, exist_ok=True)
+with open(_marker, "w"):
+    pass
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
